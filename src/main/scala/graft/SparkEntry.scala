@@ -10,7 +10,8 @@ import graft.queries._
 object SparkEntry {
   /** All query modules; later modules may shadow earlier keys (none do). */
   private val modules: Seq[QueryModule] = Seq(
-    Relational
+    Relational,
+    Analytics
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
