@@ -11,7 +11,8 @@ object SparkEntry {
   /** All query modules; later modules may shadow earlier keys (none do). */
   private val modules: Seq[QueryModule] = Seq(
     Relational,
-    Analytics
+    Analytics,
+    TextAnalysis
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

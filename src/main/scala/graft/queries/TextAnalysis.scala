@@ -1,0 +1,205 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Text-analysis + dedup + similarity operators for large-scale training-data
+  * pipelines (builder brief): token counting, quality scoring, language ID,
+  * fingerprinting, exact dedup, n-gram Jaccard near-dup, brute-force cosine
+  * top-k. All pure column expressions (whole-stage codegen; no UDFs), so the
+  * same plan scales from 500 docs to 100 TB — shuffles are keyed on shingle /
+  * fingerprint / band, never on the driver. */
+object TextAnalysis extends QueryModule {
+
+  /** Word tokens of a document (single-space separated corpus). */
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Distinct word 5-gram shingles; empty array for short docs.
+    * 5-gram diversity keeps the shingle self-join groups small at scale
+    * (char trigrams would make hot-key skew catastrophic at 100 TB). */
+  private[queries] def shingles(text: Column): Column = {
+    val t = toks(text)
+    when(size(t) >= 5,
+      array_distinct(transform(sequence(lit(0), size(t) - 5),
+        i => array_join(slice(t, i + 1, lit(5)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** English-etc. marker-stopword count used by langid + quality. */
+  private def markerCount(t: Column, markers: Seq[String]): Column =
+    size(filter(t, x => x.isin(markers.map(_.asInstanceOf[Any]): _*)))
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "des"),
+    "es" -> Seq("el", "los", "las", "y", "que"),
+    "it" -> Seq("il", "di", "che", "per", "con"))
+
+  /** Canonical text normalization for fingerprinting. */
+  private def normalized(c: Column): Column =
+    regexp_replace(trim(lower(c)), "\\s+", " ")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token / char counting
+    "t01_tokens" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("n_chars2"),
+        size(toks(col("text"))).as("n_tokens"),
+        size(array_distinct(toks(col("text")))).as("n_uniq_tokens"))
+    }),
+
+    // quality scoring: uniqueness + stopword density + length prior
+    "t02_quality" -> ((s, dir) => {
+      val tk = toks(col("text"))
+      val nTok = size(tk).cast("double")
+      val uniq = size(array_distinct(tk)).cast("double") / nTok
+      val stop = markerCount(tk, langMarkers.head._2).cast("double") / nTok
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        uniq.as("uniq_ratio"),
+        stop.as("stop_ratio"),
+        (uniq * lit(0.6) + stop * lit(0.4)).as("quality"))
+    }),
+
+    // language ID: marker-stopword argmax, deterministic tie order
+    "t03_langid" -> ((s, dir) => {
+      val tk = toks(lower(col("text")))
+      val scores = langMarkers.map { case (l, ms) => l -> markerCount(tk, ms) }
+      val allZero = scores.map(_._2 === 0).reduce(_ && _)
+      // chain: first language whose score >= max of the remaining ones
+      val pred = scores.zipWithIndex.foldRight(lit(langMarkers.last._1)) {
+        case (((l, sc), i), els) =>
+          val rest = scores.drop(i + 1).map(_._2)
+          if (rest.isEmpty) els
+          else {
+            val restMax = if (rest.size == 1) rest.head else greatest(rest: _*)
+            when(sc >= restMax, l).otherwise(els)
+          }
+      }
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        when(allZero, "und").otherwise(pred).as("pred_lang"))
+    }),
+
+    // document fingerprint: md5 over normalized text
+    "t04_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"), md5(normalized(col("text"))).as("fp"))
+    }),
+
+    // exact dedup: hash-groupBy on the fingerprint (one shuffle on fp)
+    "d01_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(md5(normalized(col("text"))).as("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
+    }),
+
+    // n-gram Jaccard near-dup pairs: shingle-explode → self-join on shingle
+    // → intersection counts → |A∩B| / (|A|+|B|−|A∩B|) ≥ 0.5
+    "d02_jaccard_pairs" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), explode(shingles(col("text"))).as("g"))
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val a = sh.as("a"); val b = sh.as("b")
+      val inter = a.join(b, col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+      val jac = col("inter").cast("double") /
+        (col("s1.sz") + col("s2.sz") - col("inter"))
+      inter
+        .join(sz.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
+        .where(jac >= 0.5)
+        .select(col("d1"), col("d2"), jac.as("jac"))
+    }),
+
+    // brute-force cosine top-3 neighbors for query vectors (vec_id < 100) —
+    // the exact baseline; d06 (LSH-bucketed) is the 100 TB path
+    "d05_cosine_topk" -> ((s, dir) => {
+      val dotd = (x: Column, y: Column) =>
+        aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, v) => acc + v)
+      val v = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+      val n = v.select(col("vec_id"), col("e"), sqrt(dotd(col("e"), col("e"))).as("nrm"))
+      val q = n.where(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+      val c = n.select(col("vec_id").as("nid"), col("e").as("ce"), col("nrm").as("cn"))
+      val sims = q.join(c, col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"), (dotd(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
+      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+      sims.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+        .select("qid", "nid", "sim", "rn")
+    })
+  )
+
+  private val oShingles =
+    """list_distinct(list_transform(range(len(string_split(text,' '))-4),
+       i -> array_to_string(string_split(text,' ')[i+1:i+5], ' ')))"""
+
+  private def oMarker(arr: String, set: String): String =
+    s"len(list_filter($arr, x -> x IN ($set)))"
+
+  override def oracle: Map[String, String] = {
+    val oScores = langMarkers.map { case (l, ms) =>
+      l -> oMarker("string_split(lower(text),' ')", ms.map("'" + _ + "'").mkString(","))
+    }
+    val langCase = {
+      val conds = oScores.zipWithIndex.init.map { case ((l, sc), i) =>
+        val rest = oScores.drop(i + 1).map(_._2)
+        s"WHEN $sc >= greatest(${rest.mkString(",")}) THEN '$l'"
+      }
+      s"""CASE WHEN ${oScores.map(_._2 + " = 0").mkString(" AND ")} THEN 'und'
+          ${conds.mkString("\n          ")}
+          ELSE '${langMarkers.last._1}' END"""
+    }
+    Map(
+      "t01_tokens" ->
+        """SELECT doc_id, length(text) AS n_chars2,
+             len(string_split(text,' ')) AS n_tokens,
+             len(list_distinct(string_split(text,' '))) AS n_uniq_tokens
+           FROM documents""",
+      "t02_quality" ->
+        s"""SELECT doc_id,
+              CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')) AS uniq_ratio,
+              CAST(${oMarker("string_split(text,' ')", "'the','and','of','to','in'")} AS DOUBLE) / len(string_split(text,' ')) AS stop_ratio,
+              (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' '))) * 0.6
+                + (CAST(${oMarker("string_split(text,' ')", "'the','and','of','to','in'")} AS DOUBLE) / len(string_split(text,' '))) * 0.4 AS quality
+           FROM documents""",
+      "t03_langid" ->
+        s"SELECT doc_id, $langCase AS pred_lang FROM documents",
+      "t04_fingerprint" ->
+        """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+           FROM documents""",
+      "d01_dedup_exact" ->
+        """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+             count(*) AS n_docs, min(doc_id) AS canonical_id
+           FROM documents GROUP BY 1""",
+      "d02_jaccard_pairs" ->
+        s"""WITH sh AS (SELECT doc_id, unnest($oShingles) AS g FROM documents),
+              sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+              p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+                    FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+            SELECT d1, d2, CAST(inter AS DOUBLE)/(s1.sz + s2.sz - inter) AS jac
+            FROM p JOIN sz s1 ON p.d1 = s1.doc_id JOIN sz s2 ON p.d2 = s2.doc_id
+            WHERE CAST(inter AS DOUBLE)/(s1.sz + s2.sz - inter) >= 0.5""",
+      "d05_cosine_topk" ->
+        """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                        sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                      FROM embeddings),
+              sims AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+                         list_inner_product(q.e, c.e) / (q.nrm * c.nrm) AS sim
+                       FROM n q JOIN n c ON q.vec_id < 100 AND c.vec_id <> q.vec_id)
+           SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+           FROM sims
+           QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 3"""
+    )
+  }
+}
