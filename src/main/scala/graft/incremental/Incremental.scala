@@ -1,0 +1,63 @@
+package graft.incremental
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.ZSetFrame
+
+/** Deterministic step-loop incremental evaluation — the batch-mode twin of
+  * the reference's `DBSPHandle::step` (reference:
+  * crates/dbsp/src/circuit/dbsp_handle.rs:87-94). Each step consumes input
+  * delta Z-sets and produces output deltas whose running sum equals the
+  * batch recomputation — per-step cost proportional to |Δ|, not |DB|.
+  *
+  * State (the "trace", reference operator/trace.rs) is an accumulated,
+  * consolidated ZSetFrame, localCheckpoint'ed so lineage stays flat across
+  * steps; in a cluster deployment this state would live in a Delta-style
+  * table or the streaming state store partitioned by the operator key. */
+object Incremental {
+
+  /** Accumulated state of one stream: `acc = Σ deltas`, consolidated. */
+  final class State(init: ZSetFrame) {
+    var acc: ZSetFrame = init.consolidate.localCheckpoint()
+    def update(delta: ZSetFrame): Unit =
+      acc = (acc + delta).consolidate.localCheckpoint()
+  }
+
+  def emptyLike(z: ZSetFrame): ZSetFrame =
+    ZSetFrame.fromDelta(z.df.where(lit(false)))
+
+  /** Incremental bilinear join: Δ(A⋈B) = ΔA ⋈ B_old + A_new ⋈ ΔB
+    * (reference: operator/join.rs:128,180). `aNew` must already include ΔA. */
+  def joinDelta(dA: ZSetFrame, bOld: ZSetFrame, aNew: ZSetFrame, dB: ZSetFrame,
+                keys: Seq[String]): ZSetFrame =
+    dA.join(bOld, keys) + aNew.join(dB, keys)
+
+  /** Incremental distinct: δ = distinct(A_new) − distinct(A_old)
+    * (reference: operator/distinct.rs:64 root-scope fast path). */
+  def distinctDelta(aOld: ZSetFrame, aNew: ZSetFrame): ZSetFrame =
+    aNew.distinctZ - aOld.distinctZ
+
+  /** Incremental linear aggregate (SUM/COUNT family): the output delta is
+    * just the linear aggregate of the input delta — O(|Δ|) with no state
+    * (reference: aggregate/mod.rs:253 aggregate_linear / weigh). The running
+    * sum of emitted (key, partial) rows consolidates to the true aggregate:
+    * weigh folds f(row) into the Z-set weight, so consolidate's weight-sum
+    * IS the group sum. */
+  def linearAggDelta(delta: ZSetFrame, keyCols: Seq[Column], f: Column): ZSetFrame =
+    delta.weigh(f).select(keyCols: _*)
+
+  /** Incremental general aggregate (min/max/argmax...): re-aggregate only
+    * the keys touched by the delta, retracting their previous output rows
+    * (reference: aggregate/mod.rs:204-244 — same touched-key strategy over
+    * the integrated trace). `agg` maps a (positive-multiset) ZSetFrame of
+    * rows to one output row per key. */
+  def generalAggDelta(delta: ZSetFrame, aOld: ZSetFrame, aNew: ZSetFrame,
+                      keys: Seq[String])(agg: ZSetFrame => ZSetFrame): ZSetFrame = {
+    val touched = ZSetFrame.fromTable(
+      delta.df.select(keys.map(col): _*).distinct())
+    val oldOut = agg(aOld.semiJoin(touched, keys))
+    val newOut = agg(aNew.semiJoin(touched, keys))
+    newOut - oldOut
+  }
+}

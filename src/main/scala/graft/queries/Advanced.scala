@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Tables, ZSetFrame}
+import graft.incremental.Incremental
+import graft.operators.{Recursive, Upsert}
+
+/** Recursion, upsert ingestion, and step-loop incremental evaluation —
+  * surfaced as oracle-checked queries: each incremental query feeds delta
+  * batches (including retractions) through the delta rules and its
+  * consolidated output must equal the batch SQL the oracle runs. This is the
+  * reference's `incremental(op) ≡ batch(op)` law under the driver's gate
+  * (reference: crates/dbsp/src/circuit/dbsp_handle.rs:87-94 step loop). */
+object Advanced extends QueryModule {
+  import Num._
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Three delta batches with a retraction in the middle; net = whole table.
+    * step0 = {m0, m1}+, step1 = {m1}−, step2 = {m1, m2}+. */
+  private def deltas3(df: DataFrame, modCol: String): Seq[ZSetFrame] = {
+    val m = pmod(col(modCol), lit(3L))
+    Seq(
+      ZSetFrame.fromTable(df.where(m === 0 || m === 1)),
+      ZSetFrame.fromDelta(df.where(m === 1).withColumn(ZSetFrame.W, lit(-1L))),
+      ZSetFrame.fromTable(df.where(m === 1 || m === 2)))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // recursive transitive closure via semi-naive fixpoint (DQ24;
+    // reference recursive.rs:255 / benches/path.rs)
+    "q27_closure" -> ((s, dir) => {
+      val edges = t(s, dir, "customer").where(col("c_custkey") >= 2)
+        .select(col("c_custkey").as("src"), expr("c_custkey div 2").as("dst"))
+        .localCheckpoint(true)
+      Recursive.fixpoint(edges) { delta =>
+        val d = delta.select(col("src").as("tc_src"), col("dst").as("tc_dst"))
+        d.join(edges, d("tc_dst") === edges("src"))
+          .select(col("tc_src").as("src"), edges("dst").as("dst"))
+      }
+    }),
+
+    // upsert/CDC snapshot: last write wins, 'error' = tombstone (DQ25;
+    // reference operator/input.rs:214-223 semantics table)
+    "q28_upsert" -> ((s, dir) => {
+      Upsert.lastWriteWins(t(s, dir, "events"), Seq("user_id"),
+        Seq(col("ts"), col("event_id")), col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), col("value"),
+          epochMs(col("ts")).as("ts_ms"))
+    }),
+
+    // incremental LINEAR aggregate over 3 delta steps with retraction:
+    // count + sum per group via weigh → consolidate (aggregate/mod.rs:253)
+    "q29_inc_linear_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_returnflag", "l_orderkey", "l_quantity")
+      val ds = deltas3(li, "l_orderkey")
+      val cnt = new Incremental.State(Incremental.emptyLike(
+        ds.head.select(col("l_returnflag"))))
+      val qty = new Incremental.State(Incremental.emptyLike(
+        ds.head.select(col("l_returnflag"))))
+      ds.foreach { d =>
+        cnt.update(Incremental.linearAggDelta(d, Seq(col("l_returnflag")), lit(1L)))
+        qty.update(Incremental.linearAggDelta(d, Seq(col("l_returnflag")),
+          col("l_quantity").cast("long")))
+      }
+      val c = cnt.acc.df.select(col("l_returnflag"), col(ZSetFrame.W).as("n"))
+      val q = qty.acc.df.select(col("l_returnflag").as("rf2"), col(ZSetFrame.W).as("sum_qty"))
+      c.join(q, c("l_returnflag") === q("rf2")).select("l_returnflag", "n", "sum_qty")
+    }),
+
+    // incremental bilinear JOIN: ΔA⋈B_old + A_new⋈ΔB accumulated over
+    // 2×2 delta steps (operator/join.rs:128)
+    "q30_inc_join" -> ((s, dir) => {
+      val a = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"), col("o_orderkey"))
+      val b = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      def halves(df: DataFrame) = Seq(
+        ZSetFrame.fromTable(df.where(pmod(col("c_custkey"), lit(2L)) === 0)),
+        ZSetFrame.fromTable(df.where(pmod(col("c_custkey"), lit(2L)) === 1)))
+      val (da, db) = (halves(a), halves(b))
+      val aSt = new Incremental.State(Incremental.emptyLike(da.head))
+      val bSt = new Incremental.State(Incremental.emptyLike(db.head))
+      val out = new Incremental.State(Incremental.emptyLike(
+        da.head.join(db.head, Seq("c_custkey"))))
+      da.zip(db).foreach { case (dA, dB) =>
+        val bOld = bSt.acc
+        aSt.update(dA)
+        val d = Incremental.joinDelta(dA, bOld, aSt.acc, dB, Seq("c_custkey"))
+        bSt.update(dB)
+        out.update(d)
+      }
+      out.acc.toDF.select("c_custkey", "o_orderkey", "c_name")
+    }),
+
+    // incremental DISTINCT with over-insertion and retraction below zero
+    // (operator/distinct.rs:64: weight>0 → 1, else drop)
+    "q31_inc_distinct" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey").as("k"))
+      val ds = Seq(
+        ZSetFrame.fromTable(o),
+        ZSetFrame.fromTable(o.where(pmod(col("k"), lit(2L)) === 0)),
+        ZSetFrame.fromDelta(o.where(pmod(col("k"), lit(5L)) === 1)
+          .withColumn(ZSetFrame.W, lit(-2L))))
+      val in = new Incremental.State(Incremental.emptyLike(ds.head))
+      val out = new Incremental.State(Incremental.emptyLike(ds.head))
+      ds.foreach { d =>
+        val aOld = in.acc
+        in.update(d)
+        out.update(Incremental.distinctDelta(aOld, in.acc))
+      }
+      out.acc.toDF
+    }),
+
+    // incremental GENERAL aggregate (max): touched-key recompute with
+    // retraction of previous output rows (aggregate/mod.rs:204-244)
+    "q32_inc_max" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+      val ds = Seq(
+        ZSetFrame.fromTable(o),
+        ZSetFrame.fromDelta(o.where(pmod(col("o_orderkey"), lit(7L)) === 0)
+          .withColumn(ZSetFrame.W, lit(-1L))))
+      val in = new Incremental.State(Incremental.emptyLike(ds.head))
+      val out = new Incremental.State(ZSetFrame.fromDelta(
+        o.where(lit(false)).select(col("o_custkey"), col("o_totalprice").as("max_price"))
+          .withColumn(ZSetFrame.W, lit(1L))))
+      def aggFn(z: ZSetFrame): ZSetFrame =
+        z.aggregate(Seq(col("o_custkey")), expandWeights = false,
+          max(col("o_totalprice")).as("max_price"))
+      ds.foreach { d =>
+        val aOld = in.acc
+        in.update(d)
+        out.update(Incremental.generalAggDelta(d, aOld, in.acc, Seq("o_custkey"))(aggFn))
+      }
+      out.acc.toDF.select("o_custkey", "max_price")
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q27_closure" ->
+      """WITH RECURSIVE e AS (SELECT c_custkey AS src, c_custkey // 2 AS dst
+                              FROM customer WHERE c_custkey >= 2),
+           tc AS (SELECT src, dst FROM e
+                  UNION
+                  SELECT tc.src, e.dst FROM tc JOIN e ON tc.dst = e.src)
+         SELECT src, dst FROM tc""",
+    "q28_upsert" ->
+      """SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms FROM events
+         QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+           AND event_type <> 'error'""",
+    "q29_inc_linear_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM lineitem GROUP BY 1""",
+    "q30_inc_join" ->
+      """SELECT o.o_custkey AS c_custkey, o.o_orderkey, c.c_name
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
+    "q31_inc_distinct" ->
+      """SELECT DISTINCT o_custkey AS k FROM orders
+         WHERE 1 + CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END
+                 - 2 * CASE WHEN o_custkey % 5 = 1 THEN 1 ELSE 0 END > 0""",
+    "q32_inc_max" ->
+      """SELECT o_custkey, max(o_totalprice) AS max_price FROM orders
+         WHERE o_orderkey % 7 <> 0 GROUP BY 1"""
+  )
+}
