@@ -13,7 +13,9 @@ object SparkEntry {
     Relational,
     Analytics,
     TextAnalysis,
-    Advanced
+    Advanced,
+    Dedup,
+    Multimodal
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

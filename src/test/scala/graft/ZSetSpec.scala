@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.ZSetFrame
+
+/** Z-set algebra laws (reference: algebra/zset/mod.rs doc invariants). */
+class ZSetSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def z(rows: (Long, String, Long)*): ZSetFrame =
+    ZSetFrame.fromDelta(rows.toSeq.toDF("k", "v", ZSetFrame.W))
+
+  test("plus/neg/minus: a - a consolidates to zero") {
+    val a = z((1, "x", 1), (2, "y", 2))
+    assert((a - a).isZero)
+    assert((a + (-a)).isZero)
+  }
+
+  test("consolidate merges duplicates and drops zero weights") {
+    val a = z((1, "x", 1), (1, "x", 2), (2, "y", 1), (2, "y", -1))
+    val got = a.consolidate.df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "x", 3L)))
+  }
+
+  test("distinctZ: weight>0 → 1, non-positive dropped") {
+    val a = z((1, "x", 5), (2, "y", -3), (3, "z", 1), (3, "z", -1))
+    val got = a.distinctZ.df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L)))
+  }
+
+  test("join multiplies weights") {
+    val a = z((1, "a", 2), (2, "b", 3))
+    val b = ZSetFrame.fromDelta(Seq((1L, "L", 5L), (2L, "M", -1L)).toDF("k", "r", ZSetFrame.W))
+    val got = a.join(b, Seq("k")).df
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long](ZSetFrame.W))).toSet
+    assert(got == Set((1L, 10L), (2L, -3L)))
+  }
+
+  test("weigh folds values into weights; consolidate sums them (linear agg)") {
+    val a = z((1, "x", 1), (1, "y", 1), (2, "x", 3))
+    // sum of k per group via weigh(k): group x → 1+6=7? (k=1 w=1, k=2 w=3 → 1*1+2*3)
+    val got = a.weigh(col("k")).select(col("v")).consolidate.df
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("x" -> 7L, "y" -> 1L))
+  }
+}
