@@ -15,7 +15,8 @@ object SparkEntry {
     TextAnalysis,
     Advanced,
     Dedup,
-    Multimodal
+    Multimodal,
+    StreamingQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** An upsert command: `delete=true` removes the key (tombstone);
+  * otherwise sets key → value. Mirrors the reference's map-input semantics
+  * (reference: operator/input.rs:214-223 semantics table). */
+case class UpsertCmd(key: Long, value: Double, seq: Long, delete: Boolean)
+
+/** A Z-set delta row emitted by stateful streaming ops: weight −1 retracts
+  * the previous value, +1 asserts the new one (reference: operator/upsert.rs:37). */
+case class KvDelta(key: Long, value: Double, weight: Long)
+
+/** Structured-Streaming renditions of the reference's streaming operators.
+  * Micro-batch == circuit step: each trigger consumes one input delta batch
+  * and emits the corresponding output delta/update — the same contract the
+  * batch step-loop (graft.incremental) verifies deterministically.
+  *
+  * Scale: every op is keyed; state lives in the state store (RocksDB
+  * provider in production) partitioned by the grouping key, and watermarks
+  * bound state exactly like the reference's TraceBound lateness GC
+  * (reference: operator/trace.rs:46-56). */
+object StreamOps {
+
+  /** Tumbling-window aggregate with watermark-driven state GC
+    * (reference: time_series/window.rs:75 + watermark.rs:33). Append mode:
+    * a window's row is emitted once the watermark passes its end. */
+  def tumblingCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     width: String, lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), width), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col(s"window.start").as("wstart"), col(keyCol),
+        col("n"), col("sum_value"))
+
+  /** Per-key streaming distinct: emit a key's row only on first sight
+    * (reference: operator/distinct.rs streaming path). */
+  def streamingDistinct(events: DataFrame, cols: Seq[String]): DataFrame =
+    events.dropDuplicates(cols)
+
+  /** Upsert command stream → Z-set delta stream: for each key, the last
+    * command per micro-batch wins; emits −old/+new only on real transitions
+    * (no-op upserts and deletes of absent keys emit nothing) — exactly the
+    * reference's upsert operator (operator/upsert.rs:21-60). */
+  def upsertDeltas(cmds: Dataset[UpsertCmd]): Dataset[KvDelta] = {
+    import cmds.sparkSession.implicits._
+    cmds.groupByKey(_.key)
+      .flatMapGroupsWithState[Option[Double], KvDelta](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, batch: Iterator[UpsertCmd], state: GroupState[Option[Double]]) =>
+          val last = batch.toSeq.maxBy(_.seq) // last write per key per step wins
+          val old: Option[Double] = state.getOption.flatten
+          val next: Option[Double] = if (last.delete) None else Some(last.value)
+          state.update(next)
+          (old, next) match {
+            case (None, None) => Iterator.empty
+            case (Some(o), Some(n)) if o == n => Iterator.empty
+            case (o, n) =>
+              o.map(KvDelta(key, _, -1L)).iterator ++
+                n.map(KvDelta(key, _, +1L)).iterator
+          }
+      }
+  }
+
+  /** Running fold per key (reference: operator/stream_fold.rs:21):
+    * emits the updated accumulator every step. */
+  def runningSum(events: Dataset[(Long, Double)]): Dataset[(Long, Double)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[Double, (Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, batch: Iterator[(Long, Double)], state: GroupState[Double]) =>
+          val acc = state.getOption.getOrElse(0.0) + batch.map(_._2).sum
+          state.update(acc)
+          Iterator((key, acc))
+      }
+  }
+
+  /** Drive a streaming query from a memory sink to completion (test/dev
+    * harness; production uses writeStream to kafka/parquet sinks). */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+                  mode: OutputMode = OutputMode.Append): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.{KvDelta, StreamOps, UpsertCmd}
+
+/** Streaming ≡ batch: drive micro-batches through MemoryStream and compare
+  * against the batch computation over the accumulated input — the same law
+  * the reference's nexmark rstest suites assert per step. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsert delta stream: consolidated deltas == last-write-wins snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[UpsertCmd]
+    val deltas = StreamOps.upsertDeltas(in.toDS())
+    val q = deltas.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("upsert_out").start()
+    // step 1: set k1=1.0, k2=2.0 (k2 twice — last write in batch wins)
+    in.addData(UpsertCmd(1, 1.0, 1, delete = false), UpsertCmd(2, 9.0, 2, delete = false),
+      UpsertCmd(2, 2.0, 3, delete = false))
+    q.processAllAvailable()
+    // step 2: overwrite k1, delete k2, no-op delete of absent k3
+    in.addData(UpsertCmd(1, 5.0, 4, delete = false), UpsertCmd(2, 0.0, 5, delete = true),
+      UpsertCmd(3, 0.0, 6, delete = true))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("upsert_out").as[KvDelta].collect().toSeq
+    // consolidate: sum weights per (key, value)
+    val net = out.groupBy(d => (d.key, d.value)).view
+      .mapValues(_.map(_.weight).sum).filter(_._2 != 0L).toMap
+    assert(net == Map((1L, 5.0) -> 1L)) // k1=5.0 live; k2 deleted; k3 never existed
+    // and no spurious intermediate emissions beyond the transition protocol
+    assert(out.size == 5) // +1.0, +2.0 | -1.0, +5.0, -2.0
+  }
+
+  test("streaming tumbling counts == batch group-by over accumulated input") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val events = in.toDF().toDF("ts", "user_id", "value")
+    val agg = StreamOps.tumblingCounts(events, "ts", "user_id", "10 minutes", "0 seconds")
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("tumble_out").start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    in.addData((ts(1), 1L, 10.0), (ts(2), 1L, 5.0), (ts(11), 2L, 7.0))
+    q.processAllAvailable()
+    in.addData((ts(25), 1L, 1.0), (ts(59), 9L, 2.0)) // advances watermark past w0/w1
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("tumble_out")
+      .select(unix_timestamp(col("wstart")).as("w"), col("user_id"), col("n"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
+    // windows closed by the watermark: [00:00,00:10) user1, [00:10,00:20) user2
+    assert(got.contains((base, 1L, 2L, 15.0)))
+    assert(got.contains((base + 600, 2L, 1L, 7.0)))
+  }
+
+  test("running fold emits updated accumulator per step") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val q = StreamOps.runningSum(in.toDS()).writeStream
+      .outputMode(OutputMode.Append).format("memory").queryName("fold_out").start()
+    in.addData((1L, 1.0), (1L, 2.0), (2L, 10.0))
+    q.processAllAvailable()
+    in.addData((1L, 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("fold_out").as[(Long, Double)].collect().toSet
+    assert(rows == Set((1L, 3.0), (2L, 10.0), (1L, 7.0)))
+  }
+}
