@@ -27,6 +27,11 @@ object Incremental {
   def emptyLike(z: ZSetFrame): ZSetFrame =
     ZSetFrame.fromDelta(z.df.where(lit(false)))
 
+  /** Differentiate: x(t) − x(t−1) — recover the delta between two snapshots
+    * at an ingestion boundary (reference: operator/differentiate.rs:24). */
+  def differentiate(prev: ZSetFrame, curr: ZSetFrame): ZSetFrame =
+    (curr - prev).consolidate
+
   /** Incremental bilinear join: Δ(A⋈B) = ΔA ⋈ B_old + A_new ⋈ ΔB
     * (reference: operator/join.rs:128,180). `aNew` must already include ΔA. */
   def joinDelta(dA: ZSetFrame, bOld: ZSetFrame, aNew: ZSetFrame, dB: ZSetFrame,
