@@ -91,8 +91,10 @@ object Dedup extends QueryModule {
       val bucket = planes.zipWithIndex.map { case (p, i) =>
         when(dotd(e, typedLit(p)) > 0.0, lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
-      val v = t(s, dir, "embeddings").select(col("vec_id"), e.as("e"), bucket.as("bucket"))
-        .withColumn("nrm", sqrt(dotd(col("e"), col("e"))))
+      val dotN = (x: Column, y: Column) => graft.functions.VectorFunctions.dotF(x, y)
+      val v = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("e"), bucket.as("bucket"))
+        .withColumn("nrm", sqrt(dotN(col("e"), col("e"))))
       val probes = typedLit(0L +: (0 until nPlanes).map(1L << _)) // self + 1-bit flips
       val q = v.where(col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
@@ -100,7 +102,7 @@ object Dedup extends QueryModule {
       val c = v.select(col("vec_id").as("nid"), col("e").as("ce"), col("nrm").as("cn"), col("bucket"))
       val sims = q.join(c, Seq("bucket")).where(col("qid") =!= col("nid"))
         .select(col("qid"), col("nid"),
-          (dotd(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
+          (dotN(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
       val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
       sims.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
         .select("qid", "nid", "sim")

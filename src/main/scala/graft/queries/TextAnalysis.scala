@@ -105,29 +105,31 @@ object TextAnalysis extends QueryModule {
     // n-gram Jaccard near-dup pairs: shingle-explode → self-join on shingle
     // → intersection counts → |A∩B| / (|A|+|B|−|A∩B|) ≥ 0.5
     "d02_jaccard_pairs" -> ((s, dir) => {
+      // set size rides along with each exploded shingle, so the plan is a
+      // single self-join + one aggregation (no per-doc size re-aggregation)
       val sh = t(s, dir, "documents")
-        .select(col("doc_id"), explode(shingles(col("text"))).as("g"))
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val a = sh.as("a"); val b = sh.as("b")
-      val inter = a.join(b, col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .select(col("doc_id"), shingles(col("text")).as("arr"))
+        .select(col("doc_id"), size(col("arr")).as("sz"), explode(col("arr")).as("g"))
+      // shuffle-hash, never broadcast: the exploded shingle side is |docs|×
+      // |shingles| — tiny here but unboundedly large at 100 TB, and a
+      // broadcast build of a generated side is single-threaded
+      val inter = sh.as("a").join(sh.hint("shuffle_hash").as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          col("a.sz").as("sz1"), col("b.sz").as("sz2"))
         .agg(count(lit(1)).as("inter"))
-      val jac = col("inter").cast("double") /
-        (col("s1.sz") + col("s2.sz") - col("inter"))
-      inter
-        .join(sz.as("s1"), col("d1") === col("s1.doc_id"))
-        .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
-        .where(jac >= 0.5)
-        .select(col("d1"), col("d2"), jac.as("jac"))
+      val jac = col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter"))
+      inter.where(jac >= 0.5).select(col("d1"), col("d2"), jac.as("jac"))
     }),
 
     // brute-force cosine top-3 neighbors for query vectors (vec_id < 100) —
-    // the exact baseline; d06 (LSH-bucketed) is the 100 TB path
+    // the exact baseline; d06 (LSH-bucketed) is the 100 TB path. Dot products
+    // use the native codegen'd FloatDotProduct expression (same sequential
+    // double accumulation as the DuckDB oracle — bit-identical results).
     "d05_cosine_topk" -> ((s, dir) => {
-      val dotd = (x: Column, y: Column) =>
-        aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, v) => acc + v)
+      val dotd = (x: Column, y: Column) => graft.functions.VectorFunctions.dotF(x, y)
       val v = t(s, dir, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+        .select(col("vec_id"), col("embedding").as("e"))
       val n = v.select(col("vec_id"), col("e"), sqrt(dotd(col("e"), col("e"))).as("nrm"))
       val q = n.where(col("vec_id") < 100)
         .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))

@@ -52,6 +52,19 @@ class OperatorSpec extends SparkSpec {
     assertSameRows((prev + d).consolidate.df, curr.consolidate.df)
   }
 
+  test("FloatDotProduct native expression == HOF fold, through codegen") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val hof = emb.select(col("vec_id"),
+      aggregate(zip_with(
+        transform(col("embedding"), _.cast("double")),
+        transform(col("embedding"), _.cast("double")),
+        (u, v) => u * v), lit(0.0), (acc, v) => acc + v).as("d"))
+    val native = emb.select(col("vec_id"),
+      graft.functions.VectorFunctions.dotF(col("embedding"), col("embedding")).as("d"))
+    assertSameRows(native, hof) // bit-identical, not just approximate
+  }
+
   test("geo: ST_DISTANCE haversine matches known city distance") {
     val df = Seq((2.3522, 48.8566, -0.1276, 51.5072)).toDF("lon1", "lat1", "lon2", "lat2")
     val km = df.select(Geo.stDistance(
