@@ -113,6 +113,39 @@ object Advanced extends QueryModule {
       out.acc.toDF
     }),
 
+    // incremental PARTITIONED ROLLING aggregate with OUT-OF-ORDER input:
+    // the second delta carries events with earlier timestamps than already-
+    // processed ones, so previously emitted window rows must be retracted
+    // and corrected — the reference's radix-tree rolling aggregate semantics
+    // (time_series/rolling_aggregate.rs:119-143,235) re-expressed as
+    // touched-partition recompute + output diff. Consolidated output must
+    // equal the batch OVER window.
+    "q36_inc_rolling" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("user_id"), epochMs(col("ts")).as("ts_ms"), col("value"))
+      val ds = Seq( // step1's rows interleave in time with step0's → out of order
+        ZSetFrame.fromTable(ev.where(pmod(col("event_id"), lit(3L)) =!= 0)),
+        ZSetFrame.fromTable(ev.where(pmod(col("event_id"), lit(3L)) === 0)))
+      def aggFn(z: ZSetFrame): ZSetFrame = {
+        val w = Window.partitionBy("user_id").orderBy(col("ts_ms"))
+          .rangeBetween(-3600000L, 0L)
+        ZSetFrame.fromTable(z.toDF
+          .withColumn("n_1h", count(lit(1)).over(w))
+          .withColumn("sum_1h", sum(col("value").cast(DecimalType(18, 4))).over(w).cast("double"))
+          .select("event_id", "user_id", "n_1h", "sum_1h"))
+      }
+      val in = new Incremental.State(Incremental.emptyLike(ds.head))
+      val out = new Incremental.State(Incremental.emptyLike(aggFn(ds.head)))
+      ds.foreach { d =>
+        val old = in.acc
+        in.update(d)
+        out.update(Incremental.generalAggDelta(d, old, in.acc, Seq("user_id"))(aggFn))
+      }
+      out.acc.toDF.select("event_id", "user_id", "n_1h", "sum_1h")
+    }),
+
     // incremental GENERAL aggregate (max): touched-key recompute with
     // retraction of previous output rows (aggregate/mod.rs:204-244)
     "q32_inc_max" -> ((s, dir) => {
@@ -162,6 +195,13 @@ object Advanced extends QueryModule {
                  - 2 * CASE WHEN o_custkey % 5 = 1 THEN 1 ELSE 0 END > 0""",
     "q32_inc_max" ->
       """SELECT o_custkey, max(o_totalprice) AS max_price FROM orders
-         WHERE o_orderkey % 7 <> 0 GROUP BY 1"""
+         WHERE o_orderkey % 7 <> 0 GROUP BY 1""",
+    "q36_inc_rolling" ->
+      """SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                      RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)"""
   )
 }

@@ -178,6 +178,22 @@ object Analytics extends QueryModule {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // hopping (sliding) window counts: width 1h, slide 15m — each event
+    // lands in 4 windows (reference nexmark q5 hop; window.rs HOP).
+    // Spark's window(ts, "1 hour", "15 minutes") emits the same assignment;
+    // expressed via explicit hop arithmetic for exact oracle parity.
+    "q35_hop_count" -> ((s, dir) => {
+      val slide = 900000L; val width = 3600000L
+      val ms = epochMs(col("ts"))
+      val firstHop = (ms - pmod(ms, lit(slide))) - lit(width - slide)
+      val hops = transform(sequence(lit(0), lit(width / slide - 1)),
+        i => firstHop + i * lit(slide))
+      t(s, dir, "events")
+        .select(col("user_id"), col("value"), explode(hops).as("wstart"))
+        .groupBy("wstart")
+        .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // ranking window suite: rank / dense_rank / lag / lead (SURVEY §2.6)
     "q26_rank_suite" -> ((s, dir) => {
       val byPrice = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -273,6 +289,14 @@ object Analytics extends QueryModule {
     "q25_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n, ${oSum("l_quantity")} AS sum_qty
           FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q35_hop_count" ->
+      """WITH h AS (
+           SELECT user_id,
+             unnest(list_transform(range(4),
+               i -> (epoch_ms(ts) - epoch_ms(ts) % 900000) - 2700000 + i * 900000)) AS wstart
+           FROM events)
+         SELECT wstart, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+         FROM h GROUP BY 1""",
     "q26_rank_suite" ->
       """SELECT o_custkey, o_orderkey,
            rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk,

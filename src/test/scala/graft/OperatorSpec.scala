@@ -52,6 +52,16 @@ class OperatorSpec extends SparkSpec {
     assertSameRows((prev + d).consolidate.df, curr.consolidate.df)
   }
 
+  test("salted join == plain join (skew-mitigation path)") {
+    val big = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val small = spark.read.parquet(s"$sf0001/part.parquet")
+      .select("p_partkey", "p_brand").withColumnRenamed("p_partkey", "l_partkey")
+    val plain = big.join(small, Seq("l_partkey"))
+    val salted = graft.operators.SkewJoin.saltedJoin(big, small, Seq("l_partkey"), 8)
+    assertSameRows(plain, salted.select(plain.columns.map(col): _*))
+  }
+
   test("FloatDotProduct native expression == HOF fold, through codegen") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
