@@ -28,7 +28,10 @@ object Analytics extends QueryModule {
         month(col("o_orderdate")).as("mo"),
         upper(substring(col("o_orderpriority"), 3, 100)).as("pri_name"),
         concat(col("o_orderstatus"), lit("-"), col("o_custkey").cast("string")).as("tag"),
-        (col("o_totalprice") * lit(0.9)).as("discounted"))
+        (col("o_totalprice") * lit(0.9)).as("discounted"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        (pmod(dayofweek(col("o_orderdate")) + lit(5), lit(7)) + 1).as("isodow"),
+        datediff(to_date(lit("2002-01-01")), to_date(col("o_orderdate"))).as("age_days"))
     }),
 
     // proc-time tumble count (nexmark q12): 10-minute windows per user
@@ -214,7 +217,10 @@ object Analytics extends QueryModule {
            year(o_orderdate) AS yr, month(o_orderdate) AS mo,
            upper(substr(o_orderpriority, 3)) AS pri_name,
            o_orderstatus || '-' || CAST(o_custkey AS VARCHAR) AS tag,
-           o_totalprice * 0.9 AS discounted
+           o_totalprice * 0.9 AS discounted,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           CAST(isodow(o_orderdate) AS INT) AS isodow,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS age_days
          FROM orders""",
     "q12_tumble_count" ->
       s"""SELECT user_id, epoch_ms(ts) - epoch_ms(ts) % 600000 AS wstart,

@@ -79,6 +79,22 @@ object StreamOps {
       }
   }
 
+  /** Drive a stream through the step-loop incremental operators: each
+    * micro-batch is one circuit step (reference: dbsp_handle.rs:87-94), the
+    * `step` callback applies the delta rules (graft.incremental) and updates
+    * operator state. This is the multi-stage-pipeline escape hatch SURVEY
+    * §7.3 calls out: Structured Streaming restricts chained stateful
+    * update-mode stages, so retraction-bearing pipelines compose inside
+    * foreachBatch instead, with exactly-once via the sink checkpoint. */
+  def incrementalPipeline(stream: DataFrame)
+                         (step: (DataFrame, Long) => Unit): Unit = {
+    val q = stream.writeStream
+      .foreachBatch((batch: DataFrame, id: Long) => step(batch, id))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Drive a streaming query from a memory sink to completion (test/dev
     * harness; production uses writeStream to kafka/parquet sinks). */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,

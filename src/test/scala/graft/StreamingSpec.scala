@@ -58,6 +58,35 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains((base + 600, 2L, 1L, 7.0)))
   }
 
+  test("foreachBatch incremental pipeline: join+agg over micro-batch deltas == batch") {
+    import graft.core.ZSetFrame
+    import graft.incremental.Incremental
+    // stage events as 3 files → 3 micro-batches (one circuit step each)
+    val src = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunks").toString
+    src.repartition(3).write.mode("overwrite").parquet(dir)
+    val dim = ZSetFrame.fromTable(
+      spark.read.parquet(s"$sf0001/customer.parquet")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment")))
+    // pipeline state: joined = events ⋈ dim (incremental), agg = count per segment
+    val evSt = new Incremental.State(ZSetFrame.fromTable(src.where(lit(false))))
+    val aggSt = new Incremental.State(Incremental.emptyLike(
+      dim.select(col("c_mktsegment"))))
+    val stream = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    graft.streaming.StreamOps.incrementalPipeline(stream) { (batch, _) =>
+      val d = ZSetFrame.fromTable(batch)
+      evSt.update(d)
+      val joinedDelta = d.join(dim, Seq("user_id")) // dim static: ΔA⋈B
+      aggSt.update(Incremental.linearAggDelta(joinedDelta, Seq(col("c_mktsegment")), lit(1L)))
+    }
+    val got = aggSt.acc.df.select(col("c_mktsegment"), col(ZSetFrame.W).as("n"))
+    val expect = src.join(dim.toDF, Seq("user_id"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    assertSameRows(got, expect)
+  }
+
   test("running fold emits updated accumulator per step") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Double)]
