@@ -12,9 +12,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // absorb JVM/session warmup (codegen, parquet footer reads) before timing
-    SparkEntry.queries.get("q01_project").foreach { fn =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    // absorb JVM/session warmup (codegen per expression family, parquet
+    // footer reads) before timing: one scan query, one HOF/text query,
+    // one vector query
+    Seq("q01_project", "t02_quality", "d06_ann_lsh").foreach { w =>
+      SparkEntry.queries.get(w).foreach { fn =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

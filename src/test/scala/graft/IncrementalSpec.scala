@@ -74,6 +74,38 @@ class IncrementalSpec extends SparkSpec {
     }
   }
 
+  test("incremental rolling aggregate ≡ batch OVER window under random out-of-order deltas") {
+    // FIXTURES.md §5 pattern: random (partition, ts, value) deltas with
+    // bounded out-of-orderness; invariant = accumulated incremental output
+    // equals brute-force window recompute (the *_slow oracle).
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- 1 to 2) {
+      val rnd = new scala.util.Random(seed + 400)
+      val all = Seq.tabulate(60) { i =>
+        (i.toLong, rnd.nextInt(3).toLong, rnd.nextInt(1000).toLong, rnd.nextInt(50).toLong)
+      } // (id, pk, ts, v)
+      // three deltas, randomly interleaved in time (not ts-ordered)
+      val shuffled = rnd.shuffle(all)
+      val chunks = shuffled.grouped(20).toSeq
+      def z(rows: Seq[(Long, Long, Long, Long)]) =
+        ZSetFrame.fromTable(rows.toDF("id", "pk", "ts", "v"))
+      def aggFn(zf: ZSetFrame): ZSetFrame = {
+        val w = Window.partitionBy("pk").orderBy(col("ts")).rangeBetween(-100L, 0L)
+        ZSetFrame.fromTable(zf.toDF
+          .withColumn("s", sum("v").over(w)).withColumn("c", count(lit(1)).over(w))
+          .select("id", "pk", "s", "c"))
+      }
+      val in = new Incremental.State(Incremental.emptyLike(z(chunks.head.take(1))))
+      val out = new Incremental.State(Incremental.emptyLike(aggFn(z(chunks.head.take(1)))))
+      chunks.foreach { c =>
+        val old = in.acc
+        in.update(z(c))
+        out.update(Incremental.generalAggDelta(z(c), old, in.acc, Seq("pk"))(aggFn))
+      }
+      assertSameRows(out.acc.consolidate.df, aggFn(in.acc).df)
+    }
+  }
+
   test("incremental general agg (max) ≡ batch max under retraction") {
     for (seed <- 1 to 3) {
       val rnd = new scala.util.Random(seed + 300)

@@ -75,6 +75,16 @@ class OperatorSpec extends SparkSpec {
     assertSameRows(native, hof) // bit-identical, not just approximate
   }
 
+  test("graft_dot is callable from SQL after registration") {
+    graft.functions.VectorFunctions.register(spark)
+    spark.read.parquet(s"$sf0001/embeddings.parquet").createOrReplaceTempView("emb")
+    val viaSql = spark.sql(
+      "SELECT vec_id, graft_dot(embedding, embedding) AS d FROM emb")
+    val viaApi = spark.table("emb").select(col("vec_id"),
+      graft.functions.VectorFunctions.dotF(col("embedding"), col("embedding")).as("d"))
+    assertSameRows(viaSql, viaApi)
+  }
+
   test("geo: ST_DISTANCE haversine matches known city distance") {
     val df = Seq((2.3522, 48.8566, -0.1276, 51.5072)).toDF("lon1", "lat1", "lon2", "lat2")
     val km = df.select(Geo.stDistance(
