@@ -31,13 +31,21 @@ object Recursive {
 
   def fixpoint(base: DataFrame, maxIter: Int = 1000)
               (step: DataFrame => DataFrame): DataFrame = {
-    var acc = materialize(base.distinct())
-    var delta = acc
+    // acc is a lazy union of per-iteration MATERIALIZED deltas: each union
+    // arm is an already-computed RDD, so re-scanning acc in except() costs
+    // only the scan, and no per-iteration re-materialization job is needed.
+    val first = materialize(base.distinct())
+    var deltas = List(first)
+    var acc = first
+    var delta = first
     var i = 0
     while (i < maxIter && !delta.isEmpty) {
       // semi-naive: derive only from the last delta, subtract known facts
       val derived = materialize(step(delta).distinct().except(acc))
-      if (!derived.isEmpty) acc = materialize(acc.union(derived))
+      if (!derived.isEmpty) {
+        deltas ::= derived
+        acc = deltas.reduce(_ union _)
+      }
       delta = derived
       i += 1
     }

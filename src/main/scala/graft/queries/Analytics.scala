@@ -197,6 +197,24 @@ object Analytics extends QueryModule {
         .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // sessionization: 10-min-gap sessions per user (beyond-reference; the
+    // batch twin of Spark's session_window). Session id = running count of
+    // gap-breaks; one window shuffle on the user key.
+    "q37_sessionize" -> ((s, dir) => {
+      val order = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+      val run = order.rowsBetween(Window.unboundedPreceding, 0)
+      t(s, dir, "events")
+        .withColumn("ts_ms", epochMs(col("ts")))
+        .withColumn("brk",
+          when(col("ts_ms") - lag(col("ts_ms"), 1).over(order) > 600000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum("brk").over(run))
+        .groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n_events"),
+          (max("ts_ms") - min("ts_ms")).as("duration_ms"),
+          min("ts_ms").as("session_start_ms"))
+    }),
+
     // ranking window suite: rank / dense_rank / lag / lead (SURVEY §2.6)
     "q26_rank_suite" -> ((s, dir) => {
       val byPrice = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -303,6 +321,19 @@ object Analytics extends QueryModule {
            FROM events)
          SELECT wstart, count(*) AS n_events, count(DISTINCT user_id) AS n_users
          FROM h GROUP BY 1""",
+    "q37_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+             CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 600000 THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+         s AS (
+           SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+           FROM g)
+         SELECT user_id, CAST(sid AS BIGINT) AS sid, count(*) AS n_events,
+           max(ts_ms) - min(ts_ms) AS duration_ms, min(ts_ms) AS session_start_ms
+         FROM s GROUP BY 1, 2""",
     "q26_rank_suite" ->
       """SELECT o_custkey, o_orderkey,
            rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk,

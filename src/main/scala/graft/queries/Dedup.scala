@@ -106,11 +106,29 @@ object Dedup extends QueryModule {
       val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
       sims.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
         .select("qid", "nid", "sim")
+    }),
+
+    // per-label embedding centroids (the IVF coarse-quantizer build step):
+    // positional explode + decimal-exact mean per (label, dim). One shuffle
+    // on (label, pos); at 100 TB this is the standard fan-out that AQE
+    // coalesces — no driver-side vectors.
+    "d07_label_centroids" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg((sum(col("v").cast("double").cast(DecimalType(18, 9))).cast("double")
+          / count(lit(1))).as("cval"))
     })
   )
 
   override def oracle: Map[String, String] = Map(
     // identical to the exact d02 result (LSH verified-candidates path)
-    "d03_minhash_lsh" -> TextAnalysis.oracle("d02_jaccard_pairs")
+    "d03_minhash_lsh" -> TextAnalysis.oracle("d02_jaccard_pairs"),
+    "d07_label_centroids" ->
+      """SELECT label, i AS pos,
+           CAST(SUM(CAST(CAST(embedding[i+1] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+             / COUNT(*) AS cval
+         FROM embeddings, range(64) t(i) GROUP BY 1, 2"""
   )
 }

@@ -53,7 +53,9 @@ object TextAnalysis extends QueryModule {
         col("doc_id"),
         length(col("text")).as("n_chars2"),
         size(toks(col("text"))).as("n_tokens"),
-        size(array_distinct(toks(col("text")))).as("n_uniq_tokens"))
+        size(array_distinct(toks(col("text")))).as("n_uniq_tokens"),
+        // BPE-ish estimate: count of ≤4-char alnum chunks (greedy regex)
+        regexp_count(col("text"), lit("[a-z0-9]{1,4}")).as("n_tokens_bpe"))
     }),
 
     // quality scoring: uniqueness + stopword density + length prior
@@ -166,7 +168,8 @@ object TextAnalysis extends QueryModule {
       "t01_tokens" ->
         """SELECT doc_id, length(text) AS n_chars2,
              len(string_split(text,' ')) AS n_tokens,
-             len(list_distinct(string_split(text,' '))) AS n_uniq_tokens
+             len(list_distinct(string_split(text,' '))) AS n_uniq_tokens,
+             CAST(len(regexp_extract_all(text, '[a-z0-9]{1,4}')) AS INT) AS n_tokens_bpe
            FROM documents""",
       "t02_quality" ->
         s"""SELECT doc_id,
