@@ -52,6 +52,26 @@ class OperatorSpec extends SparkSpec {
     assertSameRows((prev + d).consolidate.df, curr.consolidate.df)
   }
 
+  test("fixpoint handles multi-rule (Galen-style) recursion: alternating-color paths") {
+    // edges colored 0/1; derive nodes reachable from node 0 along paths that
+    // strictly alternate colors — two mutually recursive rules folded into
+    // one fixpoint over (node, expectedNextColor)
+    val edges = Seq((0L, 1L, 0L), (1L, 2L, 1L), (2L, 3L, 0L), (3L, 4L, 0L),
+      (1L, 5L, 0L), (5L, 6L, 1L), (0L, 7L, 1L), (7L, 8L, 0L))
+      .toDF("src", "dst", "c").localCheckpoint(true)
+    val base = Seq((0L, 0L), (0L, 1L)).toDF("node", "want") // start: either color
+    val reach = graft.operators.Recursive.fixpoint(base) { delta =>
+      delta.join(edges, delta("node") === edges("src") && delta("want") === edges("c"))
+        .select(edges("dst").as("node"), (lit(1L) - edges("c")).as("want"))
+    }
+    val nodes = reach.select("node").distinct().as[Long].collect().toSet
+    // 0→1(c0)→2(c1)→3(c0) then 3→4 is c0 again (not alternating): 4 excluded
+    // 0→1(c0)→5(c0)? no (needs c1 after c0 from 1... want flips) — check:
+    // from (1, want=1): edge 1→5 c0 rejected, 1→2 c1 accepted.
+    // 0→7(c1)→8(c0) accepted.
+    assert(nodes == Set(0L, 1L, 2L, 3L, 7L, 8L))
+  }
+
   test("salted join == plain join (skew-mitigation path)") {
     val big = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_quantity")
