@@ -113,6 +113,39 @@ object Advanced extends QueryModule {
       out.acc.toDF
     }),
 
+    // incremental ANTI-JOIN by delta-rule composition (reference
+    // operator/join.rs:298-320: A − A⋉distinct(B), each part incremental):
+    // Δout = ΔA − (ΔA⋈D_old + A_new⋈ΔD), ΔD = Δdistinct(B). Step 2 RETRACTS
+    // customers from B, which must RE-ADD their orders to the output.
+    "q40_inc_antijoin" -> ((s, dir) => {
+      val a = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"), col("o_orderkey"))
+      val bldg = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val furn = t(s, dir, "customer").where(col("c_mktsegment") === "FURNITURE")
+        .select("c_custkey")
+      val das = Seq(
+        ZSetFrame.fromTable(a.where(pmod(col("o_orderkey"), lit(2L)) === 0)),
+        ZSetFrame.fromTable(a.where(pmod(col("o_orderkey"), lit(2L)) === 1)))
+      val dbs = Seq(
+        ZSetFrame.fromTable(bldg.unionByName(furn)),
+        ZSetFrame.fromDelta(furn.withColumn(ZSetFrame.W, lit(-1L))))
+      val aSt = new Incremental.State(Incremental.emptyLike(das.head))
+      val bSt = new Incremental.State(Incremental.emptyLike(dbs.head))
+      val dSt = new Incremental.State(Incremental.emptyLike(dbs.head)) // distinct(B)
+      val out = new Incremental.State(Incremental.emptyLike(das.head))
+      das.zip(dbs).foreach { case (dA, dB) =>
+        val bOld = bSt.acc
+        bSt.update(dB)
+        val dD = Incremental.distinctDelta(bOld, bSt.acc)
+        val dOld = dSt.acc
+        dSt.update(dD)
+        aSt.update(dA)
+        val dSemi = Incremental.joinDelta(dA, dOld, aSt.acc, dD, Seq("c_custkey"))
+        out.update(dA - dSemi)
+      }
+      out.acc.toDF.select("c_custkey", "o_orderkey")
+    }),
+
     // incremental PARTITIONED ROLLING aggregate with OUT-OF-ORDER input:
     // the second delta carries events with earlier timestamps than already-
     // processed ones, so previously emitted window rows must be retracted
@@ -196,6 +229,10 @@ object Advanced extends QueryModule {
     "q32_inc_max" ->
       """SELECT o_custkey, max(o_totalprice) AS max_price FROM orders
          WHERE o_orderkey % 7 <> 0 GROUP BY 1""",
+    "q40_inc_antijoin" ->
+      """SELECT o_custkey AS c_custkey, o_orderkey FROM orders
+         WHERE o_custkey NOT IN
+           (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""",
     "q36_inc_rolling" ->
       """SELECT event_id, user_id,
            COUNT(*) OVER w AS n_1h,

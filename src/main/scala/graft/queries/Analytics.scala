@@ -197,6 +197,24 @@ object Analytics extends QueryModule {
         .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // CUBE grouping sets (SURVEY §2.5)
+    "q38_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // multiset set ops: INTERSECT ALL / EXCEPT ALL (SURVEY §2.3 — the
+    // Z-set-native forms: weights preserved, not collapsed)
+    "q39_setops_all" -> ((s, dir) => {
+      val a = t(s, dir, "orders").where(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("k"))
+      val b = t(s, dir, "orders").where(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"))
+      a.intersectAll(b).withColumn("tag", lit("i"))
+        .unionByName(a.exceptAll(b).withColumn("tag", lit("e")))
+    }),
+
     // sessionization: 10-min-gap sessions per user (beyond-reference; the
     // batch twin of Spark's session_window). Session id = running count of
     // gap-breaks; one window shuffle on the user key.
@@ -321,6 +339,15 @@ object Analytics extends QueryModule {
            FROM events)
          SELECT wstart, count(*) AS n_events, count(DISTINCT user_id) AS n_users
          FROM h GROUP BY 1""",
+    "q38_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n, ${oSum("l_quantity")} AS sum_qty
+          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "q39_setops_all" ->
+      """WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+            b AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+         SELECT k, 'i' AS tag FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) t1
+         UNION ALL
+         SELECT k, 'e' AS tag FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) t2""",
     "q37_sessionize" ->
       """WITH g AS (
            SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
