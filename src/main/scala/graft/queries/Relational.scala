@@ -58,7 +58,7 @@ object Relational extends QueryModule {
       val c = Tables.z(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
       val o = Tables.z(s, dir, "orders").where(col("o_orderstatus") === "O")
         .select(col("o_custkey").as("c_custkey"), col("o_orderkey"), col("o_totalprice"))
-      val joined = o.join(new_zb(c), Seq("c_custkey"))
+      val joined = o.join(broadcastZ(c), Seq("c_custkey"))
       joined.select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice")).toDF
     }),
 
@@ -134,7 +134,7 @@ object Relational extends QueryModule {
   )
 
   /** broadcast() a small ZSetFrame side. */
-  private def new_zb(z: ZSetFrame): ZSetFrame = ZSetFrame.fromDelta(broadcast(z.df))
+  private def broadcastZ(z: ZSetFrame): ZSetFrame = ZSetFrame.fromDelta(broadcast(z.df))
 
   override def oracle: Map[String, String] = Map(
     "q01_project" ->
