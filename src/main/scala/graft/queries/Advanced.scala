@@ -179,6 +179,32 @@ object Advanced extends QueryModule {
       out.acc.toDF.select("event_id", "user_id", "n_1h", "sum_1h")
     }),
 
+    // incremental TOP-N per key under retraction — beyond the reference
+    // engine (it can only keep rank 1 via Fold, q18.rs:47); our touched-key
+    // recompute handles arbitrary ranks: retracting a top row promotes the
+    // next one, retracting emitted output rows that left the top-3.
+    "q41_inc_topn" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events").select("event_id", "user_id", "value")
+      val ds = Seq(
+        ZSetFrame.fromTable(ev),
+        ZSetFrame.fromDelta(ev.where(pmod(col("event_id"), lit(11L)) === 0)
+          .withColumn(ZSetFrame.W, lit(-1L))))
+      def aggFn(z: ZSetFrame): ZSetFrame = {
+        val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+        ZSetFrame.fromTable(z.toDF.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3).select("user_id", "event_id", "value", "rn"))
+      }
+      val in = new Incremental.State(Incremental.emptyLike(ds.head))
+      val out = new Incremental.State(Incremental.emptyLike(aggFn(ds.head)))
+      ds.foreach { d =>
+        val old = in.acc
+        in.update(d)
+        out.update(Incremental.generalAggDelta(d, old, in.acc, Seq("user_id"))(aggFn))
+      }
+      out.acc.toDF.select("user_id", "event_id", "value", "rn")
+    }),
+
     // incremental GENERAL aggregate (max): touched-key recompute with
     // retraction of previous output rows (aggregate/mod.rs:204-244)
     "q32_inc_max" -> ((s, dir) => {
@@ -229,6 +255,11 @@ object Advanced extends QueryModule {
     "q32_inc_max" ->
       """SELECT o_custkey, max(o_totalprice) AS max_price FROM orders
          WHERE o_orderkey % 7 <> 0 GROUP BY 1""",
+    "q41_inc_topn" ->
+      """SELECT user_id, event_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+         FROM events WHERE event_id % 11 <> 0
+         QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) <= 3""",
     "q40_inc_antijoin" ->
       """SELECT o_custkey AS c_custkey, o_orderkey FROM orders
          WHERE o_custkey NOT IN
