@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -20,15 +21,30 @@ object Bench {
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
     }
+    val errors = scala.collection.mutable.Map[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        // record the failure: a throwing query must NOT read as a speedup
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
+    // O(Δ)-step-cost artifact: keyed (partitioned trace) step time must stay
+    // flat as state grows 10×; the naive full-scan state shows the growth
+    val stepBench = try StepBench.json(spark, 500000L, 6)
+      catch { case e: Throwable => s"""{"error":"${e.getClass.getName}"}""" }
+    // throughput artifact: rows/s on ≥10M generated rows per query family,
+    // comparable to BASELINE.md streaming events/s
+    val throughput = try Throughput.json(spark)
+      catch { case e: Throwable => s"""{"error":"${e.getClass.getName}"}""" }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"step_bench":$stepBench,"throughput":$throughput,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.ZSetFrame
+import graft.incremental.{Incremental, KeyedState}
+
+/** The O(Δ)-step-cost artifact: run the same incremental aggregate
+  * (max per key) through K small delta steps against (a) the key-partitioned
+  * KeyedState and (b) the naive full-scan State, at a base state size and at
+  * 10× that size. If step cost is O(Δ + touched buckets), keyed step time
+  * stays flat as state grows 10×; the naive path scales with |DB|.
+  * Emits one JSON object (consumed by Bench for BENCH_r{N}.json). */
+object StepBench {
+
+  private def seedRows(spark: SparkSession, n: Long, nKeys: Long): DataFrame =
+    spark.range(n).select(
+      pmod(col("id") * 2654435761L, lit(nKeys)).as("k"),
+      col("id").as("v"))
+
+  /** A small delta touching `keysTouched` specific keys: one insert and one
+    * retract row per key. */
+  private def smallDelta(spark: SparkSession, step: Int, keysTouched: Int,
+                         nKeys: Long): ZSetFrame = {
+    val rows = (0 until keysTouched).flatMap { i =>
+      val k = (step * 31L + i * 97L) % nKeys
+      Seq((k, step * 1000L + i, 1L), (k, (step - 1) * 1000L + i, -1L))
+    }
+    import spark.implicits._
+    ZSetFrame.fromDelta(rows.toDF("k", "v", ZSetFrame.W))
+  }
+
+  private def aggFn(z: ZSetFrame): ZSetFrame =
+    z.aggregate(Seq(col("k")), expandWeights = false, max(col("v")).as("mx"))
+
+  /** Returns per-step seconds (after the seed step). */
+  def runKeyed(spark: SparkSession, n: Long, nKeys: Long, steps: Int,
+               nBuckets: Int): Seq[Double] = {
+    import spark.implicits._
+    val empty = ZSetFrame.fromDelta(
+      Seq.empty[(Long, Long, Long)].toDF("k", "v", ZSetFrame.W))
+    val st = new KeyedState(Seq("k"), nBuckets, empty)
+    // output deltas are emitted (forced) per step — OutputHandle pattern;
+    // the consumer integrates them, so no O(|out|) accumulator scan here
+    st.aggStep(ZSetFrame.fromTable(seedRows(spark, n, nKeys)))(aggFn)
+      .df.localCheckpoint(true)
+    (1 to steps).map { i =>
+      val t0 = System.nanoTime()
+      st.aggStep(smallDelta(spark, i, 2, nKeys))(aggFn).df.localCheckpoint(true)
+      (System.nanoTime() - t0) / 1e9
+    }
+  }
+
+  def runNaive(spark: SparkSession, n: Long, nKeys: Long, steps: Int): Seq[Double] = {
+    import spark.implicits._
+    val empty = ZSetFrame.fromDelta(
+      Seq.empty[(Long, Long, Long)].toDF("k", "v", ZSetFrame.W))
+    val in = new Incremental.State(empty)
+    val out = new Incremental.State(Incremental.emptyLike(aggFn(empty)))
+    def step(d: ZSetFrame): Unit = {
+      val old = in.acc
+      in.update(d)
+      out.update(Incremental.generalAggDelta(d, old, in.acc, Seq("k"))(aggFn))
+    }
+    step(ZSetFrame.fromTable(seedRows(spark, n, nKeys)))
+    (1 to steps).map { i =>
+      val t0 = System.nanoTime()
+      step(smallDelta(spark, i, 2, nKeys))
+      (System.nanoTime() - t0) / 1e9
+    }
+  }
+
+  /** JSON fragment of per-step seconds. Median over steps (dropping the
+    * first post-seed step as warmup) — local-mode job scheduling noise is
+    * heavy-tailed and a mean over few steps swings run to run. */
+  def json(spark: SparkSession, base: Long, steps: Int): String = {
+    val nKeys = base / 50
+    def med(xs0: Seq[Double]): Double = {
+      val xs = (if (xs0.size > 2) xs0.drop(1) else xs0).sorted
+      xs(xs.size / 2)
+    }
+    // 256 buckets: bucket size (not bucket count) is what a step pays for,
+    // so more buckets = flatter growth; the extra empty tasks are noise
+    val kS = med(runKeyed(spark, base, nKeys, steps, 256))
+    val kL = med(runKeyed(spark, base * 10, nKeys * 10, steps, 256))
+    val nS = med(runNaive(spark, base, nKeys, steps))
+    val nL = med(runNaive(spark, base * 10, nKeys * 10, steps))
+    f"""{"state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"keyed_small_sec":$kS%.3f,"keyed_large_sec":$kL%.3f,"naive_small_sec":$nS%.3f,"naive_large_sec":$nL%.3f,"keyed_growth":${kL / kS}%.2f,"naive_growth":${nL / nS}%.2f}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = if (args.nonEmpty) args(0).toLong else 500000L
+    val steps = if (args.length > 1) args(1).toInt else 8
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println("[stepbench] " + json(spark, base, steps))
+    spark.stop()
+  }
+}

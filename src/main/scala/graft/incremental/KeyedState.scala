@@ -1,0 +1,121 @@
+package graft.incremental
+
+import org.apache.spark.rdd.{PartitionPruningRDD, RDD}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.core.ZSetFrame
+
+/** Key-partitioned incremental state — the "trace" of a stateful operator,
+  * sharded by the operator key so one delta step costs O(|Δ| + |touched
+  * buckets|) instead of O(|DB|). This is the Spark analog of the reference's
+  * per-shard trace lookup during incremental aggregation (reference:
+  * crates/dbsp/src/operator/aggregate/mod.rs:204-244 — only keys present in
+  * the delta are probed in the integrated trace; the trace itself is sharded
+  * by key hash, crates/dbsp/src/operator/communication/shard.rs).
+  *
+  * Representation: the state is a set of immutable "segments", each a
+  * localCheckpoint'ed DataFrame that was written with
+  * `repartition(nBuckets, keys)`. Spark's `HashPartitioning` puts a row in
+  * partition `pmod(murmur3hash(keys), nBuckets)` — the same value the SQL
+  * `hash()` function computes — so PHYSICAL partition i holds exactly
+  * logical bucket i (asserted by IncrementalSpec "bucket ids line up").
+  * Each logical bucket points at (segment, partition); reading a bucket is a
+  * `PartitionPruningRDD` over its segment — only that partition's
+  * materialized blocks are touched, nothing is recomputed or rescanned.
+  *
+  * A step consumes a delta: the delta's keys name the touched buckets; the
+  * old content of just those buckets is merged with the delta into ONE new
+  * segment (one Spark job over touched data only), and the touched buckets'
+  * pointers move to the new segment. Untouched buckets — the overwhelming
+  * majority of a large state under a small delta — are never read, shuffled,
+  * or rewritten.
+  *
+  * On a real cluster the same layout is a bucketed/partitioned state table
+  * (Delta-style) with dynamic partition overwrite of touched buckets; the
+  * in-memory segment structure here is the local[n] rendition.
+  */
+final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame) {
+  private val spark = init.spark
+  /** Canonical column order: data columns as declared by `init`, then weight. */
+  private val colsInOrder: Seq[String] = init.dataCols.toSeq :+ ZSetFrame.W
+  private val schema = init.df.select(colsInOrder.map(col): _*).schema
+
+  private def keyExprs: Seq[Column] = keys.map(col)
+
+  /** Logical bucket of a row — equals the physical partition id assigned by
+    * `repartition(nBuckets, keys)` (HashPartitioning.partitionIdExpression). */
+  def bucketId: Column = pmod(hash(keyExprs: _*), lit(nBuckets))
+
+  private final case class Segment(rdd: RDD[Row])
+
+  /** bucket -> (segment, partition-within-segment). */
+  private val bucketSeg = new Array[Segment](nBuckets)
+  private val bucketPart = new Array[Int](nBuckets)
+
+  { // seed segment: the (usually empty) initial state, bucketed
+    val seeded = materializeBucketed(init.consolidate)
+    var b = 0
+    while (b < nBuckets) { bucketSeg(b) = seeded; bucketPart(b) = b; b += 1 }
+  }
+
+  /** One job: shuffle into nBuckets partitions by key hash and pin in memory. */
+  private def materializeBucketed(z: ZSetFrame): Segment = {
+    val df = z.df.select(colsInOrder.map(col): _*)
+      .repartition(nBuckets, keyExprs: _*)
+      .localCheckpoint(true)
+    Segment(df.rdd)
+  }
+
+  /** DataFrame over exactly the given buckets — partition-pruned reads of
+    * their segments; no job is launched and no other bucket is scanned. */
+  private def bucketsDf(ids: Seq[Int]): DataFrame = {
+    if (ids.isEmpty) return spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    val bySeg = ids.groupBy(bucketSeg(_))
+    bySeg.map { case (seg, bs) =>
+      val parts = bs.map(bucketPart).toSet
+      spark.createDataFrame(PartitionPruningRDD.create(seg.rdd, parts), schema)
+    }.reduce(_ unionByName _)
+  }
+
+  /** The full state as a Z-set (final read-out; scans every bucket). */
+  def snapshot: ZSetFrame = ZSetFrame.fromDelta(bucketsDf(0 until nBuckets))
+
+  /** Merge a delta into the state, touching only the buckets its keys hash
+    * into. Returns (old content of touched buckets, new content of touched
+    * buckets) for delta-rule use — both are partition-pruned views, never
+    * full-state scans. */
+  def merge(delta: ZSetFrame, checkpointDelta: Boolean = true): (ZSetFrame, ZSetFrame) = {
+    // no pre-consolidation of the delta: the merged-segment consolidate
+    // below subsumes it; checkpoint only pins the delta so the touched-
+    // bucket scan and the merge don't recompute it. Callers whose delta is
+    // already materialized (or a trivial filter of materialized data) pass
+    // checkpointDelta=false to save the extra job.
+    val aligned = ZSetFrame.fromDelta(delta.df.select(colsInOrder.map(col): _*))
+    val d = if (checkpointDelta) aligned.localCheckpoint() else aligned
+    val touched = d.df.select(pmod(hash(keyExprs: _*), lit(nBuckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val oldTouched = ZSetFrame.fromDelta(bucketsDf(touched))
+    // consolidate BEFORE installing: state rows must stay physically unique
+    // (weight-merged) or count-style aggregates over the trace would see
+    // duplicate rows; the groupBy shuffles only touched data, never |DB|
+    val seg = materializeBucketed((oldTouched + d).consolidate)
+    touched.foreach { b => bucketSeg(b) = seg; bucketPart(b) = b }
+    val newTouched = ZSetFrame.fromDelta(bucketsDf(touched))
+    (oldTouched, newTouched)
+  }
+
+  /** One incremental GENERAL-aggregate step (min/max/top-n/argmax...):
+    * merge the delta, then re-aggregate ONLY the touched buckets, emitting
+    * -old/+new output rows (reference: aggregate/mod.rs:204-244). Per-step
+    * cost is O(|Δ| + |state of touched buckets|): both aggregates below run
+    * over partition-pruned bucket views, so untouched state is never
+    * scanned; output rows of co-bucketed but untouched keys are identical
+    * in both terms and cancel in the Z-set minus. */
+  def aggStep(delta: ZSetFrame, checkpointDelta: Boolean = true)
+             (agg: ZSetFrame => ZSetFrame): ZSetFrame = {
+    val (oldTouched, newTouched) = merge(delta, checkpointDelta)
+    agg(newTouched) - agg(oldTouched)
+  }
+}

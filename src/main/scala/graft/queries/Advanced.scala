@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Tables, ZSetFrame}
-import graft.incremental.Incremental
+import graft.incremental.{Incremental, KeyedState}
 import graft.operators.{Recursive, Upsert}
 
 /** Recursion, upsert ingestion, and step-loop incremental evaluation —
@@ -205,6 +205,42 @@ object Advanced extends QueryModule {
       out.acc.toDF.select("user_id", "event_id", "value", "rn")
     }),
 
+    // q42: KEY-PARTITIONED trace — the O(Δ) step-cost proof. 21 delta steps
+    // on the largest table (full insert, 10 single-key retractions, 10
+    // partial re-inserts) against a KeyedState bucketed by l_partkey: each
+    // step reads/rewrites only the buckets its keys hash into, never the
+    // full state (reference: aggregate/mod.rs:204-244 sharded trace probe,
+    // shard.rs key-hash sharding). Consolidated output == batch GROUP BY.
+    "q42_inc_keyed_agg" -> ((s, dir) => {
+      // pin the projected scan once: 21 delta constructions filter from
+      // memory instead of re-reading the parquet per step
+      val li = t(s, dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .localCheckpoint(true)
+      def aggFn(z: ZSetFrame): ZSetFrame =
+        z.aggregate(Seq(col("l_partkey")), expandWeights = false,
+          max(col("l_extendedprice")).as("max_price"),
+          count(lit(1)).as("n_items"),
+          min(col("l_quantity")).as("min_qty"))
+      val empty = ZSetFrame.fromTable(li.where(lit(false)))
+      val in = new KeyedState(Seq("l_partkey"), 32, empty)
+      val deltas: Seq[ZSetFrame] =
+        ZSetFrame.fromTable(li) +:
+          ((1 to 10).map(k => ZSetFrame.fromDelta(
+            li.where(col("l_partkey") === k * 17)
+              .withColumn(ZSetFrame.W, lit(-1L)))) ++
+           (1 to 10).map(k => ZSetFrame.fromTable(
+             li.where(col("l_partkey") === k * 17 && col("l_linenumber") === 1))))
+      // output deltas are the operator's emitted stream: each references
+      // partition-pruned views captured at its step (the OutputHandle
+      // pattern); the consumer integrates them once — per-step cost stays
+      // O(touched buckets), and the deltas aren't checkpointed because the
+      // step inputs are trivial filters over the pinned scan
+      val outDeltas = deltas.map(d => in.aggStep(d, checkpointDelta = false)(aggFn))
+      ZSetFrame.sumAll(outDeltas).consolidate
+        .toDF.select("l_partkey", "max_price", "n_items", "min_qty")
+    }),
+
     // incremental GENERAL aggregate (max): touched-key recompute with
     // retraction of previous output rows (aggregate/mod.rs:204-244)
     "q32_inc_max" -> ((s, dir) => {
@@ -255,6 +291,13 @@ object Advanced extends QueryModule {
     "q32_inc_max" ->
       """SELECT o_custkey, max(o_totalprice) AS max_price FROM orders
          WHERE o_orderkey % 7 <> 0 GROUP BY 1""",
+    "q42_inc_keyed_agg" ->
+      """SELECT l_partkey, max(l_extendedprice) AS max_price,
+           CAST(count(*) AS BIGINT) AS n_items, min(l_quantity) AS min_qty
+         FROM lineitem
+         WHERE NOT (l_partkey % 17 = 0 AND l_partkey BETWEEN 17 AND 170
+                    AND l_linenumber <> 1)
+         GROUP BY 1""",
     "q41_inc_topn" ->
       """SELECT user_id, event_id, value,
            row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.ZSetFrame
+import graft.incremental.{Incremental, KeyedState}
+
+/** Key-partitioned trace: correctness of the bucket layout and the
+  * incremental-agg law over it. */
+class KeyedStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucket ids line up with repartition partition ids") {
+    // the layout invariant KeyedState relies on: repartition(n, keys) puts a
+    // row in physical partition pmod(hash(keys), n) — HashPartitioning's
+    // partitionIdExpression is exactly Pmod(Murmur3Hash(keys), n), the same
+    // murmur3(seed 42) the SQL hash() function computes.
+    val n = 8
+    val df = (1L to 500L).toDF("k").withColumn("v", col("k") * 2)
+    val bucketed = df.repartition(n, col("k")).localCheckpoint(true)
+    assert(bucketed.rdd.getNumPartitions == n)
+    val got = bucketed.rdd.mapPartitionsWithIndex { (pid, it) =>
+      it.map(r => (r.getLong(0), pid))
+    }.collect().toMap
+    val want = df.select(col("k"), pmod(hash(col("k")), lit(n)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == want)
+  }
+
+  test("KeyedState snapshot ≡ naive State acc over random delta sequences") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed + 500)
+      def randomDelta(n: Int): ZSetFrame = {
+        val rows = Seq.fill(n) {
+          val w = { val x = rnd.nextInt(4) - 2; if (x >= 0) x + 1 else x }
+          (rnd.nextInt(20).toLong, rnd.nextInt(8).toLong, w.toLong)
+        }
+        ZSetFrame.fromDelta(rows.toDF("k", "v", ZSetFrame.W))
+      }
+      val deltas = Seq.fill(4)(randomDelta(15))
+      val naive = new Incremental.State(Incremental.emptyLike(deltas.head))
+      val keyed = new KeyedState(Seq("k"), 8, Incremental.emptyLike(deltas.head))
+      deltas.foreach { d => naive.update(d); keyed.merge(d) }
+      assertSameRows(keyed.snapshot.consolidate.df, naive.acc.consolidate.df)
+    }
+  }
+
+  test("KeyedState aggStep ≡ batch agg under retraction (max + count)") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed + 600)
+      def delta(n: Int, w: Long => Long): ZSetFrame = {
+        val rows = Seq.fill(n)((rnd.nextInt(12).toLong, rnd.nextInt(100).toLong))
+        ZSetFrame.fromDelta(rows.toDF("k", "v")
+          .withColumn(ZSetFrame.W, lit(1L)).distinct())
+      }
+      // inserts, then a retraction of a slice of what was inserted
+      val d0 = delta(25, identity)
+      val d1 = delta(25, identity)
+      val retract = ZSetFrame.fromDelta((d0 + d1).consolidate.df
+        .where(pmod(col("v"), lit(3L)) === 0 && col(ZSetFrame.W) > 0)
+        .withColumn(ZSetFrame.W, -col(ZSetFrame.W)))
+      def aggFn(z: ZSetFrame): ZSetFrame =
+        z.aggregate(Seq(col("k")), expandWeights = false,
+          max(col("v")).as("mx"), count(lit(1)).as("n"))
+      val in = new KeyedState(Seq("k"), 8, Incremental.emptyLike(d0))
+      val out = new Incremental.State(ZSetFrame.fromDelta(
+        d0.df.where(lit(false))
+          .select(col("k"), col("v").as("mx"), lit(0L).as("n"), col(ZSetFrame.W))))
+      Seq(d0, d1, retract).foreach { d => out.update(in.aggStep(d)(aggFn)) }
+      assertSameRows(out.acc.consolidate.df, aggFn(in.snapshot.consolidate).df)
+    }
+  }
+}
