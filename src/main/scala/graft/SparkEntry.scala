@@ -16,7 +16,8 @@ object SparkEntry {
     Advanced,
     Dedup,
     Multimodal,
-    StreamingQueries
+    StreamingQueries,
+    SqlQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

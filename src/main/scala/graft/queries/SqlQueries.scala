@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.Tables
+import graft.functions.VectorFunctions
+
+/** The SQL front door — the reference's production entry path is a SQL
+  * program (CREATE TABLE + CREATE VIEW chain) compiled onto the engine
+  * (reference: crates/pipeline_manager/src/compiler.rs:291-333 driving
+  * sql-to-dbsp). The Spark-first rendition: register the source tables as
+  * temp views, define the program as a CREATE OR REPLACE TEMP VIEW chain,
+  * and let Catalyst compile the final SELECT — every optimization the
+  * DataFrame path gets (pushdown, pruning, broadcast, AQE) applies
+  * identically, because spark.sql and the DataFrame API meet in the same
+  * logical plan.
+  *
+  * Native engine functions (graft_dot) are registered in the session's
+  * function registry (production wiring: spark.sql.extensions=
+  * graft.GraftExtensions), so SQL programs can call them like built-ins. */
+object SqlQueries extends QueryModule {
+
+  /** Register every testdata table as a session temp view (idempotent). */
+  def registerViews(s: SparkSession, dir: String): Unit =
+    Tables.all.foreach { name =>
+      Tables(s, dir, name).createOrReplaceTempView(name)
+    }
+
+  private def sqlq(body: String*)(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir)
+    VectorFunctions.register(s)
+    body.init.foreach(s.sql(_))
+    s.sql(body.last)
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SQL twin of the q17 aggregate suite: pricing summary, decimal-exact
+    // sums (the TPC-H Q1 shape, all in one SELECT)
+    "q46_sql_pricing" -> ((s, dir) => sqlq(
+      """SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+           CAST(COUNT(*) AS BIGINT) AS n
+         FROM lineitem
+         WHERE l_quantity < 49
+         GROUP BY l_returnflag, l_linestatus""")(s, dir)),
+
+    // SQL program as a VIEW CHAIN (the pipeline-manager shape): staged
+    // views build on each other; final query joins them with NOT EXISTS
+    "q47_sql_views" -> ((s, dir) => sqlq(
+      """CREATE OR REPLACE TEMP VIEW v_building AS
+         SELECT c_custkey, c_name, c_acctbal FROM customer
+         WHERE c_mktsegment = 'BUILDING'""",
+      """CREATE OR REPLACE TEMP VIEW v_open_value AS
+         SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS open_value,
+                CAST(COUNT(*) AS BIGINT) AS n_open
+         FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey""",
+      """SELECT b.c_custkey, b.c_name, v.open_value, v.n_open
+         FROM v_building b JOIN v_open_value v ON b.c_custkey = v.o_custkey
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = b.c_custkey
+                             AND o.o_orderpriority = '1-URGENT')""")(s, dir)),
+
+    // native engine function from SQL: graft_dot (codegen'd Catalyst
+    // expression) against a broadcast probe vector
+    "q48_sql_dot" -> ((s, dir) => sqlq(
+      """SELECT e.vec_id, graft_dot(e.embedding, p.embedding) AS dot0
+         FROM embeddings e
+         CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) p""")(s, dir)),
+
+    // SQL twin of the q25 rollup: hierarchical totals over two dims
+    "q49_sql_rollup" -> ((s, dir) => sqlq(
+      """SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+         FROM orders
+         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""")(s, dir))
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q46_sql_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+           CAST(COUNT(*) AS BIGINT) AS n
+         FROM lineitem
+         WHERE l_quantity < 49
+         GROUP BY l_returnflag, l_linestatus""",
+    "q47_sql_views" ->
+      """WITH v_building AS (
+           SELECT c_custkey, c_name, c_acctbal FROM customer
+           WHERE c_mktsegment = 'BUILDING'),
+         v_open_value AS (
+           SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS open_value,
+                  CAST(COUNT(*) AS BIGINT) AS n_open
+           FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey)
+         SELECT b.c_custkey, b.c_name, v.open_value, v.n_open
+         FROM v_building b JOIN v_open_value v ON b.c_custkey = v.o_custkey
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = b.c_custkey
+                             AND o.o_orderpriority = '1-URGENT')""",
+    "q48_sql_dot" ->
+      """SELECT e.vec_id,
+           list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])) AS dot0
+         FROM embeddings e
+         CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) p""",
+    "q49_sql_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+         FROM orders
+         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""
+  )
+}
