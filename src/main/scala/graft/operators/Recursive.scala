@@ -1,6 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.ZSetFrame
 
 /** Semi-naive fixpoint evaluation (Datalog / recursive queries).
   *
@@ -15,11 +18,6 @@ import org.apache.spark.sql.DataFrame
   */
 object Recursive {
 
-  /** Least fixpoint of `acc = base ∪ step(delta)` with set semantics.
-    * `step` maps the newly-derived delta to candidate new facts; iteration
-    * stops when no new facts appear. Only aggregate counts cross the driver
-    * boundary — the data itself stays distributed.
-    */
   /** Materialize and re-wrap with FRESH attribute ids: localCheckpoint keeps
     * the original output attributes, so iterated self-joins would trip
     * Spark's ambiguous-self-join detection; rebuilding from the checkpointed
@@ -29,26 +27,149 @@ object Recursive {
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
-  def fixpoint(base: DataFrame, maxIter: Int = 1000)
+  /** Least fixpoint of `acc = base ∪ step(delta)` with set semantics.
+    * `step` maps the newly-derived delta to candidate new facts; iteration
+    * stops when no new facts appear. Only aggregate counts cross the driver
+    * boundary — the data itself stays distributed.
+    *
+    * acc is a lazy union of per-iteration MATERIALIZED deltas; every
+    * `compactEvery` iterations the union is collapsed into one materialized
+    * frame so neither plan width nor the per-iteration `except` scan grows
+    * with iteration count (deep recursions pay O(facts) per compaction,
+    * amortized, instead of O(iters × facts)). */
+  def fixpoint(base: DataFrame, maxIter: Int = 1000, compactEvery: Int = 8)
               (step: DataFrame => DataFrame): DataFrame = {
-    // acc is a lazy union of per-iteration MATERIALIZED deltas: each union
-    // arm is an already-computed RDD, so re-scanning acc in except() costs
-    // only the scan, and no per-iteration re-materialization job is needed.
     val first = materialize(base.distinct())
     var deltas = List(first)
     var acc = first
     var delta = first
     var i = 0
     while (i < maxIter && !delta.isEmpty) {
-      // semi-naive: derive only from the last delta, subtract known facts
-      val derived = materialize(step(delta).distinct().except(acc))
+      // semi-naive: derive only from the last delta, subtract known facts.
+      // except() already has set semantics (EXCEPT DISTINCT) — no separate
+      // distinct() pass, one fewer shuffle stage per iteration
+      val derived = materialize(step(delta).except(acc))
       if (!derived.isEmpty) {
         deltas ::= derived
-        acc = deltas.reduce(_ union _)
+        if (deltas.size >= compactEvery) {
+          acc = materialize(deltas.reduce(_ union _))
+          deltas = List(acc)
+        } else acc = deltas.reduce(_ union _)
       }
       delta = derived
       i += 1
     }
     acc
+  }
+
+  /** Transitive closure by PATH DOUBLING: after k iterations the result is
+    * closed under paths of length ≤ 2^k, so a depth-D graph needs ⌈log₂ D⌉
+    * barriers instead of D. On Spark each fixpoint iteration is a full
+    * driver-synchronized barrier with a ~0.1-0.5 s latency floor, so deep
+    * chains (CDC lineage, long call graphs) MUST trade the extra join work
+    * for exponentially fewer rounds — this is the variant that survives a
+    * 1000-deep recursion at 100 TB, where the one-hop loop cannot.
+    * (The reference's runtime pays ~µs per fixpoint round so it iterates
+    * one-hop, recursive.rs:255 — same semantics, different cost model.) */
+  def closureDoubling(edges: DataFrame, maxIter: Int = 64): DataFrame = {
+    var tc = materialize(edges.distinct())
+    var n = tc.count()
+    var i = 0
+    while (i < maxIter) {
+      val a = tc.select(col("src").as("a_src"), col("dst").as("mid"))
+      val b = tc.select(col("src").as("mid"), col("dst").as("b_dst"))
+      val doubled = a.join(b, "mid")
+        .select(col("a_src").as("src"), col("b_dst").as("dst"))
+        .union(tc).distinct()
+      val next = materialize(doubled)
+      val m = next.count()
+      tc = next
+      if (m == n) return tc
+      n = m
+      i += 1
+    }
+    tc
+  }
+
+  /** Transitive closure maintained INCREMENTALLY under edge deltas including
+    * retractions — the reference's `recursive(f)` under an outer clock: the
+    * fixpoint result updates per epoch as edge deltas arrive
+    * (reference: crates/dbsp/src/operator/recursive.rs:255 epoch semantics,
+    * distinct.rs:78-100 nested DistinctIncremental).
+    *
+    * Strategy: affected-source recompute. For a delta touching edges (u,v),
+    * the only closure rows that can change are those whose source reaches u
+    * (or u itself): delete their rows, then re-derive reachability for just
+    * those sources over the new edge set with a semi-naive fixpoint seeded
+    * at the affected sources. Per-epoch cost scales with the affected
+    * sources' reach, not with |closure| — sources that cannot reach any
+    * touched edge keep their rows untouched (and unscanned: the anti-join
+    * prunes on the broadcast affected-source set). */
+  final class IncrementalClosure(initEdges: ZSetFrame) {
+    /** current edge set (set semantics), columns (src, dst) */
+    private var edges: DataFrame = materialize(initEdges.distinctZ.toDF)
+    /** current closure, columns (src, dst) */
+    private var tc: DataFrame = closureFrom(edges, edges)
+
+    def currentEdges: DataFrame = edges
+    def closure: DataFrame = tc
+
+    /** reachability restricted to paths STARTING at `seed`'s src values */
+    private def closureFrom(seed: DataFrame, e: DataFrame): DataFrame =
+      fixpoint(seed) { d =>
+        val dd = d.select(col("src").as("p_src"), col("dst").as("p_dst"))
+        dd.join(e, dd("p_dst") === e("src"))
+          .select(col("p_src").as("src"), e("dst").as("dst"))
+      }
+
+    /** one epoch: apply an edge delta Z-set (mixed ±) and repair the closure */
+    def step(delta: ZSetFrame): DataFrame = {
+      val dEdges = materialize(delta.df.select("src", "dst", ZSetFrame.W))
+      val eNew = materialize(
+        (ZSetFrame.fromTable(edges) + ZSetFrame.fromDelta(dEdges)).distinctZ.toDF)
+      // affected sources: u of every touched edge (u,v), plus every x with
+      // (x,u) already in the closure
+      val touchedSrc = dEdges.select(col("src").as("u")).distinct()
+      val aff = materialize(
+        tc.join(touchedSrc, tc("dst") === col("u"), "left_semi").select("src")
+          .union(touchedSrc.select(col("u").as("src"))).distinct())
+      // re-derive reachability for affected sources only
+      val seed = eNew.join(broadcast(aff), Seq("src"), "left_semi")
+      val reAff = closureFrom(seed, eNew)
+      val kept = tc.join(broadcast(aff), Seq("src"), "left_anti")
+      edges = eNew
+      tc = materialize(kept.union(reAff))
+      tc
+    }
+  }
+
+  /** BFS min-distance fixpoint — an AGGREGATE (min-fold) inside the
+    * recursion, which plain closure cannot express (reference:
+    * crates/dbsp/benches/ldbc-graphalytics/bfs.rs:8-14 — Min aggregate
+    * inside the recursive stream). Frontier-based semi-naive: only rows
+    * whose distance IMPROVED feed the next iteration, so iteration count =
+    * graph eccentricity and per-iteration work = frontier ⋈ edges. */
+  def bfs(edges: DataFrame /* src, dst */, roots: DataFrame /* node */,
+          maxIter: Int = 1000): DataFrame = {
+    var dist = materialize(roots.select(col("node"), lit(0L).as("dist")))
+    var frontier = dist
+    var i = 0
+    while (i < maxIter && !frontier.isEmpty) {
+      val cand = frontier.join(edges, frontier("node") === edges("src"))
+        .select(edges("dst").as("node"), (frontier("dist") + 1L).as("dist"))
+        .groupBy("node").agg(min("dist").as("dist"))
+      val cur = dist.withColumnRenamed("dist", "old")
+      val improved = materialize(
+        cand.join(cur, Seq("node"), "left")
+          .where(col("old").isNull || col("dist") < col("old"))
+          .select("node", "dist"))
+      if (!improved.isEmpty) {
+        dist = materialize(
+          dist.join(improved, Seq("node"), "left_anti").union(improved))
+      }
+      frontier = improved
+      i += 1
+    }
+    dist
   }
 }

@@ -43,6 +43,45 @@ object Advanced extends QueryModule {
       }
     }),
 
+    // q50: same closure as q27 via PATH DOUBLING — ⌈log₂ depth⌉ barriers
+    // instead of depth (the deep-recursion scale path; see Recursive.scala)
+    "q50_closure_doubling" -> ((s, dir) => {
+      val edges = t(s, dir, "customer").where(col("c_custkey") >= 2)
+        .select(col("c_custkey").as("src"), expr("c_custkey div 2").as("dst"))
+        .localCheckpoint(true)
+      Recursive.closureDoubling(edges)
+    }),
+
+    // q43: transitive closure MAINTAINED under edge deltas incl. retraction
+    // (reference recursive.rs:255 epoch semantics): 3 epochs — base insert,
+    // second insert wave, then retraction of every 7th source's edge; the
+    // repaired closure must equal DuckDB's WITH RECURSIVE on the net edges
+    "q43_inc_closure" -> ((s, dir) => {
+      val base = t(s, dir, "customer").where(col("c_custkey") >= 2)
+        .select(col("c_custkey").as("src"), expr("c_custkey div 2").as("dst"))
+        .localCheckpoint(true)
+      val ic = new Recursive.IncrementalClosure(
+        ZSetFrame.fromTable(base.where(pmod(col("src"), lit(5L)) =!= 1)))
+      ic.step(ZSetFrame.fromTable(base.where(pmod(col("src"), lit(5L)) === 1)))
+      ic.step(ZSetFrame.fromDelta(base.where(pmod(col("src"), lit(7L)) === 2)
+        .withColumn(ZSetFrame.W, lit(-1L))))
+      ic.closure
+    }),
+
+    // q44: BFS min-distance — an AGGREGATE (min) inside the recursion
+    // (reference benches/ldbc-graphalytics/bfs.rs:8-14): binary-tree edges
+    // plus -7 shortcut edges from root 1; frontier-based min-fold fixpoint
+    "q44_bfs" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select("c_custkey")
+      val edges = c.where(col("c_custkey") >= 2)
+        .select(expr("c_custkey div 2").as("src"), col("c_custkey").as("dst"))
+        .union(c.where(col("c_custkey") >= 9)
+          .select((col("c_custkey") - 7).as("src"), col("c_custkey").as("dst")))
+        .localCheckpoint(true)
+      import s.implicits._
+      Recursive.bfs(edges, Seq(1L).toDF("node"))
+    }),
+
     // upsert/CDC snapshot: last write wins, 'error' = tombstone (DQ25;
     // reference operator/input.rs:214-223 semantics table)
     "q28_upsert" -> ((s, dir) => {
@@ -273,6 +312,34 @@ object Advanced extends QueryModule {
                   UNION
                   SELECT tc.src, e.dst FROM tc JOIN e ON tc.dst = e.src)
          SELECT src, dst FROM tc""",
+    "q50_closure_doubling" ->
+      """WITH RECURSIVE e AS (SELECT c_custkey AS src, c_custkey // 2 AS dst
+                              FROM customer WHERE c_custkey >= 2),
+           tc AS (SELECT src, dst FROM e
+                  UNION
+                  SELECT tc.src, e.dst FROM tc JOIN e ON tc.dst = e.src)
+         SELECT src, dst FROM tc""",
+    "q43_inc_closure" ->
+      """WITH RECURSIVE e AS (SELECT c_custkey AS src, c_custkey // 2 AS dst
+                              FROM customer
+                              WHERE c_custkey >= 2 AND c_custkey % 7 <> 2),
+           tc AS (SELECT src, dst FROM e
+                  UNION
+                  SELECT tc.src, e.dst FROM tc JOIN e ON tc.dst = e.src)
+         SELECT src, dst FROM tc""",
+    "q44_bfs" ->
+      """WITH RECURSIVE e AS (
+           SELECT c_custkey // 2 AS src, c_custkey AS dst FROM customer
+           WHERE c_custkey >= 2
+           UNION
+           SELECT c_custkey - 7 AS src, c_custkey AS dst FROM customer
+           WHERE c_custkey >= 9
+         ), r AS (
+           SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS d
+           UNION
+           SELECT e.dst AS node, r.d + 1 AS d FROM r JOIN e ON e.src = r.node
+         )
+         SELECT node, CAST(min(d) AS BIGINT) AS dist FROM r GROUP BY node""",
     "q28_upsert" ->
       """SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms FROM events
          QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
