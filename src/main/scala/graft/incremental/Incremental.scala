@@ -24,6 +24,20 @@ object Incremental {
       acc = (acc + delta).consolidate.localCheckpoint()
   }
 
+  /** Step-loop state with an EVENT-TIME BOUND — the reference's
+    * `trace_with_bound` / TraceBound lateness GC (reference:
+    * operator/trace.rs:46-56,181-247): every update evicts rows whose bound
+    * column fell below the caller's waterline, so state size tracks the
+    * retention horizon, not the stream length. Operators that only correct
+    * within the horizon (rolling aggregates, windowed joins) keep exact
+    * semantics; data later than the waterline is late by definition. */
+  final class BoundedState(init: ZSetFrame, boundCol: String) {
+    var acc: ZSetFrame = init.consolidate.localCheckpoint()
+    def update(delta: ZSetFrame, waterline: Long): Unit =
+      acc = (acc + delta).consolidate
+        .where(col(boundCol) >= lit(waterline)).localCheckpoint()
+  }
+
   def emptyLike(z: ZSetFrame): ZSetFrame =
     ZSetFrame.fromDelta(z.df.where(lit(false)))
 

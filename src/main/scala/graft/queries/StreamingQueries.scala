@@ -14,40 +14,82 @@ import graft.streaming.{KvDelta, StreamOps, UpsertCmd}
 object StreamingQueries extends QueryModule {
   import Num._
 
-  /** Streaming read of the events table (file source, bounded). The file
-    * source requires a directory, so stage a symlink dir under /tmp. */
-  private def eventStream(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val staged = Paths.get(s"/tmp/graft_stream_src_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+  /** Nanos for 2024-06-01T00:00:00Z — far past the testdata's last event;
+    * the flush sentinel's event time. */
+  private val FlushNanos = 1717200000L * 1000000000L
+
+  /** Stage a directory for the file stream source (it requires a directory):
+    * symlink the events parquet, then optionally write a single 'flush'
+    * sentinel row with a far-future timestamp AFTER the symlink (the source
+    * orders files by modification time, so the sentinel forms a later
+    * micro-batch that pushes the watermark past every real window — append
+    * mode then emits and GCs all real windows; queries filter the sentinel
+    * out). Each query tags its own dir so sentinels never leak across
+    * queries. */
+  private def stageDir(s: SparkSession, dir: String, tag: String,
+                       sentinel: Boolean): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val staged = Paths.get(
+      s"/tmp/graft_stream_${tag}_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
     if (!Files.exists(staged)) {
       Files.createDirectories(staged)
       Files.createSymbolicLink(staged.resolve("events.parquet"),
         Paths.get(s"$dir/events.parquet"))
+      if (sentinel) {
+        val raw = s.read.parquet(s"$dir/events.parquet") // ts = raw int64 nanos
+        val one = raw.where(lit(false))
+          .unionByName(s.range(1).select(
+            lit(-1L).as("event_id"), lit(FlushNanos).as("ts"),
+            lit(-1L).as("user_id"), lit("flush").as("event_type"),
+            lit(0.0).as("value"), lit("").as("props")))
+        val tmp = staged.resolveSibling(staged.getFileName.toString + "_tmp")
+        one.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        Files.move(part, staged.resolve("zz_flush.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
     }
+    staged.toString
+  }
+
+  /** Streaming read of the (staged) events table; converts the raw
+    * nanos-long event time back to TimestampType. */
+  private def eventStream(s: SparkSession, dir: String, tag: String,
+                          sentinel: Boolean = false): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$dir/events.parquet").schema // raw: ts as INT64 nanos
+    val staged = stageDir(s, dir, tag, sentinel)
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
     var df = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df = df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     df
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // complete-mode streaming tumble aggregation == batch group-by
+    // APPEND-mode streaming tumble aggregation == batch group-by: windows
+    // are emitted exactly once when the watermark passes them (and their
+    // state is GC'd) — no Complete-mode driver re-emission; the flush
+    // sentinel closes the tail windows on this bounded replay
+    // (reference: time_series/window.rs:75 + watermark.rs:33)
     "q33_stream_tumble" -> ((s, dir) => {
-      val agg = eventStream(s, dir)
-        .groupBy(tumbleMs(col("ts"), 3600000L).as("wstart"), col("event_type"))
+      val agg = eventStream(s, dir, "tumble", sentinel = true)
+        .withWatermark("ts", "1 second")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(epochMs(col("window.start")).as("wstart"), col("event_type"),
+          col("n"), col("sum_value"))
       StreamOps.runToMemory(s, agg, s"stream_tumble_${System.nanoTime()}",
-        OutputMode.Complete)
+        OutputMode.Append)
+        .where(col("event_type") =!= "flush")
     }),
 
     // streaming upsert (flatMapGroupsWithState −old/+new deltas) consolidated
     // to the final snapshot == batch last-write-wins oracle
     "q34_stream_upsert" -> ((s, dir) => {
       import s.implicits._
-      val cmds = eventStream(s, dir).select(
+      val cmds = eventStream(s, dir, "upsert").select(
         col("user_id").as("key"), col("value"),
         (epochMs(col("ts")) * 100000L + pmod(col("event_id"), lit(100000L))).as("seq"),
         (col("event_type") === "error").as("delete")).as[UpsertCmd]
@@ -57,6 +99,31 @@ object StreamingQueries extends QueryModule {
       // consolidate the delta stream into the live snapshot
       out.groupBy("key", "value").agg(sum("weight").as("w"))
         .where(col("w") > 0).select(col("key").as("user_id"), col("value"))
+    }),
+
+    // REAL stream-stream join (reference: operator/join.rs:87
+    // monotonic_stream_join): two watermarked streams, event-time range
+    // condition bounding state on both sides; inner matches emit in append
+    // mode as both sides arrive
+    "q45_stream_join" -> ((s, dir) => {
+      val clicks = eventStream(s, dir, "ssj_l")
+        .where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+        .withWatermark("c_ts", "1 hour")
+      val buys = eventStream(s, dir, "ssj_r")
+        .where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("buy_id"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(buys,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      StreamOps.runToMemory(s, joined, s"stream_join_${System.nanoTime()}",
+        OutputMode.Append)
+        .select(col("user_id"), col("click_id"), col("buy_id"),
+          epochMs(col("c_ts")).as("c_ms"), epochMs(col("p_ts")).as("p_ms"))
     })
   )
 
@@ -68,6 +135,13 @@ object StreamingQueries extends QueryModule {
     "q34_stream_upsert" ->
       """SELECT user_id, value FROM events
          QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
-           AND event_type <> 'error'"""
+           AND event_type <> 'error'""",
+    "q45_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS buy_id,
+            epoch_ms(c.ts) AS c_ms, epoch_ms(p.ts) AS p_ms
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+         WHERE c.event_type = 'click' AND p.event_type = 'purchase'"""
   )
 }

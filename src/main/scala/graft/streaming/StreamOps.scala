@@ -13,6 +13,11 @@ case class UpsertCmd(key: Long, value: Double, seq: Long, delete: Boolean)
   * the previous value, +1 asserts the new one (reference: operator/upsert.rs:37). */
 case class KvDelta(key: Long, value: Double, weight: Long)
 
+/** An upsert command carrying its event time — the TTL'd upsert path keys
+  * state eviction off the watermark over this column. */
+case class TimedUpsertCmd(key: Long, value: Double, seq: Long, delete: Boolean,
+                          ts: java.sql.Timestamp)
+
 /** Structured-Streaming renditions of the reference's streaming operators.
   * Micro-batch == circuit step: each trigger consumes one input delta batch
   * and emits the corresponding output delta/update — the same contract the
@@ -45,22 +50,63 @@ object StreamOps {
     * command per micro-batch wins; emits −old/+new only on real transitions
     * (no-op upserts and deletes of absent keys emit nothing) — exactly the
     * reference's upsert operator (operator/upsert.rs:21-60). */
+  /** Emit the −old/+new transition for a key given the winning command. */
+  private def transition(key: Long, old: Option[Double],
+                         next: Option[Double]): Iterator[KvDelta] =
+    (old, next) match {
+      case (None, None) => Iterator.empty
+      case (Some(o), Some(n)) if o == n => Iterator.empty
+      case (o, n) =>
+        o.map(KvDelta(key, _, -1L)).iterator ++
+          n.map(KvDelta(key, _, +1L)).iterator
+    }
+
   def upsertDeltas(cmds: Dataset[UpsertCmd]): Dataset[KvDelta] = {
     import cmds.sparkSession.implicits._
     cmds.groupByKey(_.key)
       .flatMapGroupsWithState[Option[Double], KvDelta](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: Long, batch: Iterator[UpsertCmd], state: GroupState[Option[Double]]) =>
-          val last = batch.toSeq.maxBy(_.seq) // last write per key per step wins
+          // single pass: max-seq command wins, nothing is buffered
+          val last = batch.reduceLeft((a, b) => if (b.seq >= a.seq) b else a)
           val old: Option[Double] = state.getOption.flatten
           val next: Option[Double] = if (last.delete) None else Some(last.value)
           state.update(next)
-          (old, next) match {
-            case (None, None) => Iterator.empty
-            case (Some(o), Some(n)) if o == n => Iterator.empty
-            case (o, n) =>
-              o.map(KvDelta(key, _, -1L)).iterator ++
-                n.map(KvDelta(key, _, +1L)).iterator
+          transition(key, old, next)
+      }
+  }
+
+  /** Upsert deltas with WATERMARK-DRIVEN state TTL — the reference's
+    * TraceBound lateness GC (reference: operator/trace.rs:46-56,181-247):
+    * a key idle for `horizon` of event time past the watermark is evicted
+    * (silently — eviction is state GC, not a retraction, exactly the
+    * trace-bound contract). State size tracks the active-key horizon, not
+    * the stream's lifetime key count. */
+  def upsertDeltasTtl(cmds: Dataset[TimedUpsertCmd], lateness: String,
+                      horizonMs: Long): Dataset[KvDelta] = {
+    import cmds.sparkSession.implicits._
+    cmds.withWatermark("ts", lateness)
+      .as[TimedUpsertCmd]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Option[Double], KvDelta](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, batch: Iterator[TimedUpsertCmd],
+         state: GroupState[Option[Double]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var last: TimedUpsertCmd = null
+            var maxTs = Long.MinValue
+            batch.foreach { c => // single pass: winner + max event time
+              if (last == null || c.seq >= last.seq) last = c
+              if (c.ts.getTime > maxTs) maxTs = c.ts.getTime
+            }
+            val old: Option[Double] = state.getOption.flatten
+            val next: Option[Double] = if (last.delete) None else Some(last.value)
+            state.update(next)
+            state.setTimeoutTimestamp(maxTs + horizonMs)
+            transition(key, old, next)
           }
       }
   }

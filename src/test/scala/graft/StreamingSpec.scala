@@ -87,6 +87,51 @@ class StreamingSpec extends SparkSpec {
     assertSameRows(got, expect)
   }
 
+  test("TTL'd upsert state stays bounded under a 3× longer feed") {
+    import graft.streaming.TimedUpsertCmd
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TimedUpsertCmd]
+    // 30-minute idle horizon, no lateness
+    val deltas = StreamOps.upsertDeltasTtl(in.toDS(), "0 seconds", 1800000L)
+    val q = deltas.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(s"ttl_out_${System.nanoTime()}").start()
+    def ts(hour: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $hour%02d:00:00")
+    val waveSize = 50
+    // 6 waves, disjoint keys, one hour apart: every wave makes the previous
+    // wave's keys idle past the horizon → evicted, not accumulated
+    for (w <- 0 until 6) {
+      in.addData((0 until waveSize).map(i =>
+        TimedUpsertCmd(w * 1000L + i, w + i * 1.0, w, delete = false, ts(w))))
+      q.processAllAvailable()
+    }
+    val stateRows = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
+    q.stop()
+    val totalKeys = 6 * waveSize
+    assert(stateRows.last <= 2 * waveSize,
+      s"final state ${stateRows.last} not bounded (total keys $totalKeys)")
+    assert(stateRows.max < totalKeys,
+      s"state ${stateRows.max} grew like the lifetime key count")
+  }
+
+  test("BoundedState evicts below the waterline and stays window-exact") {
+    import graft.core.ZSetFrame
+    import graft.incremental.Incremental
+    val n = 9
+    def delta(i: Int) = ZSetFrame.fromTable(
+      Seq.tabulate(4)(j => (i.toLong, (i * 4 + j).toLong, 1.0))
+        .toDF("ts", "id", "v"))
+    val st = new Incremental.BoundedState(
+      ZSetFrame.fromTable(Seq.empty[(Long, Long, Double)].toDF("ts", "id", "v")),
+      "ts")
+    val horizon = 3L
+    for (i <- 0 until n) st.update(delta(i), i.toLong - horizon)
+    // rows older than the final waterline are gone; the retained window is
+    // exactly the last horizon+1 steps' rows
+    val kept = st.acc.df.count()
+    assert(kept == (horizon + 1) * 4, s"state rows $kept")
+    assert(st.acc.df.agg(min("ts")).head.getLong(0) == n - 1 - horizon)
+  }
+
   test("running fold emits updated accumulator per step") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Double)]
