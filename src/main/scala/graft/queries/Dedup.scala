@@ -76,36 +76,28 @@ object Dedup extends QueryModule {
     }),
 
     // LSH-bucketed ANN: random-hyperplane sign bits → bucket; queries
-    // multi-probe buckets at hamming distance ≤ 1 (the IVF-style scale
-    // path; d05 is the exact baseline). At 100 TB: more planes + the same
-    // multi-probe keeps per-bucket candidate sets bounded while the join
-    // stays a plain shuffle on the bucket id. Rows-only check + ScalaTest
-    // (sims re-verified against the exact formula, recall vs brute force).
+    // multi-probe buckets at hamming distance ≤ 2 (d05 is the exact
+    // baseline). Plane count scales with log(corpus) so the PROBED FRACTION
+    // (probes / 2^planes) shrinks as the corpus grows, and planes are
+    // hash-SEEDED COLUMN EXPRESSIONS — no driver-side vector literals at
+    // any plane count. Rows-only check + DedupSpec (sims re-verified exact,
+    // recall ≥0.9 on a 10× planted-near-dup corpus, candidate fraction
+    // asserted bounded).
     "d06_ann_lsh" -> ((s, dir) => {
-      val rnd = new scala.util.Random(42)
-      val nPlanes = 4
-      val planes = Seq.fill(nPlanes)(Seq.fill(64)(rnd.nextDouble() * 2 - 1))
-      val dotd = (x: Column, y: Column) =>
-        aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, v) => acc + v)
-      val e = transform(col("embedding"), _.cast("double"))
-      val bucket = planes.zipWithIndex.map { case (p, i) =>
-        when(dotd(e, typedLit(p)) > 0.0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      val dotN = (x: Column, y: Column) => graft.functions.VectorFunctions.dotF(x, y)
-      val v = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").as("e"), bucket.as("bucket"))
-        .withColumn("nrm", sqrt(dotN(col("e"), col("e"))))
-      val probes = typedLit(0L +: (0 until nPlanes).map(1L << _)) // self + 1-bit flips
-      val q = v.where(col("vec_id") < 100)
-        .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
-          explode(transform(probes, p => col("bucket").bitwiseXOR(p))).as("bucket"))
-      val c = v.select(col("vec_id").as("nid"), col("e").as("ce"), col("nrm").as("cn"), col("bucket"))
-      val sims = q.join(c, Seq("bucket")).where(col("qid") =!= col("nid"))
-        .select(col("qid"), col("nid"),
-          (dotN(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
-      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-      sims.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-        .select("qid", "nid", "sim")
+      val v = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      Dedup.annLshTop1(v, col("vec_id") < 100, Dedup.planesFor(v.count()))
+    }),
+
+    // IVF ANN: the d07 centroids are the coarse quantizer — every vector is
+    // assigned to its nearest centroid cell (build step), a query probes
+    // its top-2 cells and reranks EXACTLY inside them. Candidate fraction
+    // is nprobe/cells by construction; at 100 TB cells ∝ √corpus keeps both
+    // the assign shuffle and the per-cell rerank bounded. Rows-only check +
+    // DedupSpec structural/recall assertions.
+    "d08_ann_ivf" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings").select(
+        col("vec_id"), col("label"), col("embedding"))
+      Dedup.annIvfTop1(v, col("vec_id") < 100, nprobe = 2)
     }),
 
     // per-label embedding centroids (the IVF coarse-quantizer build step):
@@ -121,6 +113,111 @@ object Dedup extends QueryModule {
           / count(lit(1))).as("cval"))
     })
   )
+
+  // ------------------------------------------------------------- ANN library
+
+  /** planes ∝ log(corpus): bucket count tracks corpus size so per-bucket
+    * occupancy (≈ n / 2^planes) stays constant as n grows. */
+  def planesFor(corpusRows: Long, targetBucket: Long = 64L): Int =
+    math.max(4, math.ceil(math.log(corpusRows.toDouble / targetBucket)
+      / math.log(2.0)).toInt)
+
+  private def dotd(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, v) => acc + v)
+
+  /** Hyperplane p as a SEEDED COLUMN EXPRESSION: component j is
+    * xxhash64(p, j) scaled to [−1, 1] — deterministic, no driver literals,
+    * any plane count. */
+  private def planeArr(p: Int, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      j => xxhash64(lit(p), j).cast("double") / lit(9.223372036854776e18))
+
+  /** Sign-bit bucket id of an embedding column under nPlanes hyperplanes. */
+  def lshBucket(e: Column, nPlanes: Int, dim: Int = 64): Column = {
+    val ed = transform(e, _.cast("double"))
+    (0 until nPlanes).map { p =>
+      when(dotd(ed, planeArr(p, dim)) > 0.0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Multi-probe masks: self, 1-bit flips, 2-bit flips (hamming ≤ 2). */
+  def probeMasks(nPlanes: Int): Seq[Long] = {
+    val singles = (0 until nPlanes).map(1L << _)
+    val pairs = for {
+      i <- 0 until nPlanes; j <- (i + 1) until nPlanes
+    } yield (1L << i) | (1L << j)
+    0L +: (singles ++ pairs)
+  }
+
+  /** Candidate pairs (qid, nid, sim) for queries selected by `isQuery`:
+    * bucket-join on multi-probed LSH buckets, exact cosine on candidates
+    * only. Exposed so DedupSpec can assert the probed candidate fraction. */
+  def annLshCandidates(v: DataFrame, isQuery: Column, nPlanes: Int): DataFrame = {
+    val dotN = (x: Column, y: Column) => graft.functions.VectorFunctions.dotF(x, y)
+    val base = v.select(col("vec_id"), col("embedding").as("e"),
+        lshBucket(col("embedding"), nPlanes).as("bucket"),
+        isQuery.as("is_q"))
+      .withColumn("nrm", sqrt(dotN(col("e"), col("e"))))
+    val probes = typedLit(probeMasks(nPlanes))
+    val q = base.where(col("is_q"))
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
+        explode(transform(probes, p => col("bucket").bitwiseXOR(p))).as("bucket"))
+    val c = base.select(col("vec_id").as("nid"), col("e").as("ce"),
+      col("nrm").as("cn"), col("bucket"))
+    q.join(c, Seq("bucket")).where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dotN(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
+      .distinct()
+  }
+
+  /** ANN top-1 per query via LSH multi-probe + exact rerank. */
+  def annLshTop1(v: DataFrame, isQuery: Column, nPlanes: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    annLshCandidates(v, isQuery, nPlanes)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("qid", "nid", "sim")
+  }
+
+  /** IVF top-1: nearest-centroid cell assignment (coarse quantize over the
+    * d07 per-label centroids), probe the query's top-`nprobe` cells, exact
+    * cosine rerank inside them. */
+  def annIvfTop1(v: DataFrame, isQuery: Column, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dotN = (x: Column, y: Column) => graft.functions.VectorFunctions.dotF(x, y)
+    // build: per-label centroid vectors, collected into a broadcast array
+    // column (cells are few — ∝ √corpus; the vectors stay distributed)
+    val cent = v
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "cv")))
+      .groupBy("label", "pos")
+      .agg((sum(col("cv").cast("double").cast(DecimalType(18, 9))).cast("double")
+        / count(lit(1))).as("cval"))
+      .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("cval"))))
+        .as("sorted"))
+      .select(col("label").as("cell"), transform(col("sorted"), _.getField("cval")).as("cvec"))
+    val ed = (e: Column) => transform(e, _.cast("double"))
+    // assign every vector to its nearest cell by cosine against centroids
+    def cellOf(df: DataFrame, rank: Int): DataFrame = {
+      val sims = df.crossJoin(broadcast(cent))
+        .withColumn("csim", dotd(ed(col("embedding")), col("cvec"))
+          / (sqrt(dotd(ed(col("embedding")), ed(col("embedding")))) *
+             sqrt(dotd(col("cvec"), col("cvec")))))
+      val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
+      sims.withColumn("crn", row_number().over(w)).where(col("crn") <= rank)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+    }
+    val corpus = cellOf(v, 1) // build step: each vector lives in ONE cell
+      .select(col("vec_id").as("nid"), col("embedding").as("ce"), col("cell"))
+    val queries = cellOf(v.where(isQuery), nprobe) // probe top-n cells
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
+    val sims = queries.join(corpus, Seq("cell")).where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dotN(col("qe"), col("ce")) /
+          (sqrt(dotN(col("qe"), col("qe"))) * sqrt(dotN(col("ce"), col("ce"))))).as("sim"))
+      .distinct()
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    sims.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("qid", "nid", "sim")
+  }
 
   override def oracle: Map[String, String] = Map(
     // identical to the exact d02 result (LSH verified-candidates path)

@@ -42,6 +42,70 @@ class DedupSpec extends SparkSpec {
     assert(hits.toDouble / n > 0.1, s"ANN recall@1 too low: $hits/$n")
   }
 
+  test("ann-lsh: recall ≥0.9 at 10× corpus with bounded candidate fraction") {
+    import graft.queries.Dedup
+    // 10× corpus: each of the 500 base vectors plus 9 jittered near-dup
+    // copies (multiplicative noise, cos ≈ 0.999) — the embedding-dedup
+    // workload ANN exists for; copies get fresh ids ≥ 10000
+    val base = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = base.crossJoin(spark.range(10).select(col("id").as("copy")))
+      .select(
+        when(col("copy") === 0, col("vec_id"))
+          .otherwise(col("vec_id") + col("copy") * 10000L).as("vec_id"),
+        when(col("copy") === 0, col("embedding")).otherwise(
+          zip_with(col("embedding"),
+            transform(sequence(lit(0), lit(63)),
+              j => xxhash64(col("vec_id"), col("copy"), j).cast("double")
+                / lit(9.223372036854776e18)),
+            (x, r) => (x * (lit(1.0) + lit(0.05) * r)).cast("float"))).as("embedding"))
+      .localCheckpoint(true)
+    val n = corpus.count()
+    assert(n == 5000L)
+    val nPlanes = Dedup.planesFor(n)
+    assert(nPlanes >= 6, s"planes $nPlanes should grow with corpus")
+    val isQuery = col("vec_id") < 500
+    val cand = Dedup.annLshCandidates(corpus, isQuery, nPlanes).cache()
+    // candidate fraction: probed pairs per query vs full scan per query
+    val frac = cand.count().toDouble / (500.0 * n)
+    assert(frac < 0.30, f"candidate fraction $frac%.2f not bounded")
+    // recall@1 vs exact brute force over the same corpus
+    val dotN = graft.functions.VectorFunctions.dotF _
+    val q = corpus.where(isQuery).select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("ce"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    val brute = q.crossJoin(c).where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dotN(col("qe"), col("ce")) /
+          (sqrt(dotN(col("qe"), col("qe"))) * sqrt(dotN(col("ce"), col("ce"))))).as("sim"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("qid"), col("nid").as("true_nid"), col("sim").as("true_sim"))
+    val ann = Dedup.annLshTop1(corpus, isQuery, nPlanes)
+    val joined = ann.join(brute, Seq("qid")).cache()
+    val recall = joined.where(col("sim") >= col("true_sim") - lit(1e-9)).count().toDouble /
+      joined.count()
+    assert(recall >= 0.9, f"recall@1 $recall%.3f below 0.9 gate")
+  }
+
+  test("ann-ivf: candidates only from probed cells, sims exact, recall sane") {
+    import graft.queries.Dedup
+    val v = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val ivf = Dedup.annIvfTop1(v, col("vec_id") < 100, nprobe = 2).cache()
+    assert(ivf.count() > 0)
+    // sims are exact cosines: never exceed the brute-force best
+    val brute = graft.queries.TextAnalysis.queries("d05_cosine_topk")(spark, sf0001)
+      .where(col("rn") === 1).select(col("qid"), col("sim").as("best_sim"))
+    val j = ivf.join(brute, Seq("qid")).cache()
+    assert(j.where(col("sim") > col("best_sim") + 1e-9).isEmpty)
+    // nprobe=2 of 10 cells: a fifth of the corpus per query, exact inside —
+    // a nontrivial share of queries should still find the global top-1
+    val n = j.count()
+    val hits = j.where(abs(col("sim") - col("best_sim")) < 1e-9).count()
+    assert(hits.toDouble / n > 0.3, s"IVF recall@1 too low: $hits/$n")
+  }
+
   test("minhash-lsh pairs equal exact jaccard pairs on the planted corpus") {
     assertSameRows(
       Dedup.queries("d03_minhash_lsh")(spark, sf0001),
