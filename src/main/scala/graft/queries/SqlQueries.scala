@@ -69,6 +69,24 @@ object SqlQueries extends QueryModule {
          FROM embeddings e
          CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) p""")(s, dir)),
 
+    // CSV output codec certified end-to-end: encode a projection to CSV
+    // files (parallel, one per partition), read it back with an explicit
+    // schema, and gate the roundtrip against the plain-SQL oracle
+    // (reference: format/csv.rs:158 CsvEncoder + file output transport)
+    "q51_csv_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val out = s"/tmp/graft_csv_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Sources.writeCsv(
+        Tables(s, dir, "orders")
+          .where(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice"), out)
+      s.read.schema(StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_orderstatus", StringType),
+          StructField("o_totalprice", DoubleType))))
+        .option("header", "true").csv(out)
+    }),
+
     // SQL twin of the q25 rollup: hierarchical totals over two dims
     "q49_sql_rollup" -> ((s, dir) => sqlq(
       """SELECT o_orderstatus, o_orderpriority,
@@ -106,6 +124,9 @@ object SqlQueries extends QueryModule {
            list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(p.embedding AS DOUBLE[])) AS dot0
          FROM embeddings e
          CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) p""",
+    "q51_csv_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE o_orderstatus = 'F'""",
     "q49_sql_rollup" ->
       """SELECT o_orderstatus, o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,

@@ -35,4 +35,32 @@ object Sources {
                  format: String = "parquet"): DataFrame =
     spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
       .format(format).load(dir)
+
+  // ------------------------------------------------------------------ sinks
+
+  /** CSV encoder + file output (reference CsvEncoder format/csv.rs:158 +
+    * file output transport). Spark writes one file per partition in
+    * parallel — the distributed twin of the reference's per-worker
+    * encoder fan-in. */
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode("overwrite").option("header", header).csv(path)
+
+  /** JSON-lines encoder + file output (reference JsonEncoder,
+    * format/json.rs). */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Streaming file sink: append-mode, exactly-once via the sink manifest +
+    * checkpoint (the reference's file output transport with fault-tolerant
+    * resume; transport/file/output.rs). Blocks until the bounded input
+    * drains. */
+  def streamToFiles(df: DataFrame, path: String, checkpoint: String,
+                    format: String = "csv"): Unit = {
+    val q = df.writeStream.format(format)
+      .option("path", path).option("checkpointLocation", checkpoint)
+      .option("header", "true")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
 }
