@@ -143,6 +143,40 @@ object Recursive {
     }
   }
 
+  /** PageRank — ITERATED WEIGHTED SUMS inside the recursion (reference:
+    * crates/dbsp/benches/ldbc-graphalytics/pagerank.rs). Fixed iteration
+    * count (the LDBC formulation); per-iteration contribution sums go
+    * through DECIMAL so they are order-independent — the same ranks on any
+    * partitioning/cluster size. Dangling mass is redistributed uniformly;
+    * only that one scalar crosses the driver per iteration. */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = (c: org.apache.spark.sql.Column) =>
+      sum(c.cast(DecimalType(28, 14))).cast("double")
+    val nodes = materialize(
+      edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct())
+    val n = nodes.count()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val e = materialize(edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg")))
+    var ranks = materialize(nodes.select(col("node"), lit(1.0 / n).as("rank")))
+    for (_ <- 1 to iters) {
+      val dangling = ranks.join(e.select("src").distinct(),
+          ranks("node") === col("src"), "left_anti")
+        .agg(coalesce(dec(col("rank")), lit(0.0))).head().getDouble(0)
+      val contribs = e.join(ranks, e("src") === ranks("node"))
+        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+        .groupBy("node").agg(dec(col("c")).as("cs"))
+      ranks = materialize(nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("cs"), lit(0.0)) + lit(dangling / n)))
+            .as("rank")))
+    }
+    ranks
+  }
+
   /** BFS min-distance fixpoint — an AGGREGATE (min-fold) inside the
     * recursion, which plain closure cannot express (reference:
     * crates/dbsp/benches/ldbc-graphalytics/bfs.rs:8-14 — Min aggregate

@@ -68,6 +68,20 @@ object Advanced extends QueryModule {
       ic.closure
     }),
 
+    // q53: PageRank — iterated weighted sums inside recursion (reference
+    // benches/ldbc-graphalytics/pagerank.rs). Deterministic decimal
+    // contribution sums; no DuckDB-expressible oracle (iterated float
+    // division) → rows-only check + RecursiveSpec tolerance gate.
+    "q53_pagerank" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select("c_custkey")
+      val edges = c.where(col("c_custkey") >= 2)
+        .select(col("c_custkey").as("src"), expr("c_custkey div 2").as("dst"))
+        .union(c.where(col("c_custkey") >= 9)
+          .select(col("c_custkey").as("src"), (col("c_custkey") - 7).as("dst")))
+        .localCheckpoint(true)
+      Recursive.pageRank(edges, iters = 10)
+    }),
+
     // q44: BFS min-distance — an AGGREGATE (min) inside the recursion
     // (reference benches/ldbc-graphalytics/bfs.rs:8-14): binary-tree edges
     // plus -7 shortcut edges from root 1; frontier-based min-fold fixpoint
@@ -208,13 +222,11 @@ object Advanced extends QueryModule {
           .withColumn("sum_1h", sum(col("value").cast(DecimalType(18, 4))).over(w).cast("double"))
           .select("event_id", "user_id", "n_1h", "sum_1h"))
       }
-      val in = new Incremental.State(Incremental.emptyLike(ds.head))
+      // key-partitioned trace: the out-of-order correction recomputes only
+      // the touched users' buckets, not the whole accumulated state
+      val in = new KeyedState(Seq("user_id"), 32, Incremental.emptyLike(ds.head))
       val out = new Incremental.State(Incremental.emptyLike(aggFn(ds.head)))
-      ds.foreach { d =>
-        val old = in.acc
-        in.update(d)
-        out.update(Incremental.generalAggDelta(d, old, in.acc, Seq("user_id"))(aggFn))
-      }
+      ds.foreach { d => out.update(in.aggStep(d)(aggFn)) }
       out.acc.toDF.select("event_id", "user_id", "n_1h", "sum_1h")
     }),
 
@@ -234,13 +246,10 @@ object Advanced extends QueryModule {
         ZSetFrame.fromTable(z.toDF.withColumn("rn", row_number().over(w))
           .where(col("rn") <= 3).select("user_id", "event_id", "value", "rn"))
       }
-      val in = new Incremental.State(Incremental.emptyLike(ds.head))
+      // key-partitioned trace: a step touches only its keys' buckets
+      val in = new KeyedState(Seq("user_id"), 32, Incremental.emptyLike(ds.head))
       val out = new Incremental.State(Incremental.emptyLike(aggFn(ds.head)))
-      ds.foreach { d =>
-        val old = in.acc
-        in.update(d)
-        out.update(Incremental.generalAggDelta(d, old, in.acc, Seq("user_id"))(aggFn))
-      }
+      ds.foreach { d => out.update(in.aggStep(d)(aggFn)) }
       out.acc.toDF.select("user_id", "event_id", "value", "rn")
     }),
 
@@ -288,18 +297,15 @@ object Advanced extends QueryModule {
         ZSetFrame.fromTable(o),
         ZSetFrame.fromDelta(o.where(pmod(col("o_orderkey"), lit(7L)) === 0)
           .withColumn(ZSetFrame.W, lit(-1L))))
-      val in = new Incremental.State(Incremental.emptyLike(ds.head))
+      // key-partitioned trace: a step touches only its keys' buckets
+      val in = new KeyedState(Seq("o_custkey"), 32, Incremental.emptyLike(ds.head))
       val out = new Incremental.State(ZSetFrame.fromDelta(
         o.where(lit(false)).select(col("o_custkey"), col("o_totalprice").as("max_price"))
           .withColumn(ZSetFrame.W, lit(1L))))
       def aggFn(z: ZSetFrame): ZSetFrame =
         z.aggregate(Seq(col("o_custkey")), expandWeights = false,
           max(col("o_totalprice")).as("max_price"))
-      ds.foreach { d =>
-        val aOld = in.acc
-        in.update(d)
-        out.update(Incremental.generalAggDelta(d, aOld, in.acc, Seq("o_custkey"))(aggFn))
-      }
+      ds.foreach { d => out.update(in.aggStep(d)(aggFn)) }
       out.acc.toDF.select("o_custkey", "max_price")
     })
   )

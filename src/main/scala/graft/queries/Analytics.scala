@@ -233,6 +233,19 @@ object Analytics extends QueryModule {
           min("ts_ms").as("session_start_ms"))
     }),
 
+    // native SESSION WINDOW (Spark built-in session_window) — the streaming-
+    // capable session operator the reference lacks (nexmark q11 has no DBSP
+    // impl, benchmark/README.md:228); batch twin gated against the
+    // gaps-and-islands oracle. Break iff gap ≥ 10 min (session_window merges
+    // while next < last + gap).
+    "q52_session_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(epochMs(col("session_window.start")).as("session_start_ms"),
+          col("user_id"), col("n_events"), col("sum_value"))
+    }),
+
     // ranking window suite: rank / dense_rank / lag / lead (SURVEY §2.6)
     "q26_rank_suite" -> ((s, dir) => {
       val byPrice = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -348,6 +361,20 @@ object Analytics extends QueryModule {
          SELECT k, 'i' AS tag FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) t1
          UNION ALL
          SELECT k, 'e' AS tag FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) t2""",
+    "q52_session_window" ->
+      """WITH g AS (
+           SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms,
+             CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 600000 THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+         s AS (
+           SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+           FROM g)
+         SELECT min(ts_ms) AS session_start_ms, user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM s GROUP BY user_id, sid""",
     "q37_sessionize" ->
       """WITH g AS (
            SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,

@@ -100,6 +100,23 @@ object Dedup extends QueryModule {
       Dedup.annIvfTop1(v, col("vec_id") < 100, nprobe = 2)
     }),
 
+    // DUP CLUSTERS: near-dup pairs (d03's verified LSH output) → undirected
+    // graph → connected components by min-label reachability, computed with
+    // the log-depth doubling closure. The canonical-document assignment a
+    // dedup pipeline actually ships: every clustered doc labeled with its
+    // component's smallest doc_id.
+    "d09_dup_clusters" -> ((s, dir) => {
+      import graft.operators.Recursive
+      val pairs = queries("d03_minhash_lsh")(s, dir).select("d1", "d2")
+      val sym = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+        .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      val selfloops = sym.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst"))
+      val closure = Recursive.closureDoubling(
+        sym.union(selfloops).localCheckpoint(true))
+      closure.groupBy(col("src").as("doc_id")).agg(min("dst").as("cluster"))
+    }),
+
     // per-label embedding centroids (the IVF coarse-quantizer build step):
     // positional explode + decimal-exact mean per (label, dim). One shuffle
     // on (label, pos); at 100 TB this is the standard fan-out that AQE
@@ -222,6 +239,16 @@ object Dedup extends QueryModule {
   override def oracle: Map[String, String] = Map(
     // identical to the exact d02 result (LSH verified-candidates path)
     "d03_minhash_lsh" -> TextAnalysis.oracle("d02_jaccard_pairs"),
+    "d09_dup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (${TextAnalysis.oracle("d02_jaccard_pairs")}),
+         e AS (SELECT d1 AS src, d2 AS dst FROM pairs
+               UNION SELECT d2, d1 FROM pairs
+               UNION SELECT d1, d1 FROM pairs
+               UNION SELECT d2, d2 FROM pairs),
+         r AS (SELECT src, dst FROM e
+               UNION
+               SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src)
+         SELECT src AS doc_id, min(dst) AS cluster FROM r GROUP BY src""",
     "d07_label_centroids" ->
       """SELECT label, i AS pos,
            CAST(SUM(CAST(CAST(embedding[i+1] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)

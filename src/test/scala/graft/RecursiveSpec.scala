@@ -50,6 +50,30 @@ class RecursiveSpec extends SparkSpec {
       d(6L) == 2 && d(10L) == 6)
   }
 
+  test("pageRank matches a driver-side reference within 1e-9") {
+    // star + chain + dangling node: 1→2, 1→3, 2→3, 3→4 (4 dangles)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Recursive.pageRank(edges, iters = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // reference power iteration on the driver
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    val out = Map(1L -> Seq(2L, 3L), 2L -> Seq(3L), 3L -> Seq(4L), 4L -> Seq())
+    val n = nodes.size
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 20) {
+      val dangling = nodes.filter(out(_).isEmpty).map(r).sum
+      val contrib = nodes.flatMap(u => out(u).map(v => v -> r(u) / out(u).size))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      r = nodes.map(v => v ->
+        (0.15 / n + 0.85 * (contrib.getOrElse(v, 0.0) + dangling / n))).toMap
+    }
+    nodes.foreach { v =>
+      assert(math.abs(got(v) - r(v)) < 1e-9, s"node $v: ${got(v)} vs ${r(v)}")
+    }
+    // ranks are a probability distribution
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
   test("deep recursion: 1000-deep chain closes in ⌈log₂D⌉ doubling rounds") {
     // a 1000-node path graph has recursion depth 999; path doubling closes
     // it in ~10 barriers (one-hop iteration would pay ~999 × the per-round
