@@ -108,8 +108,10 @@ object Recursive {
   final class IncrementalClosure(initEdges: ZSetFrame) {
     /** current edge set (set semantics), columns (src, dst) */
     private var edges: DataFrame = materialize(initEdges.distinctZ.toDF)
-    /** current closure, columns (src, dst) */
-    private var tc: DataFrame = closureFrom(edges, edges)
+    /** current closure, columns (src, dst) — the epoch-0 build is a batch
+      * computation, so it uses the log-barrier doubling closure; only the
+      * per-epoch repairs derive linearly (work ∝ affected reach) */
+    private var tc: DataFrame = closureDoubling(edges)
 
     def currentEdges: DataFrame = edges
     def closure: DataFrame = tc
@@ -160,18 +162,21 @@ object Recursive {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val e = materialize(edges.join(deg, "src")
       .select(col("src"), col("dst"), col("deg")))
+    val srcs = materialize(e.select("src").distinct())
     var ranks = materialize(nodes.select(col("node"), lit(1.0 / n).as("rank")))
     for (_ <- 1 to iters) {
-      val dangling = ranks.join(e.select("src").distinct(),
-          ranks("node") === col("src"), "left_anti")
-        .agg(coalesce(dec(col("rank")), lit(0.0))).head().getDouble(0)
+      // dangling mass stays IN the plan: a 1-row aggregate broadcast by the
+      // cross join — one materialize job per iteration, no driver collect
+      val dangling = ranks.join(srcs, ranks("node") === srcs("src"), "left_anti")
+        .agg(coalesce(dec(col("rank")), lit(0.0)).as("dm"))
       val contribs = e.join(ranks, e("src") === ranks("node"))
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
         .groupBy("node").agg(dec(col("c")).as("cs"))
       ranks = materialize(nodes.join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("node"),
           (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("cs"), lit(0.0)) + lit(dangling / n)))
+            lit(damping) * (coalesce(col("cs"), lit(0.0)) + col("dm") / lit(n.toDouble)))
             .as("rank")))
     }
     ranks
