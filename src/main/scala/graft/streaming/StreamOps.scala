@@ -142,10 +142,21 @@ object StreamOps {
   }
 
   /** Drive a streaming query from a memory sink to completion (test/dev
-    * harness; production uses writeStream to kafka/parquet sinks). */
+    * harness; production uses writeStream to kafka/parquet sinks).
+    *
+    * Stateful-operator parallelism (state store instances, and thus files
+    * committed per micro-batch) equals spark.sql.shuffle.partitions at
+    * FIRST start and is then pinned into the checkpoint — so it is sized
+    * here per-job (like any streaming deployment does) and the session
+    * value is restored as soon as the query starts. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
-                  mode: OutputMode = OutputMode.Append): DataFrame = {
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+                  mode: OutputMode = OutputMode.Append,
+                  statePartitions: Int = 8): DataFrame = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val q =
+      try df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.processAllAvailable()
     q.stop()
     spark.table(name)
