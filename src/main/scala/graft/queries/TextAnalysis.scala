@@ -91,6 +91,47 @@ object TextAnalysis extends QueryModule {
         when(allZero, "und").otherwise(pred).as("pred_lang"))
     }),
 
+    // JSON property extraction (events.props is a JSON string): typed
+    // from_json + path extraction, aggregated per event type — the
+    // semi-structured scalar surface (SURVEY §2.8 JSON ops) under the
+    // oracle gate
+    "t05_props_json" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val k = from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+        .getField("k")
+      t(s, dir, "events")
+        .select(col("event_type"), k.as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"),
+          count(when(col("k") > 50, 1)).as("n_hi"))
+    }),
+
+    // TRAINING-SET MANIFEST — the composed pipeline a data-curation job
+    // ships: quality-score filter ∘ exact-dedup (canonical doc per
+    // fingerprint) ∘ per-source token budget. One shuffle per stage
+    // (fingerprint, then source), all column expressions.
+    "d10_training_set" -> ((s, dir) => {
+      val tk = toks(col("text"))
+      val nTok = size(tk).cast("double")
+      val uniq = size(array_distinct(tk)).cast("double") / nTok
+      val stop = markerCount(tk, langMarkers.head._2).cast("double") / nTok
+      val quality = uniq * lit(0.6) + stop * lit(0.4)
+      val scored = t(s, dir, "documents").select(
+        col("doc_id"), col("source"), size(tk).as("n_tokens"),
+        quality.as("q"), md5(normalized(col("text"))).as("fp"))
+        .where(col("q") >= 0.55)
+      // exact dedup: keep the smallest doc_id per fingerprint
+      val w = Window.partitionBy("fp").orderBy(col("doc_id"))
+      val deduped = scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+      deduped.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("token_budget"),
+          Num.dsum(col("q")).as("sum_q"))
+    }),
+
     // document fingerprint: md5 over normalized text
     "t04_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -180,6 +221,28 @@ object TextAnalysis extends QueryModule {
            FROM documents""",
       "t03_langid" ->
         s"SELECT doc_id, $langCase AS pred_lang FROM documents",
+      "t05_props_json" ->
+        """SELECT event_type, count(*) AS n,
+             CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+             CAST(COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                        THEN 1 END) AS BIGINT) AS n_hi
+           FROM events GROUP BY event_type""",
+      "d10_training_set" ->
+        s"""WITH sc AS (
+             SELECT doc_id, source,
+               len(string_split(text,' ')) AS n_tokens,
+               (CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' '))) * 0.6
+                 + (CAST(${oMarker("string_split(text,' ')", "'the','and','of','to','in'")} AS DOUBLE) / len(string_split(text,' '))) * 0.4 AS q,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+             FROM documents),
+           d AS (
+             SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+             FROM sc WHERE q >= 0.55)
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS token_budget,
+             CAST(SUM(CAST(q AS DECIMAL(18,4))) AS DOUBLE) AS sum_q
+           FROM d WHERE rn = 1 GROUP BY source""",
       "t04_fingerprint" ->
         """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
            FROM documents""",

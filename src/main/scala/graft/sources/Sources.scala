@@ -50,6 +50,20 @@ object Sources {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Kafka output transport (reference transport/kafka/output.rs): rows
+    * must carry `key`/`value` binary or string columns. Code-only here —
+    * no broker in the container (same status as kafkaStream). */
+  def kafkaSink(df: DataFrame, brokers: String, topic: String,
+                checkpoint: String): Unit = {
+    val q = df.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Streaming file sink: append-mode, exactly-once via the sink manifest +
     * checkpoint (the reference's file output transport with fault-tolerant
     * resume; transport/file/output.rs). Blocks until the bounded input
