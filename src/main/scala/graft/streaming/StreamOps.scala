@@ -111,6 +111,40 @@ object StreamOps {
       }
   }
 
+  /** Upsert deltas on the transformWithState API (Spark 4 arbitrary state
+    * v2, RocksDB-backed): the same −old/+new contract as upsertDeltas, with
+    * NATIVE per-state TTL (TTLConfig) — the reference's TraceBound as a
+    * first-class state-store feature instead of a hand-rolled timeout.
+    * Requires spark.sql.streaming.stateStore.providerClass =
+    * RocksDBStateStoreProvider (set per-job; see StreamingSpec). */
+  def upsertDeltasTws(cmds: Dataset[UpsertCmd],
+                      ttlMs: Long = -1L): Dataset[KvDelta] = {
+    import cmds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TTLConfig, ValueState}
+    val processor = new StatefulProcessor[Long, UpsertCmd, KvDelta] {
+      @transient private var st: ValueState[Double] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+        val ttl = if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs))
+                  else TTLConfig.NONE
+        st = getHandle.getValueState[Double]("value",
+          org.apache.spark.sql.Encoders.scalaDouble, ttl)
+      }
+      override def handleInputRows(key: Long, rows: Iterator[UpsertCmd],
+          timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[KvDelta] = {
+        val last = rows.reduceLeft((a, b) => if (b.seq >= a.seq) b else a)
+        val old: Option[Double] = if (st.exists()) Some(st.get()) else None
+        val next: Option[Double] = if (last.delete) None else Some(last.value)
+        if (last.delete) st.clear() else st.update(last.value)
+        transition(key, old, next)
+      }
+    }
+    // ProcessingTime time-mode only when TTL is active — it keeps the
+    // microbatch loop scheduling maintenance work even on a drained source
+    val timeMode = if (ttlMs > 0) TimeMode.ProcessingTime() else TimeMode.None()
+    cmds.groupByKey(_.key)
+      .transformWithState(processor, timeMode, OutputMode.Append())
+  }
+
   /** Running fold per key (reference: operator/stream_fold.rs:21):
     * emits the updated accumulator every step. */
   def runningSum(events: Dataset[(Long, Double)]): Dataset[(Long, Double)] = {

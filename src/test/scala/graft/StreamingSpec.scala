@@ -87,6 +87,35 @@ class StreamingSpec extends SparkSpec {
     assertSameRows(got, expect)
   }
 
+  test("transformWithState upsert (RocksDB) matches the fMGWS semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[UpsertCmd]
+      val q = StreamOps.upsertDeltasTws(in.toDS()).writeStream
+        .outputMode(OutputMode.Append).format("memory")
+        .queryName(s"tws_out_${System.nanoTime()}").start()
+      val name = q.name
+      in.addData(UpsertCmd(1, 1.0, 1, delete = false),
+        UpsertCmd(2, 9.0, 2, delete = false), UpsertCmd(2, 2.0, 3, delete = false))
+      q.processAllAvailable()
+      in.addData(UpsertCmd(1, 5.0, 4, delete = false),
+        UpsertCmd(2, 0.0, 5, delete = true), UpsertCmd(3, 0.0, 6, delete = true))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table(name).as[KvDelta].collect().toSeq
+      val net = out.groupBy(d => (d.key, d.value)).view
+        .mapValues(_.map(_.weight).sum).filter(_._2 != 0L).toMap
+      assert(net == Map((1L, 5.0) -> 1L))
+      assert(out.size == 5) // +1.0, +2.0 | -1.0, +5.0, -2.0
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("TTL'd upsert state stays bounded under a 3× longer feed") {
     import graft.streaming.TimedUpsertCmd
     implicit val sqlCtx = spark.sqlContext
