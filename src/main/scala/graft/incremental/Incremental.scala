@@ -52,6 +52,22 @@ object Incremental {
                 keys: Seq[String]): ZSetFrame =
     dA.join(bOld, keys) + aNew.join(dB, keys)
 
+  /** Incremental bilinear join over KEY-PARTITIONED traces: each delta is
+    * joined against a PROBE of the other side's trace (only the buckets the
+    * delta's keys hash into are read), so a step costs O(|Δ| + touched
+    * buckets) — the reference's sharded-trace join lookup
+    * (operator/join.rs:180). Merges ΔB into `bSt` and ΔA into `aSt`. */
+  def joinDeltaKeyed(aSt: KeyedState, dA: ZSetFrame,
+                     bSt: KeyedState, dB: ZSetFrame,
+                     keys: Seq[String],
+                     checkpointDeltas: Boolean = true): ZSetFrame = {
+    val bOldProbe = bSt.probe(dA)      // B_old rows for ΔA's buckets
+    aSt.merge(dA, checkpointDeltas)    // A_new includes ΔA
+    val aNewProbe = aSt.probe(dB)      // A_new rows for ΔB's buckets
+    bSt.merge(dB, checkpointDeltas)
+    dA.join(bOldProbe, keys) + aNewProbe.join(dB, keys)
+  }
+
   /** Incremental distinct: δ = distinct(A_new) − distinct(A_old)
     * (reference: operator/distinct.rs:64 root-scope fast path). */
   def distinctDelta(aOld: ZSetFrame, aNew: ZSetFrame): ZSetFrame =

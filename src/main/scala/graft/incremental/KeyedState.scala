@@ -106,6 +106,19 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
     (oldTouched, newTouched)
   }
 
+  /** Trace PROBE: the state rows living in the buckets touched by `other`'s
+    * keys — the reference's indexed-trace lookup during an incremental join
+    * (reference: operator/join.rs:180 — Δ is joined against the sharded
+    * trace by key probe, never a full scan). Read-only, partition-pruned:
+    * cost is O(|other| + touched-bucket rows). The result may contain
+    * co-bucketed extra keys; the subsequent equi-join discards them. */
+  def probe(other: ZSetFrame): ZSetFrame = {
+    val touched = other.df
+      .select(pmod(hash(keys.map(other.df(_)): _*), lit(nBuckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    ZSetFrame.fromDelta(bucketsDf(touched))
+  }
+
   /** One incremental GENERAL-aggregate step (min/max/top-n/argmax...):
     * merge the delta, then re-aggregate ONLY the touched buckets, emitting
     * -old/+new output rows (reference: aggregate/mod.rs:204-244). Per-step

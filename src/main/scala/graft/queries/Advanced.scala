@@ -289,6 +289,38 @@ object Advanced extends QueryModule {
         .toDF.select("l_partkey", "max_price", "n_items", "min_qty")
     }),
 
+    // q54: incremental JOIN over KEY-PARTITIONED traces — 6 epochs of
+    // simultaneous two-sided deltas (5 insert waves on both sides, then a
+    // retraction wave on B that must retract its joined output rows); each
+    // delta joins a partition-pruned PROBE of the other trace, never the
+    // full state (reference: operator/join.rs:180 sharded-trace lookup)
+    "q54_inc_keyed_join" -> ((s, dir) => {
+      val a = t(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"), col("o_orderkey"))
+        .localCheckpoint(true)
+      val b = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .localCheckpoint(true)
+      val keys = Seq("c_custkey")
+      val aSt = new KeyedState(keys, 32, ZSetFrame.fromTable(a.where(lit(false))))
+      val bSt = new KeyedState(keys, 32,
+        ZSetFrame.fromTable(b.where(lit(false))))
+      val waves: Seq[(ZSetFrame, ZSetFrame)] =
+        (0 until 3).map { i =>
+          (ZSetFrame.fromTable(a.where(pmod(col("o_orderkey"), lit(3L)) === i)),
+           ZSetFrame.fromTable(b.where(pmod(col("c_custkey"), lit(3L)) === i)))
+        } :+ ((ZSetFrame.fromTable(a.where(lit(false))),
+               ZSetFrame.fromDelta(b.where(col("c_mktsegment") === "MACHINERY")
+                 .withColumn(ZSetFrame.W, lit(-1L)))))
+      val outDeltas = waves.map { case (dA, dB) =>
+        // deltas are filters over the pinned scans — no per-wave checkpoint
+        Incremental.joinDeltaKeyed(aSt, dA, bSt, dB, keys,
+          checkpointDeltas = false)
+      }
+      ZSetFrame.sumAll(outDeltas).consolidate
+        .toDF.select("c_custkey", "o_orderkey", "c_name")
+    }),
+
     // incremental GENERAL aggregate (max): touched-key recompute with
     // retraction of previous output rows (aggregate/mod.rs:204-244)
     "q32_inc_max" -> ((s, dir) => {
@@ -364,6 +396,10 @@ object Advanced extends QueryModule {
     "q32_inc_max" ->
       """SELECT o_custkey, max(o_totalprice) AS max_price FROM orders
          WHERE o_orderkey % 7 <> 0 GROUP BY 1""",
+    "q54_inc_keyed_join" ->
+      """SELECT o.o_custkey AS c_custkey, o.o_orderkey, c.c_name
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE c.c_mktsegment <> 'MACHINERY'""",
     "q42_inc_keyed_agg" ->
       """SELECT l_partkey, max(l_extendedprice) AS max_price,
            CAST(count(*) AS BIGINT) AS n_items, min(l_quantity) AS min_qty

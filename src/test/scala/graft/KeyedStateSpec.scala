@@ -44,6 +44,30 @@ class KeyedStateSpec extends SparkSpec {
     }
   }
 
+  test("joinDeltaKeyed ≡ batch join over random two-sided delta sequences") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed + 800)
+      def randomDelta(n: Int, vName: String): ZSetFrame = {
+        val rows = Seq.fill(n) {
+          val w = { val x = rnd.nextInt(4) - 2; if (x >= 0) x + 1 else x }
+          (rnd.nextInt(6).toLong, rnd.nextInt(8).toLong, w.toLong)
+        }
+        ZSetFrame.fromDelta(rows.toDF("k", vName, ZSetFrame.W))
+      }
+      val das = Seq.fill(3)(randomDelta(10, "v"))
+      val dbs = Seq.fill(3)(randomDelta(10, "v2"))
+      val aSt = new KeyedState(Seq("k"), 8, Incremental.emptyLike(das.head))
+      val bSt = new KeyedState(Seq("k"), 8, Incremental.emptyLike(dbs.head))
+      val out = new Incremental.State(
+        Incremental.emptyLike(das.head.join(dbs.head, Seq("k"))))
+      das.zip(dbs).foreach { case (dA, dB) =>
+        out.update(Incremental.joinDeltaKeyed(aSt, dA, bSt, dB, Seq("k")))
+      }
+      assertSameRows(out.acc.consolidate.df,
+        aSt.snapshot.join(bSt.snapshot, Seq("k")).consolidate.df)
+    }
+  }
+
   test("KeyedState aggStep ≡ batch agg under retraction (max + count)") {
     for (seed <- 1 to 3) {
       val rnd = new scala.util.Random(seed + 600)
