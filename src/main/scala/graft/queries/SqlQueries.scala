@@ -87,6 +87,29 @@ object SqlQueries extends QueryModule {
         .option("header", "true").csv(out)
     }),
 
+    // correlated scalar subquery (the TPC-H Q17 shape): rows compared
+    // against their group's aggregate, decorrelated by Catalyst into a
+    // join against the pre-aggregated subquery — no per-row re-execution
+    "q55_sql_correlated" -> ((s, dir) => sqlq(
+      """SELECT l_orderkey, l_partkey, l_quantity
+         FROM lineitem l1
+         WHERE l_quantity > 2 * (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                                        / COUNT(*)
+                                 FROM lineitem l2
+                                 WHERE l2.l_partkey = l1.l_partkey)
+         ORDER BY l_orderkey, l_partkey""")(s, dir)),
+
+    // IN-subquery + GROUP BY + HAVING (the TPC-H Q18 shape)
+    "q56_sql_having" -> ((s, dir) => sqlq(
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_big,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+         FROM orders
+         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                              GROUP BY l_orderkey
+                              HAVING SUM(l_quantity) > 150)
+         GROUP BY o_custkey
+         HAVING COUNT(*) >= 2""")(s, dir)),
+
     // SQL twin of the q25 rollup: hierarchical totals over two dims
     "q49_sql_rollup" -> ((s, dir) => sqlq(
       """SELECT o_orderstatus, o_orderpriority,
@@ -127,6 +150,23 @@ object SqlQueries extends QueryModule {
     "q51_csv_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          WHERE o_orderstatus = 'F'""",
+    "q55_sql_correlated" ->
+      """SELECT l_orderkey, l_partkey, l_quantity
+         FROM lineitem l1
+         WHERE l_quantity > 2 * (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                                        / COUNT(*)
+                                 FROM lineitem l2
+                                 WHERE l2.l_partkey = l1.l_partkey)
+         ORDER BY l_orderkey, l_partkey""",
+    "q56_sql_having" ->
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_big,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+         FROM orders
+         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                              GROUP BY l_orderkey
+                              HAVING SUM(l_quantity) > 150)
+         GROUP BY o_custkey
+         HAVING COUNT(*) >= 2""",
     "q49_sql_rollup" ->
       """SELECT o_orderstatus, o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
