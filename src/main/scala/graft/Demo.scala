@@ -39,6 +39,27 @@ object Demo {
     Seq((1L, "x")).toDF("k", "s").write.mode("overwrite").option("header", "true").csv(dir)
     println("DEMO csv = " + sources.Sources.csv(spark, dir).collect().toList)
 
+    // SQL front door: views + native function from SQL
+    Seq((0L, Array(1f, 0f)), (1L, Array(0.6f, 0.8f))).toDF("vec_id", "embedding")
+      .createOrReplaceTempView("vecs")
+    functions.VectorFunctions.register(spark)
+    spark.sql("CREATE OR REPLACE TEMP VIEW unit AS SELECT * FROM vecs")
+    println("DEMO sql graft_dot = " + spark.sql(
+      "SELECT vec_id, graft_dot(embedding, embedding) AS n2 FROM unit")
+      .collect().toList)
+
+    // key-partitioned incremental state: O(Δ)-step aggregate with retraction
+    val st = new incremental.KeyedState(Seq("k"), 4,
+      core.ZSetFrame.fromTable(Seq.empty[(Long, Long)].toDF("k", "v")))
+    def mx(z: core.ZSetFrame) =
+      z.aggregate(Seq($"k"), expandWeights = false, max($"v").as("mx"))
+    val d1 = st.aggStep(core.ZSetFrame.fromTable(
+      Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("k", "v")))(mx)
+    val d2 = st.aggStep(core.ZSetFrame.fromDelta(
+      Seq((1L, 20L, -1L)).toDF("k", "v", core.ZSetFrame.W)))(mx) // retract max
+    println("DEMO keyed agg deltas = " +
+      (d1 + d2).consolidate.df.orderBy("k").collect().toList)
+
     spark.stop()
   }
 }

@@ -101,6 +101,34 @@ object StreamingQueries extends QueryModule {
         .where(col("w") > 0).select(col("key").as("user_id"), col("value"))
     }),
 
+    // stream-stream LEFT OUTER join: matched rows emit immediately; an
+    // unmatched click emits (with null buy columns) only once the watermark
+    // proves no purchase can still arrive — which is why BOTH streams carry
+    // the flush sentinel on bounded replay (reference: streaming outer_join
+    // semantics over monotonic streams, operator/join.rs:87 + trace bound)
+    "q57_stream_outer_join" -> ((s, dir) => {
+      val clicks = eventStream(s, dir, "ssoj_l", sentinel = true)
+        .where(col("event_type") === "click" || col("event_type") === "flush")
+        .select(col("user_id"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"), col("event_type").as("c_type"))
+        .withWatermark("c_ts", "1 second")
+      val buys = eventStream(s, dir, "ssoj_r", sentinel = true)
+        .where(col("event_type") === "purchase" || col("event_type") === "flush")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("buy_id"))
+        .withWatermark("p_ts", "1 second")
+      val joined = clicks.join(buys,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      StreamOps.runToMemory(s, joined, s"stream_ojoin_${System.nanoTime()}",
+        OutputMode.Append)
+        .where(col("c_type") =!= "flush")
+        .select(col("user_id"), col("click_id"), col("buy_id"),
+          epochMs(col("c_ts")).as("c_ms"), epochMs(col("p_ts")).as("p_ms"))
+    }),
+
     // REAL stream-stream join (reference: operator/join.rs:87
     // monotonic_stream_join): two watermarked streams, event-time range
     // condition bounding state on both sides; inner matches emit in append
@@ -136,6 +164,14 @@ object StreamingQueries extends QueryModule {
       """SELECT user_id, value FROM events
          QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
            AND event_type <> 'error'""",
+    "q57_stream_outer_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS buy_id,
+            epoch_ms(c.ts) AS c_ms, epoch_ms(p.ts) AS p_ms
+         FROM events c LEFT JOIN events p
+           ON c.user_id = p.user_id
+          AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+         WHERE c.event_type = 'click'""",
     "q45_stream_join" ->
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS buy_id,
             epoch_ms(c.ts) AS c_ms, epoch_ms(p.ts) AS p_ms
