@@ -68,6 +68,34 @@ class KeyedStateSpec extends SparkSpec {
     }
   }
 
+  test("KeyedState with a multi-column key partitions and aggregates correctly") {
+    val rnd = new scala.util.Random(900)
+    def delta(n: Int): ZSetFrame = ZSetFrame.fromDelta(
+      Seq.fill(n)((rnd.nextInt(4).toLong, rnd.nextInt(3).toLong,
+        rnd.nextInt(50).toLong, 1L))
+        .toDF("k1", "k2", "v", ZSetFrame.W).distinct())
+    def aggFn(z: ZSetFrame): ZSetFrame =
+      z.aggregate(Seq(col("k1"), col("k2")), expandWeights = false,
+        max(col("v")).as("mx"))
+    val st = new KeyedState(Seq("k1", "k2"), 8, Incremental.emptyLike(delta(1)))
+    val out = new Incremental.State(Incremental.emptyLike(aggFn(delta(1))))
+    (1 to 3).foreach { _ => out.update(st.aggStep(delta(12))(aggFn)) }
+    assertSameRows(out.acc.consolidate.df, aggFn(st.snapshot.consolidate).df)
+  }
+
+  test("incremental distinct through the keyed trace (aggStep ∘ distinctZ)") {
+    val rnd = new scala.util.Random(901)
+    def delta(): ZSetFrame = ZSetFrame.fromDelta(
+      Seq.fill(15) {
+        val w = { val x = rnd.nextInt(4) - 2; if (x >= 0) x + 1 else x }
+        (rnd.nextInt(10).toLong, rnd.nextInt(4).toLong, w.toLong)
+      }.toDF("k", "v", ZSetFrame.W))
+    val st = new KeyedState(Seq("k"), 8, Incremental.emptyLike(delta()))
+    val out = new Incremental.State(Incremental.emptyLike(delta()))
+    (1 to 4).foreach { _ => out.update(st.aggStep(delta())(_.distinctZ)) }
+    assertSameRows(out.acc.consolidate.df, st.snapshot.distinctZ.df)
+  }
+
   test("KeyedState aggStep ≡ batch agg under retraction (max + count)") {
     for (seed <- 1 to 3) {
       val rnd = new scala.util.Random(seed + 600)
