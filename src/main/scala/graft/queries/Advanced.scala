@@ -52,6 +52,51 @@ object Advanced extends QueryModule {
       Recursive.closureDoubling(edges)
     }),
 
+    // q58: step-loop TIME WINDOW with retraction-on-advance — the
+    // reference's window operator emits retractions for rows falling out as
+    // the lower bound moves (reference: time_series/window.rs:75): four
+    // time-ordered ingest steps, each advancing the waterline; expired rows
+    // are retracted from the running linear aggregate AND evicted from the
+    // bounded state, so the final accumulated output is exactly the
+    // trailing-1h window aggregate.
+    "q58_inc_window" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), epochMs(col("ts")).as("ts_ms"),
+          col("value").cast("decimal(18,4)").as("v"))
+        .localCheckpoint(true)
+      val start = 1704067200000L // 2024-01-01T00:00:00Z
+      val end = 1706659200000L   // 2024-01-31T00:00:00Z
+      val span = (end - start) / 4
+      val horizon = 3600000L
+      val st = new Incremental.BoundedState(
+        ZSetFrame.fromTable(ev.where(lit(false))), "ts_ms")
+      val cnt = new Incremental.State(Incremental.emptyLike(
+        ZSetFrame.fromTable(ev.where(lit(false)).select("user_id"))))
+      val sum4 = new Incremental.State(Incremental.emptyLike(
+        ZSetFrame.fromTable(ev.where(lit(false)).select("user_id"))))
+      (0 until 4).foreach { i =>
+        val lo = start + i * span
+        val hi = start + (i + 1) * span
+        val waterline = hi - horizon
+        val chunk = ZSetFrame.fromTable(
+          ev.where(col("ts_ms") >= lo && col("ts_ms") < hi))
+        // retractions for rows that fall below the advancing lower bound;
+        // arrivals already below it are dead on arrival and never enter
+        val expired = ZSetFrame.fromDelta(
+          st.acc.df.where(col("ts_ms") < waterline)
+            .withColumn(ZSetFrame.W, -col(ZSetFrame.W)))
+        val wDelta = chunk.where(col("ts_ms") >= waterline) + expired
+        cnt.update(Incremental.linearAggDelta(wDelta, Seq(col("user_id")), lit(1L)))
+        sum4.update(Incremental.linearAggDelta(wDelta, Seq(col("user_id")),
+          (col("v") * 10000).cast("long")))
+        st.update(chunk, waterline)
+      }
+      val c = cnt.acc.df.select(col("user_id"), col(ZSetFrame.W).as("n"))
+      val v = sum4.acc.df.select(col("user_id").as("u2"),
+        (col(ZSetFrame.W).cast("decimal(18,4)") / 10000).cast("double").as("sum_value"))
+      c.join(v, c("user_id") === v("u2")).select("user_id", "n", "sum_value")
+    }),
+
     // q43: transitive closure MAINTAINED under edge deltas incl. retraction
     // (reference recursive.rs:255 epoch semantics): 3 epochs — base insert,
     // second insert wave, then retraction of every 7th source's edge; the
@@ -357,6 +402,12 @@ object Advanced extends QueryModule {
                   UNION
                   SELECT tc.src, e.dst FROM tc JOIN e ON tc.dst = e.src)
          SELECT src, dst FROM tc""",
+    "q58_inc_window" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE epoch_ms(ts) >= 1706655600000 AND epoch_ms(ts) < 1706659200000
+         GROUP BY user_id""",
     "q43_inc_closure" ->
       """WITH RECURSIVE e AS (SELECT c_custkey AS src, c_custkey // 2 AS dst
                               FROM customer
