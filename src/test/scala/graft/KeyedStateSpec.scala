@@ -68,6 +68,17 @@ class KeyedStateSpec extends SparkSpec {
     }
   }
 
+  test("empty delta is a no-op step (touches no buckets, emits nothing)") {
+    val d0 = ZSetFrame.fromDelta(Seq((1L, 2L, 1L)).toDF("k", "v", ZSetFrame.W))
+    val st = new KeyedState(Seq("k"), 8, Incremental.emptyLike(d0))
+    def aggFn(z: ZSetFrame): ZSetFrame =
+      z.aggregate(Seq(col("k")), expandWeights = false, max(col("v")).as("mx"))
+    st.merge(d0)
+    val empty = ZSetFrame.fromDelta(d0.df.where(lit(false)))
+    assert(st.aggStep(empty)(aggFn).consolidate.df.isEmpty)
+    assertSameRows(st.snapshot.consolidate.df, d0.consolidate.df)
+  }
+
   test("KeyedState with a multi-column key partitions and aggregates correctly") {
     val rnd = new scala.util.Random(900)
     def delta(n: Int): ZSetFrame = ZSetFrame.fromDelta(
