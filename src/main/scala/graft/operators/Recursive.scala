@@ -116,13 +116,22 @@ object Recursive {
     def currentEdges: DataFrame = edges
     def closure: DataFrame = tc
 
-    /** reachability restricted to paths STARTING at `seed`'s src values */
-    private def closureFrom(seed: DataFrame, e: DataFrame): DataFrame =
+    /** reachability restricted to paths STARTING at `seed`'s src values.
+      * Derives over the DOUBLED edge set E ∪ E∘E — one extra join per
+      * epoch halves the barrier count of the repair fixpoint (each
+      * iteration extends paths by up to two hops). */
+    private def closureFrom(seed: DataFrame, e: DataFrame): DataFrame = {
+      val a = e.select(col("src").as("h_src"), col("dst").as("mid"))
+      val b = e.select(col("src").as("mid"), col("dst").as("h_dst"))
+      val e2 = materialize(
+        a.join(b, "mid").select(col("h_src").as("src"), col("h_dst").as("dst"))
+          .union(e).distinct())
       fixpoint(seed) { d =>
         val dd = d.select(col("src").as("p_src"), col("dst").as("p_dst"))
-        dd.join(e, dd("p_dst") === e("src"))
-          .select(col("p_src").as("src"), e("dst").as("dst"))
+        dd.join(e2, dd("p_dst") === e2("src"))
+          .select(col("p_src").as("src"), e2("dst").as("dst"))
       }
+    }
 
     /** one epoch: apply an edge delta Z-set (mixed ±) and repair the closure */
     def step(delta: ZSetFrame): DataFrame = {
