@@ -61,10 +61,16 @@ object Incremental {
                      bSt: KeyedState, dB: ZSetFrame,
                      keys: Seq[String],
                      checkpointDeltas: Boolean = true): ZSetFrame = {
-    val bOldProbe = bSt.probe(dA)      // B_old rows for ΔA's buckets
-    aSt.merge(dA, checkpointDeltas)    // A_new includes ΔA
-    val aNewProbe = aSt.probe(dB)      // A_new rows for ΔB's buckets
-    bSt.merge(dB, checkpointDeltas)
+    require(aSt.nBuckets == bSt.nBuckets && aSt.keys == bSt.keys,
+      "join traces must share key columns and bucket count")
+    // bucket ids are computed ONCE per delta and shared between the probe
+    // of one trace and the merge of the other (identical hash layout)
+    val aTouched = aSt.touchedBuckets(dA)
+    val bOldProbe = bSt.view(aTouched)                 // B_old for ΔA's buckets
+    aSt.merge(dA, checkpointDeltas, Some(aTouched))    // A_new includes ΔA
+    val bTouched = bSt.touchedBuckets(dB)
+    val aNewProbe = aSt.view(bTouched)                 // A_new for ΔB's buckets
+    bSt.merge(dB, checkpointDeltas, Some(bTouched))
     dA.join(bOldProbe, keys) + aNewProbe.join(dB, keys)
   }
 

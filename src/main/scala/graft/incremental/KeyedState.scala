@@ -86,7 +86,19 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
     * into. Returns (old content of touched buckets, new content of touched
     * buckets) for delta-rule use — both are partition-pruned views, never
     * full-state scans. */
-  def merge(delta: ZSetFrame, checkpointDelta: Boolean = true): (ZSetFrame, ZSetFrame) = {
+  /** Bucket ids a delta's keys hash into (one small job). Shareable across
+    * same-shaped states: any KeyedState with equal `keys` and `nBuckets`
+    * assigns identical ids. */
+  def touchedBuckets(delta: ZSetFrame): Seq[Int] =
+    delta.df.select(pmod(hash(keys.map(delta.df(_)): _*), lit(nBuckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+
+  /** Partition-pruned read of the given buckets (no job launched). */
+  def view(bucketIds: Seq[Int]): ZSetFrame =
+    ZSetFrame.fromDelta(bucketsDf(bucketIds))
+
+  def merge(delta: ZSetFrame, checkpointDelta: Boolean = true,
+            knownTouched: Option[Seq[Int]] = None): (ZSetFrame, ZSetFrame) = {
     // no pre-consolidation of the delta: the merged-segment consolidate
     // below subsumes it; checkpoint only pins the delta so the touched-
     // bucket scan and the merge don't recompute it. Callers whose delta is
@@ -94,8 +106,7 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
     // checkpointDelta=false to save the extra job.
     val aligned = ZSetFrame.fromDelta(delta.df.select(colsInOrder.map(col): _*))
     val d = if (checkpointDelta) aligned.localCheckpoint() else aligned
-    val touched = d.df.select(pmod(hash(keyExprs: _*), lit(nBuckets)).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val touched = knownTouched.getOrElse(touchedBuckets(d))
     val oldTouched = ZSetFrame.fromDelta(bucketsDf(touched))
     // consolidate BEFORE installing: state rows must stay physically unique
     // (weight-merged) or count-style aggregates over the trace would see
@@ -112,12 +123,7 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
     * trace by key probe, never a full scan). Read-only, partition-pruned:
     * cost is O(|other| + touched-bucket rows). The result may contain
     * co-bucketed extra keys; the subsequent equi-join discards them. */
-  def probe(other: ZSetFrame): ZSetFrame = {
-    val touched = other.df
-      .select(pmod(hash(keys.map(other.df(_)): _*), lit(nBuckets)).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSeq.sorted
-    ZSetFrame.fromDelta(bucketsDf(touched))
-  }
+  def probe(other: ZSetFrame): ZSetFrame = view(touchedBuckets(other))
 
   /** One incremental GENERAL-aggregate step (min/max/top-n/argmax...):
     * merge the delta, then re-aggregate ONLY the touched buckets, emitting
