@@ -185,7 +185,7 @@ object StreamOps {
     * value is restored as soon as the query starts. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
                   mode: OutputMode = OutputMode.Append,
-                  statePartitions: Int = 8): DataFrame = {
+                  statePartitions: Int = 4): DataFrame = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val q =
