@@ -45,6 +45,16 @@ object Throughput {
         b.groupBy("auction").agg(max("price").as("final"))
           .join(broadcast(category), "auction")
           .groupBy("cat").agg(avg("final").as("avg_final"))),
+      // q3-ish: filter + broadcast dim join + project
+      ("q3_filter_join", 9936407d,
+        b.where(pmod(col("auction"), lit(4L)) === 0)
+          .join(broadcast(category), "auction")
+          .select(col("auction"), col("bidder"), col("price"), col("cat"))),
+      // q21-ish: regex channel extraction over a derived string
+      ("q21_regex", 9760859d,
+        b.select(col("auction"),
+          regexp_extract(concat(lit("ch_"), col("bidder"), lit("_end")),
+            "ch_([0-9]+)_end", 1).as("channel"))),
       // q5-ish: hot items — bids per auction per tumbling window
       ("q5_window", 9906875d,
         b.groupBy((col("ts_ms") - pmod(col("ts_ms"), lit(10000L))).as("wstart"),
