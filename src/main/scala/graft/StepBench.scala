@@ -71,15 +71,15 @@ object StepBench {
     }
   }
 
-  /** JSON fragment of per-step seconds. Median over steps (dropping the
-    * first post-seed step as warmup) — local-mode job scheduling noise is
-    * heavy-tailed and a mean over few steps swings run to run. */
+  /** JSON fragment of per-step seconds. MINIMUM over steps (dropping the
+    * first post-seed step as warmup): local-mode scheduling noise is
+    * additive and heavy-tailed, so the floor is the clean signal of
+    * data-dependent cost — if a step scans state, its FLOOR grows with
+    * state; if it only touches delta buckets, the floor stays put. */
   def json(spark: SparkSession, base: Long, steps: Int): String = {
     val nKeys = base / 50
-    def med(xs0: Seq[Double]): Double = {
-      val xs = (if (xs0.size > 2) xs0.drop(1) else xs0).sorted
-      xs(xs.size / 2)
-    }
+    def med(xs0: Seq[Double]): Double =
+      (if (xs0.size > 2) xs0.drop(1) else xs0).min
     // 256 buckets: bucket size (not bucket count) is what a step pays for,
     // so more buckets = flatter growth; the extra empty tasks are noise
     val kS = med(runKeyed(spark, base, nKeys, steps, 256))
