@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench/Verify stdout as machine-readable artifacts: the
+// forked process's output must pass through verbatim (no "[info] " prefix)
+// and the run's last line must be the program's last line (no "[success]"
+// trailer), or the one-line JSON the driver extracts fails to parse.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

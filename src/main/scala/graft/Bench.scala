@@ -39,12 +39,18 @@ object Bench {
     // comparable to BASELINE.md streaming events/s
     val throughput = try Throughput.json(spark)
       catch { case e: Throwable => s"""{"error":"${e.getClass.getName}"}""" }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"step_bench":$stepBench,"throughput":$throughput,"sf":"$sfDir"}""")
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"step_bench":$stepBench,"throughput":$throughput,"sf":"$sfDir"}"""
+    // The driver extracts this JSON from stdout: silence logging BEFORE
+    // stop() so no shutdown-hook chatter can print after (or interleave
+    // with) the line, and make it the process's very last output.
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }

@@ -105,7 +105,15 @@ object StreamOps {
             val old: Option[Double] = state.getOption.flatten
             val next: Option[Double] = if (last.delete) None else Some(last.value)
             state.update(next)
-            state.setTimeoutTimestamp(maxTs + horizonMs)
+            // A timeout at or below the current watermark is illegal
+            // (Spark kills the query). Spark pre-filters rows older than
+            // the LATE-EVENTS watermark, but a group whose maxTs lands
+            // between that and the (newer) EVICTION watermark can still
+            // reach here with maxTs + horizon below it — clamp to
+            // watermark + 1 ms: the key stays evictable at the next
+            // watermark advance instead of killing the query.
+            state.setTimeoutTimestamp(
+              math.max(maxTs + horizonMs, state.getCurrentWatermarkMs() + 1))
             transition(key, old, next)
           }
       }

@@ -142,6 +142,37 @@ class StreamingSpec extends SparkSpec {
       s"state ${stateRows.max} grew like the lifetime key count")
   }
 
+  test("TTL'd upsert survives a fully-late out-of-order wave") {
+    import graft.streaming.TimedUpsertCmd
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TimedUpsertCmd]
+    // 30-minute horizon: a wave whose event times sit hours BEHIND the
+    // watermark gets a timeout below the watermark unless clamped — Spark
+    // kills the query with IllegalArgumentException in that case
+    val deltas = StreamOps.upsertDeltasTtl(in.toDS(), "0 seconds", 1800000L)
+    val q = deltas.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(s"late_out_${System.nanoTime()}").start()
+    def ts(hour: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $hour%02d:00:00")
+    in.addData(TimedUpsertCmd(1, 1.0, 1, delete = false, ts(2)))
+    q.processAllAvailable() // watermark → 02:00
+    // fully-late wave: maxTs + horizon = 00:30 < watermark. Spark 4.1
+    // drops rows older than the late-events watermark before the state
+    // function (the trace-bound row filter); the timeout clamp in
+    // upsertDeltasTtl guards the remaining edge where a group's maxTs
+    // lands between the late-events and eviction watermarks. Either way
+    // the query must survive, and the late key must not poison state.
+    in.addData(TimedUpsertCmd(7, 7.0, 2, delete = false, ts(0)))
+    q.processAllAvailable() // must not throw
+    in.addData(TimedUpsertCmd(1, 2.0, 3, delete = false, ts(3)))
+    q.processAllAvailable()
+    assert(q.isActive, "query died on the late wave")
+    q.stop()
+    val out = spark.table(q.name).as[KvDelta].collect().toSeq
+    val net = out.groupBy(d => (d.key, d.value)).view
+      .mapValues(_.map(_.weight).sum).filter(_._2 != 0L).toMap
+    assert(net == Map((1L, 2.0) -> 1L)) // late row GC'd, live key intact
+  }
+
   test("BoundedState evicts below the waterline and stays window-exact") {
     import graft.core.ZSetFrame
     import graft.incremental.Incremental
