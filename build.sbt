@@ -33,4 +33,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // logging config lives OUTSIDE src/main/resources so the published jar
+  // does not override a downstream consumer's log4j2 defaults; it applies
+  // only to the forked run/test JVMs of this build
+  s"-Dlog4j2.configurationFile=${(baseDirectory.value / "conf" / "log4j2.properties").getAbsolutePath}",
 )

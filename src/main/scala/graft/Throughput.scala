@@ -1,19 +1,41 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Throughput benchmark comparable to BASELINE.md: the reference's Nexmark
-  * numbers are events/second over a 100M-event generator-fed streaming run
-  * (reference: benchmark/README.md:184-229). Here the same query shapes run
-  * over a generator-fed pipeline of `rowsN` synthetic bid events
-  * (`spark.range` → codegen'd projections — the generator runs inside the
-  * job exactly like the reference's in-process generator threads), forced
-  * end-to-end through the noop sink so nothing is pruned or collected.
-  * Metric: rows/s per query family + the ratio to the reference's ev/s. */
+  * numbers are events/second over a 100M-event generator-fed STREAMING run
+  * (reference: benchmark/README.md:184-229). Two modes are reported, each
+  * labeled in the JSON:
+  *
+  *  - `batch_upper_bound`: the query shape as ONE batch job over `rowsN`
+  *    generated rows (`spark.range` → codegen'd projections, forced through
+  *    the noop sink). This is an upper bound on streaming throughput — the
+  *    stateful shapes do no cross-batch state maintenance — and is NOT
+  *    parity evidence against the per-event baseline.
+  *  - `incremental_microbatch`: the stateful families (q4/q5/q7) re-run as
+  *    a K-step micro-batched incremental computation: each step consumes
+  *    one time-contiguous slice of the event stream, merges it into
+  *    carried-over operator state, and emits results (closed windows /
+  *    updated aggregates) per step — the honest analog of the reference's
+  *    streaming evaluation, paying real per-step state merge + emission.
+  *    The event time is monotonic (as in the reference's generator), so
+  *    window state is watermark-bounded: closed windows are emitted and
+  *    dropped, exactly like the streaming engine.
+  *
+  * Metric: rows/s per family + the ratio to the reference's ev/s; the 2×
+  * gate for stateful families is judged on the incremental figures. */
 object Throughput {
 
   val rowsN: Long = 20000000L
+  val incSteps: Int = 8
+
+  /** Event time of event `id`: 100 events per millisecond, monotonic and
+    * in-order — a 10 s window holds ~1M events over 1000 auctions, the
+    * window-to-rate density of the reference's nexmark generator (its
+    * windows span seconds of a ~10M ev/s stream), so windowed aggregation
+    * genuinely reduces. */
+  private def tsOf(id: Column): Column = (id / 100L).cast("long")
 
   /** Nexmark-ish bid stream: auction, bidder, price, event-time. */
   private def bids(spark: SparkSession): DataFrame =
@@ -21,18 +43,30 @@ object Throughput {
       pmod(col("id"), lit(1000L)).as("auction"),
       pmod(col("id") * 2654435761L, lit(10007L)).as("bidder"),
       (pmod(hash(col("id")), lit(10000)).cast("long") + 100L).as("price"),
-      (col("id") * 10L).as("ts_ms"))
+      tsOf(col("id")).as("ts_ms"))
+
+  /** One time-contiguous micro-batch of the bid stream. */
+  private def bidSlice(spark: SparkSession, step: Int): DataFrame = {
+    val per = rowsN / incSteps
+    bids(spark).where(col("id") >= step * per && col("id") < (step + 1) * per)
+  }
 
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
+
+  private def category(spark: SparkSession): DataFrame =
+    spark.range(1000L)
+      .select(col("id").as("auction"), pmod(col("id"), lit(10L)).as("cat"))
+
+  private val winMs = 10000L
+  private def wstartCol = (col("ts_ms") - pmod(col("ts_ms"), lit(winMs))).as("wstart")
 
   /** (name, DBSP baseline ev/s, query). Shapes follow the reference's
     * nexmark queries (reference: crates/nexmark/src/queries/q1.rs, q2.rs,
     * q4.rs, q5.rs, q7.rs). */
   private def families(spark: SparkSession): Seq[(String, Double, DataFrame)] = {
     val b = bids(spark)
-    val category = spark.range(1000L)
-      .select(col("id").as("auction"), pmod(col("id"), lit(10L)).as("cat"))
+    val cat = category(spark)
     Seq(
       ("q0_pass", 9926544d, b),
       // q1: currency conversion map
@@ -43,12 +77,12 @@ object Throughput {
       // q4-ish: max price per auction joined to category, avg per category
       ("q4_join_agg", 9768487d,
         b.groupBy("auction").agg(max("price").as("final"))
-          .join(broadcast(category), "auction")
+          .join(broadcast(cat), "auction")
           .groupBy("cat").agg(avg("final").as("avg_final"))),
       // q3-ish: filter + broadcast dim join + project
       ("q3_filter_join", 9936407d,
         b.where(pmod(col("auction"), lit(4L)) === 0)
-          .join(broadcast(category), "auction")
+          .join(broadcast(cat), "auction")
           .select(col("auction"), col("bidder"), col("price"), col("cat"))),
       // q21-ish: regex channel extraction over a derived string
       ("q21_regex", 9760859d,
@@ -57,26 +91,141 @@ object Throughput {
             "ch_([0-9]+)_end", 1).as("channel"))),
       // q5-ish: hot items — bids per auction per tumbling window
       ("q5_window", 9906875d,
-        b.groupBy((col("ts_ms") - pmod(col("ts_ms"), lit(10000L))).as("wstart"),
-            col("auction"))
-          .agg(count(lit(1)).as("n"))),
+        b.groupBy(wstartCol, col("auction")).agg(count(lit(1)).as("n"))),
       // q7-ish: highest bid per window
       ("q7_maxbid", 7380618d,
-        b.groupBy((col("ts_ms") - pmod(col("ts_ms"), lit(10000L))).as("wstart"))
-          .agg(max("price").as("max_price"))))
+        b.groupBy(wstartCol).agg(max("price").as("max_price"))))
   }
 
-  /** JSON: per-family rows/s, ratio vs the reference ev/s, and the 2× gate. */
-  def json(spark: SparkSession): String = {
+  // ---------------------------------------------------- incremental runners
+  // Each runner executes ONE full K-step micro-batched run and returns when
+  // every step's state merge and emission jobs have completed. State is
+  // localCheckpoint'ed per step (the step-loop trace pattern); superseded
+  // checkpoints are unpersisted so the run measures steady-state cost.
+
+  private def unpersistLater(old: DataFrame): Unit =
+    if (old != null) old.rdd.unpersist(false)
+
+  /** q4: running max per auction (insert-only stream → max is maintained by
+    * merging per-batch partial maxes into 1000-row state), then the updated
+    * per-category avg is emitted every step. */
+  private def incQ4(spark: SparkSession): Unit = {
+    val cat = category(spark)
+    var state: DataFrame = null
+    for (i <- 0 until incSteps) {
+      val stepMax = bidSlice(spark, i)
+        .groupBy("auction").agg(max("price").as("final"))
+      val merged = if (state == null) stepMax
+        else state.union(stepMax).groupBy("auction").agg(max("final").as("final"))
+      val ck = merged.localCheckpoint(true)
+      unpersistLater(state); state = ck
+      force(ck.join(broadcast(cat), "auction")
+        .groupBy("cat").agg(avg("final").as("avg_final")))
+    }
+    unpersistLater(state)
+  }
+
+  /** Tumbling-window incremental loop shared by q5/q7: per step the slice
+    * is split by the watermark (monotonic event time, 0 lateness) BEFORE
+    * aggregation — windows the watermark has closed are aggregated, merged
+    * with carried-over open-window partials, and emitted straight to the
+    * sink (never pinned); only the still-open windows' partials (≤ one
+    * window of data) become state for the next step. State is
+    * watermark-bounded exactly like the reference's window operator, and
+    * per-step pinned storage is O(open windows), not O(emitted output). */
+  private def incWindowed(spark: SparkSession, perAgg: DataFrame => DataFrame,
+                          merge: DataFrame => DataFrame): Unit = {
+    var carry: DataFrame = null
+    val per = rowsN / incSteps
+    for (i <- 0 until incSteps) {
+      val batchMaxTs = ((i + 1) * per - 1) / 100L // watermark after this batch
+      val openFrom = batchMaxTs - batchMaxTs % winMs // first still-open window
+      val slice = bidSlice(spark, i)
+      val closedAgg = perAgg(slice.where(col("ts_ms") < openFrom))
+      val emit = if (carry == null) closedAgg else merge(carry.union(closedAgg))
+      force(emit) // closed windows leave the operator every step
+      val nextCarry = perAgg(slice.where(col("ts_ms") >= openFrom))
+        .localCheckpoint(true)
+      unpersistLater(carry); carry = nextCarry
+    }
+    if (carry != null) { force(carry); unpersistLater(carry) }
+  }
+
+  private def incQ5(spark: SparkSession): Unit = incWindowed(spark,
+    _.groupBy(wstartCol, col("auction")).agg(count(lit(1)).as("n")),
+    _.groupBy("wstart", "auction").agg(sum("n").as("n")))
+
+  private def incQ7(spark: SparkSession): Unit = incWindowed(spark,
+    _.groupBy(wstartCol).agg(max("price").as("max_price")),
+    _.groupBy("wstart").agg(max("max_price").as("max_price")))
+
+  private def incFamilies(spark: SparkSession): Seq[(String, Double, () => Unit)] =
+    Seq(
+      ("q4_join_agg", 9768487d, () => incQ4(spark)),
+      ("q5_window", 9906875d, () => incQ5(spark)),
+      ("q7_maxbid", 7380618d, () => incQ7(spark)))
+
+  // ------------------------------------------------------------- reporting
+
+  /** Compact per-family summary for the size-limited stdout line; set by
+    * the last `json` call. */
+  @volatile var compact: String = "{}"
+
+  private def timeMedian(reps: Int)(run: () => Unit): Double = {
+    val ts = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      run()
+      (System.nanoTime() - t0) / 1e9
+    }
+    Bench.median(ts)
+  }
+
+  /** JSON: per-family rows/s (median of `reps` runs), ratio vs the
+    * reference ev/s, the mode label, and the 2× gate. */
+  def json(spark: SparkSession, reps: Int = 1): String = {
     val fams = families(spark)
     fams.foreach { case (_, _, df) => force(df.limit(1000)) } // codegen warmup
-    val parts = fams.map { case (name, base, df) =>
-      val t0 = System.nanoTime()
-      force(df)
-      val sec = (System.nanoTime() - t0) / 1e9
+    val entries = scala.collection.mutable.ArrayBuffer[(String, Long, Double, String, String, Boolean)]()
+    fams.foreach { case (name, base, df) =>
+      val sec = timeMedian(reps)(() => force(df))
       val rps = rowsN / sec
-      f""""$name":{"rows_per_sec":${rps.toLong},"baseline_ev_per_sec":${base.toLong},"ratio":${base / rps}%.2f,"within_2x":${rps * 2 >= base}}"""
+      entries += ((name, rps.toLong, base, "batch_upper_bound", name, rps * 2 >= base))
     }
-    s"""{"rows":$rowsN,${parts.mkString(",")}}"""
+    // size shuffle parallelism to the micro-batch state, not the core
+    // count: the per-step merges move tiny state/partials, and 32-way
+    // shuffles of tiny data are pure scheduling overhead (the same
+    // lesson as sizing stateful-streaming parallelism per job)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try incFamilies(spark).foreach { case (name, base, run) =>
+      run() // warmup: codegen for the merge/emit plans
+      val sec = timeMedian(reps)(run)
+      val rps = rowsN / sec
+      entries += ((name + "_inc", rps.toLong, base,
+        "incremental_microbatch", name, rps * 2 >= base))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val parts = entries.map { case (key, rps, base, mode, _, ok) =>
+      val extra = if (mode == "incremental_microbatch") s""","steps":$incSteps""" else ""
+      s""""$key":{"rows_per_sec":$rps,"baseline_ev_per_sec":${base.toLong},""" +
+        s""""ratio":${Bench.num(base / rps, 2)},"mode":"$mode"$extra,"within_2x":$ok}"""
+    }
+    compact = entries.map { case (key, rps, _, mode, _, ok) =>
+      s""""$key":{"rps":$rps,"m":"${mode.head}","ok":$ok}"""
+    }.mkString("{", ",", "}")
+    s"""{"rows":$rowsN,"note":"stateful 2x gate = *_inc entries",${parts.mkString(",")}}"""
+  }
+
+  /** Standalone run (dev loop): `runMain graft.Throughput`. */
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println("[throughput] " + json(spark, reps))
+    spark.stop()
   }
 }
