@@ -41,13 +41,13 @@ object StepBench {
     val empty = ZSetFrame.fromDelta(
       Seq.empty[(Long, Long, Long)].toDF("k", "v", ZSetFrame.W))
     val st = new KeyedState(Seq("k"), nBuckets, empty)
-    // output deltas are emitted (forced) per step — OutputHandle pattern;
-    // the consumer integrates them, so no O(|out|) accumulator scan here
+    // output deltas are emitted (materialized) per step — aggStep eagerly
+    // checkpoints them (OutputHandle pattern); the consumer integrates
+    // them, so no O(|out|) accumulator scan here
     st.aggStep(ZSetFrame.fromTable(seedRows(spark, n, nKeys)))(aggFn)
-      .df.localCheckpoint(true)
     (1 to steps).map { i =>
       val t0 = System.nanoTime()
-      st.aggStep(smallDelta(spark, i, 2, nKeys))(aggFn).df.localCheckpoint(true)
+      st.aggStep(smallDelta(spark, i, 2, nKeys))(aggFn)
       (System.nanoTime() - t0) / 1e9
     }
   }

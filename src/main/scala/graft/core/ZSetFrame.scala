@@ -41,7 +41,7 @@ final class ZSetFrame private (val df: DataFrame) extends Serializable {
   /** Multiply every weight by an integer expression over the data columns
     * ("weigh" — fold a value into the weight; reference: aggregate/mod.rs:287-309). */
   def weigh(k: Column): ZSetFrame =
-    new ZSetFrame(df.withColumn(W, col(W) * k.cast("long")))
+    new ZSetFrame(df.withColumn(W, ZSetFrame.weightTimes(spark, col(W), k.cast("long"))))
 
   // ---------------------------------------------------------- consolidation
   /** Merge duplicate records, summing weights; drop zero-weight rows.
@@ -88,7 +88,8 @@ final class ZSetFrame private (val df: DataFrame) extends Serializable {
     val r = other.df.withColumnRenamed(W, "__wr")
     val j = l.join(r, keys, "inner")
     new ZSetFrame(
-      j.withColumn(W, col("__wl") * col("__wr")).drop("__wl", "__wr"))
+      j.withColumn(W, ZSetFrame.weightTimes(spark, col("__wl"), col("__wr")))
+        .drop("__wl", "__wr"))
   }
 
   /** Join with an arbitrary condition (theta / range join).
@@ -99,7 +100,8 @@ final class ZSetFrame private (val df: DataFrame) extends Serializable {
     val j = l.join(r, cond, joinType)
     val wl = coalesce(col("__wl"), lit(1L))
     val wr = coalesce(col("__wr"), lit(1L))
-    new ZSetFrame(j.withColumn(W, wl * wr).drop("__wl", "__wr"))
+    new ZSetFrame(
+      j.withColumn(W, ZSetFrame.weightTimes(spark, wl, wr)).drop("__wl", "__wr"))
   }
 
   /** Semi-join against the distinct key set of `other`.
@@ -150,11 +152,38 @@ final class ZSetFrame private (val df: DataFrame) extends Serializable {
 
   def cache(): ZSetFrame = { df.cache(); this }
   def localCheckpoint(): ZSetFrame = new ZSetFrame(df.localCheckpoint(false))
+  /** Eager variant: materializes now. Step outputs that must outlive a
+    * KeyedState's view-validity window use this. */
+  def localCheckpoint(eager: Boolean): ZSetFrame =
+    new ZSetFrame(df.localCheckpoint(eager))
 }
 
 object ZSetFrame {
   /** Reserved weight column. */
   val W = "__weight"
+
+  /** Conf flag: overflow-checked weight multiplication (reference:
+    * crates/dbsp/src/algebra/checked_int.rs — weights are checked integers
+    * so a pathological product raises instead of wrapping). Spark's default
+    * ANSI mode already raises on Long-multiply overflow; this flag restores
+    * checked semantics (with a weight-specific error) for deployments that
+    * run with `spark.sql.ansi.enabled=false`, where the raw multiply wraps
+    * silently. Off by default: the check widens through DECIMAL(38,0). */
+  val CheckedWeightsConf = "spark.graft.checkedWeights"
+
+  /** Weight product: raw Long multiply, or overflow-checked when
+    * `spark.graft.checkedWeights=true` (widen to decimal, raise_error if
+    * the product leaves the Long range). */
+  private[graft] def weightTimes(spark: SparkSession, a: Column, b: Column): Column =
+    if (!spark.conf.getOption(CheckedWeightsConf).contains("true")) a * b
+    else {
+      import org.apache.spark.sql.types.DecimalType
+      val p = a.cast(DecimalType(38, 0)) * b.cast(DecimalType(38, 0))
+      when(p > lit(Long.MaxValue) || p < lit(Long.MinValue),
+        raise_error(concat(lit("graft: weight multiply overflow: "),
+          a.cast("string"), lit(" * "), b.cast("string"))))
+        .otherwise(p.cast("long"))
+    }
 
   /** Lift a plain table to a Z-set with all weights +1. */
   def fromTable(df: DataFrame): ZSetFrame = {

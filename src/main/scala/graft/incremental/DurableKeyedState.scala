@@ -1,0 +1,141 @@
+package graft.incremental
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, IntegerType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
+
+import graft.core.ZSetFrame
+
+/** DISK-BACKED key-partitioned incremental state — the durable/recoverable
+  * rendition of [[KeyedState]], mirroring the reference's persistent trace
+  * (reference: crates/dbsp/src/trace/persistent/mod.rs:1-40 — the spine is
+  * persisted to RocksDB and the circuit recovers from it after a restart).
+  *
+  * Layout: a parquet table at `path`, partitioned by the `__bucket` column
+  * (= `pmod(hash(keys), nBuckets)`, the same bucket function KeyedState
+  * uses). A merge step reads ONLY the touched buckets (partition pruning on
+  * the `__bucket` filter reaches the file listing — untouched buckets' files
+  * are never opened) and writes back ONLY those buckets via dynamic
+  * partition overwrite. On a cluster this is exactly the bucketed state
+  * table the in-memory KeyedState scaladoc promises: state survives a
+  * driver restart, and `restore(spark, path)` re-attaches to it — schema,
+  * keys, and bucket count are recorded in a `_graft_state.txt` sidecar (an
+  * underscore-prefixed name, so the parquet file index ignores it).
+  *
+  * Per-step cost is O(|Δ| + |touched buckets|) in rows, like KeyedState,
+  * plus the durability write; the in-memory variant remains the hot path
+  * when recovery is not required.
+  *
+  * LIFECYCLE CONTRACT: views returned by `merge` read the state files
+  * current at call time; a subsequent merge overwrites touched partitions,
+  * so consume (or materialize) a step's views before the next step —
+  * `aggStep` eagerly materializes everything it returns. */
+final class DurableKeyedState private (
+    val spark: SparkSession, val keys: Seq[String], val nBuckets: Int,
+    val path: String, schema: StructType) {
+
+  private val colsInOrder: Seq[String] = schema.fieldNames.toSeq
+  private val readSchema = StructType(
+    schema.fields :+ StructField("__bucket", IntegerType, nullable = true))
+
+  private def keyExprs: Seq[Column] = keys.map(col)
+  def bucketId: Column = pmod(hash(keyExprs: _*), lit(nBuckets))
+
+  /** The state table with its partition column. An explicit schema makes an
+    * empty directory read as an empty relation instead of failing schema
+    * inference. */
+  private def stateDf: DataFrame = spark.read.schema(readSchema).parquet(path)
+
+  /** Bucket ids a delta's keys hash into (one small job). */
+  def touchedBuckets(delta: ZSetFrame): Seq[Int] =
+    delta.df.select(pmod(hash(keys.map(delta.df(_)): _*), lit(nBuckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+
+  /** Partition-pruned read of the given buckets (file-skipping scan). */
+  def view(bucketIds: Seq[Int]): ZSetFrame = ZSetFrame.fromDelta(
+    stateDf.where(col("__bucket").isin(bucketIds.map(Integer.valueOf): _*))
+      .drop("__bucket"))
+
+  /** The full state as a Z-set (scans every bucket). */
+  def snapshot: ZSetFrame = ZSetFrame.fromDelta(stateDf.drop("__bucket"))
+
+  def probe(other: ZSetFrame): ZSetFrame = view(touchedBuckets(other))
+
+  /** Merge a delta, reading and REWRITING only the buckets its keys hash
+    * into: the new content of the touched buckets replaces exactly those
+    * partitions (dynamic partition overwrite); all other buckets' files are
+    * untouched. Returns (old, new) content of the touched buckets; `old` is
+    * materialized (its files are about to be replaced), `new` reads the
+    * freshly written files. */
+  def merge(delta: ZSetFrame, knownTouched: Option[Seq[Int]] = None)
+      : (ZSetFrame, ZSetFrame) = {
+    val aligned = ZSetFrame.fromDelta(delta.df.select(colsInOrder.map(col): _*))
+    val touched = knownTouched.getOrElse(touchedBuckets(aligned))
+    val oldTouched = view(touched).localCheckpoint(eager = true)
+    val merged = (oldTouched + aligned).consolidate
+    // materialize before writing: Spark (correctly) refuses a write whose
+    // plan still reads the files being overwritten
+    val out = merged.df.withColumn("__bucket", bucketId).localCheckpoint(true)
+    out.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__bucket").parquet(path)
+    DurableKeyedState.unpersistTree(out.rdd)
+    (oldTouched, view(touched))
+  }
+
+  /** One incremental general-aggregate step over the durable trace; the
+    * emitted −old/+new delta is eagerly materialized. The in-memory pin of
+    * the old view is released once the delta exists. */
+  def aggStep(delta: ZSetFrame)(agg: ZSetFrame => ZSetFrame): ZSetFrame = {
+    val (oldTouched, newTouched) = merge(delta)
+    val d = (agg(newTouched) - agg(oldTouched)).localCheckpoint(eager = true)
+    DurableKeyedState.unpersistTree(oldTouched.df.rdd)
+    d
+  }
+}
+
+object DurableKeyedState {
+  private val MetaFile = "_graft_state.txt"
+
+  /** Initialize (or reset) a durable state at `path` from `init` and attach. */
+  def create(path: String, keys: Seq[String], nBuckets: Int,
+             init: ZSetFrame): DurableKeyedState = {
+    val spark = init.spark
+    val colsInOrder = init.dataCols.toSeq :+ ZSetFrame.W
+    val df = init.consolidate.df.select(colsInOrder.map(col): _*)
+    val schema = df.schema
+    val st = new DurableKeyedState(spark, keys, nBuckets, path, schema)
+    // full (static) overwrite: a create resets the whole table...
+    df.withColumn("__bucket", st.bucketId)
+      .write.mode("overwrite").partitionBy("__bucket").parquet(path)
+    // ...so the sidecar is written after the table
+    val meta =
+      s"keys=${keys.mkString(",")}\nnBuckets=$nBuckets\nschema=${schema.json}\n"
+    Files.write(Paths.get(path, MetaFile), meta.getBytes(StandardCharsets.UTF_8))
+    st
+  }
+
+  /** Re-attach to a durable state written by `create` — the recovery path:
+    * a fresh SparkSession (new driver) resumes exactly where the previous
+    * one stopped. */
+  def restore(spark: SparkSession, path: String): DurableKeyedState = {
+    val lines = Files.readAllLines(Paths.get(path, MetaFile))
+    val kv = lines.toArray(Array.empty[String]).filter(_.contains("="))
+      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+    val schema = DataType.fromJson(kv("schema")).asInstanceOf[StructType]
+    new DurableKeyedState(spark, kv("keys").split(',').toSeq.filter(_.nonEmpty),
+      kv("nBuckets").toInt, path, schema)
+  }
+
+  /** Unpersist the persisted ancestor of a checkpointed Dataset's RDD
+    * (`df.rdd` is a row-conversion child of the pinned internal RDD). */
+  private[incremental] def unpersistTree(rdd: RDD[_]): Unit = {
+    if (rdd.getStorageLevel != StorageLevel.NONE) rdd.unpersist(false)
+    rdd.dependencies.foreach(d => unpersistTree(d.rdd))
+  }
+}

@@ -71,7 +71,11 @@ object Incremental {
     val bTouched = bSt.touchedBuckets(dB)
     val aNewProbe = aSt.view(bTouched)                 // A_new for ΔB's buckets
     bSt.merge(dB, checkpointDeltas, Some(bTouched))
-    dA.join(bOldProbe, keys) + aNewProbe.join(dB, keys)
+    // eager: the emitted join delta references partition-pruned probe views
+    // that are only valid until the second subsequent merge (KeyedState
+    // reclaims superseded segments) — materialize it before returning
+    (dA.join(bOldProbe, keys) + aNewProbe.join(dB, keys))
+      .localCheckpoint(eager = true)
   }
 
   /** Incremental distinct: δ = distinct(A_new) − distinct(A_old)

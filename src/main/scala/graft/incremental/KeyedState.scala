@@ -1,8 +1,11 @@
 package graft.incremental
 
+import scala.collection.mutable
+
 import org.apache.spark.rdd.{PartitionPruningRDD, RDD}
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.core.ZSetFrame
 
@@ -31,11 +34,29 @@ import graft.core.ZSetFrame
   * majority of a large state under a small delta — are never read, shuffled,
   * or rewritten.
   *
+  * SEGMENT RECLAMATION (the trace's merge/GC, reference:
+  * crates/dbsp/src/trace/spine_fueled.rs merge batches + drop superseded):
+  * each segment carries a refcount of the buckets pointing at it. A merge
+  * that moves the last bucket off a segment retires it; retired segments
+  * are unpersisted TWO merges later, so pinned storage tracks live state,
+  * not step count. Because a bucket move supersedes only that bucket's
+  * partition (the rest of the old segment stays live and pinned whole),
+  * every `compactEvery` merges all buckets are compacted into one fresh
+  * segment, bounding stale-partition carry to the inter-compaction window.
+  *
+  * LIFECYCLE CONTRACT: DataFrames returned by `view`/`probe`/`merge` are
+  * partition-pruned views over pinned segments — valid until the SECOND
+  * subsequent `merge` (or `compact`) on this state. Step outputs that must
+  * outlive that window are eagerly materialized (`aggStep` does this for
+  * its emitted delta; `Incremental.joinDeltaKeyed` likewise).
+  *
   * On a real cluster the same layout is a bucketed/partitioned state table
-  * (Delta-style) with dynamic partition overwrite of touched buckets; the
-  * in-memory segment structure here is the local[n] rendition.
+  * with dynamic partition overwrite of touched buckets — that rendition is
+  * `DurableKeyedState`; the in-memory segment structure here is the
+  * local[n] hot path.
   */
-final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame) {
+final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame,
+                       val compactEvery: Int = 64) {
   private val spark = init.spark
   /** Canonical column order: data columns as declared by `init`, then weight. */
   private val colsInOrder: Seq[String] = init.dataCols.toSeq :+ ZSetFrame.W
@@ -47,16 +68,50 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
     * `repartition(nBuckets, keys)` (HashPartitioning.partitionIdExpression). */
   def bucketId: Column = pmod(hash(keyExprs: _*), lit(nBuckets))
 
-  private final case class Segment(rdd: RDD[Row])
+  private final class Segment(val rdd: RDD[Row]) { var refs: Int = 0 }
 
   /** bucket -> (segment, partition-within-segment). */
   private val bucketSeg = new Array[Segment](nBuckets)
   private val bucketPart = new Array[Int](nBuckets)
+  /** merge counter; drives retirement deferral and periodic compaction. */
+  private var gen = 0L
+  /** zero-ref segments awaiting unpersist, with the gen they retired at. */
+  private val retiredSegs = mutable.Buffer[(Long, Segment)]()
 
   { // seed segment: the (usually empty) initial state, bucketed
-    val seeded = materializeBucketed(init.consolidate)
-    var b = 0
-    while (b < nBuckets) { bucketSeg(b) = seeded; bucketPart(b) = b; b += 1 }
+    install(materializeBucketed(init.consolidate), 0 until nBuckets)
+  }
+
+  /** Point `bucketIds` at `seg`, maintaining refcounts; segments whose last
+    * bucket moved away are queued for deferred unpersist. */
+  private def install(seg: Segment, bucketIds: Seq[Int]): Unit =
+    bucketIds.foreach { b =>
+      val old = bucketSeg(b)
+      if (old != null && (old ne seg)) {
+        old.refs -= 1
+        if (old.refs == 0) retiredSegs += ((gen, old))
+      }
+      if (bucketSeg(b) ne seg) seg.refs += 1
+      bucketSeg(b) = seg
+      bucketPart(b) = b
+    }
+
+  /** Unpersist segments retired ≥2 merges ago: by the lifecycle contract no
+    * outstanding view can still reference them. localCheckpoint'ed RDDs
+    * have no lineage to recompute from, so their blocks free immediately. */
+  private def reclaim(): Unit = {
+    val (free, keep) = retiredSegs.partition(_._1 <= gen - 2)
+    free.foreach { case (_, seg) => unpersistTree(seg.rdd) }
+    retiredSegs.clear()
+    retiredSegs ++= keep
+  }
+
+  /** The RDD handle we keep (`df.rdd`) is a row-conversion CHILD of the
+    * internally persisted checkpoint RDD — unpersist the persisted ancestor,
+    * wherever it sits in the (short) dependency chain. */
+  private def unpersistTree(rdd: RDD[_]): Unit = {
+    if (rdd.getStorageLevel != StorageLevel.NONE) rdd.unpersist(false)
+    rdd.dependencies.foreach(d => unpersistTree(d.rdd))
   }
 
   /** One job: shuffle into nBuckets partitions by key hash and pin in memory. */
@@ -64,7 +119,7 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
     val df = z.df.select(colsInOrder.map(col): _*)
       .repartition(nBuckets, keyExprs: _*)
       .localCheckpoint(true)
-    Segment(df.rdd)
+    new Segment(df.rdd)
   }
 
   /** DataFrame over exactly the given buckets — partition-pruned reads of
@@ -82,10 +137,6 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
   /** The full state as a Z-set (final read-out; scans every bucket). */
   def snapshot: ZSetFrame = ZSetFrame.fromDelta(bucketsDf(0 until nBuckets))
 
-  /** Merge a delta into the state, touching only the buckets its keys hash
-    * into. Returns (old content of touched buckets, new content of touched
-    * buckets) for delta-rule use — both are partition-pruned views, never
-    * full-state scans. */
   /** Bucket ids a delta's keys hash into (one small job). Shareable across
     * same-shaped states: any KeyedState with equal `keys` and `nBuckets`
     * assigns identical ids. */
@@ -97,22 +148,45 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
   def view(bucketIds: Seq[Int]): ZSetFrame =
     ZSetFrame.fromDelta(bucketsDf(bucketIds))
 
+  /** Rewrite ALL buckets into one fresh segment (one O(|state|) job) and
+    * retire every old segment — reclaims partitions superseded by bucket
+    * moves that the per-segment refcount cannot see. Runs automatically
+    * every `compactEvery` merges; amortized cost O(|state|/compactEvery)
+    * per step. */
+  def compact(): Unit = {
+    val seg = materializeBucketed(ZSetFrame.fromDelta(bucketsDf(0 until nBuckets)))
+    install(seg, 0 until nBuckets)
+  }
+
+  /** Merge a delta into the state, touching only the buckets its keys hash
+    * into. Returns (old content of touched buckets, new content of touched
+    * buckets) for delta-rule use — both are partition-pruned views, never
+    * full-state scans; valid until the second subsequent merge. */
   def merge(delta: ZSetFrame, checkpointDelta: Boolean = true,
             knownTouched: Option[Seq[Int]] = None): (ZSetFrame, ZSetFrame) = {
+    gen += 1
+    reclaim()
+    if (compactEvery > 0 && gen % compactEvery == 0) compact()
     // no pre-consolidation of the delta: the merged-segment consolidate
     // below subsumes it; checkpoint only pins the delta so the touched-
     // bucket scan and the merge don't recompute it. Callers whose delta is
     // already materialized (or a trivial filter of materialized data) pass
     // checkpointDelta=false to save the extra job.
     val aligned = ZSetFrame.fromDelta(delta.df.select(colsInOrder.map(col): _*))
-    val d = if (checkpointDelta) aligned.localCheckpoint() else aligned
+    val d = if (checkpointDelta) {
+      val c = aligned.localCheckpoint()
+      // the internal delta checkpoint only needs to live through this
+      // merge; free it on the same deferred schedule as retired segments
+      retiredSegs += ((gen, new Segment(c.df.rdd)))
+      c
+    } else aligned
     val touched = knownTouched.getOrElse(touchedBuckets(d))
     val oldTouched = ZSetFrame.fromDelta(bucketsDf(touched))
     // consolidate BEFORE installing: state rows must stay physically unique
     // (weight-merged) or count-style aggregates over the trace would see
     // duplicate rows; the groupBy shuffles only touched data, never |DB|
     val seg = materializeBucketed((oldTouched + d).consolidate)
-    touched.foreach { b => bucketSeg(b) = seg; bucketPart(b) = b }
+    install(seg, touched)
     val newTouched = ZSetFrame.fromDelta(bucketsDf(touched))
     (oldTouched, newTouched)
   }
@@ -131,10 +205,12 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
     * cost is O(|Δ| + |state of touched buckets|): both aggregates below run
     * over partition-pruned bucket views, so untouched state is never
     * scanned; output rows of co-bucketed but untouched keys are identical
-    * in both terms and cancel in the Z-set minus. */
+    * in both terms and cancel in the Z-set minus. The emitted delta is
+    * EAGERLY materialized (it is O(touched output), not O(state)) so it
+    * stays valid after superseded segments are reclaimed. */
   def aggStep(delta: ZSetFrame, checkpointDelta: Boolean = true)
              (agg: ZSetFrame => ZSetFrame): ZSetFrame = {
     val (oldTouched, newTouched) = merge(delta, checkpointDelta)
-    agg(newTouched) - agg(oldTouched)
+    (agg(newTouched) - agg(oldTouched)).localCheckpoint(eager = true)
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Tables, ZSetFrame}
-import graft.incremental.{Incremental, KeyedState}
+import graft.incremental.{DurableKeyedState, Incremental, KeyedState}
 import graft.operators.{Recursive, Upsert}
 
 /** Recursion, upsert ingestion, and step-loop incremental evaluation —
@@ -334,6 +334,36 @@ object Advanced extends QueryModule {
         .toDF.select("l_partkey", "max_price", "n_items", "min_qty")
     }),
 
+    // q60: DURABLE keyed trace — the q42 shape over the DISK-BACKED state
+    // (bucket-partitioned parquet, dynamic partition overwrite of touched
+    // buckets; reference: trace/persistent/mod.rs RocksDB-backed spine).
+    // Mid-loop the in-memory instance is DROPPED and re-attached from disk
+    // ("driver restart"); the accumulated output must still equal the
+    // batch SQL — recovery loses nothing. (The full new-SparkSession
+    // restart is exercised in DurableStateSpec.)
+    "q60_durable_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice").localCheckpoint(true)
+      def aggFn(z: ZSetFrame): ZSetFrame =
+        z.aggregate(Seq(col("o_custkey")), expandWeights = false,
+          max(col("o_totalprice")).as("max_price"),
+          count(lit(1)).as("n_orders"))
+      val path = s"/tmp/graft_durable_q60_${System.nanoTime()}"
+      var st = DurableKeyedState.create(path, Seq("o_custkey"), 16,
+        ZSetFrame.fromTable(o.where(lit(false))))
+      val deltas: Seq[ZSetFrame] =
+        (0 until 3).map(i => ZSetFrame.fromTable(
+          o.where(pmod(col("o_orderkey"), lit(3L)) === i))) :+
+        ZSetFrame.fromDelta(o.where(pmod(col("o_orderkey"), lit(7L)) === 0)
+          .withColumn(ZSetFrame.W, lit(-1L)))
+      val outDeltas = deltas.zipWithIndex.map { case (d, i) =>
+        if (i == 2) st = DurableKeyedState.restore(s, path) // restart point
+        st.aggStep(d)(aggFn)
+      }
+      ZSetFrame.sumAll(outDeltas).consolidate
+        .toDF.select("o_custkey", "max_price", "n_orders")
+    }),
+
     // q54: incremental JOIN over KEY-PARTITIONED traces — 6 epochs of
     // simultaneous two-sided deltas (5 insert waves on both sides, then a
     // retraction wave on B that must retract its joined output rows); each
@@ -451,6 +481,10 @@ object Advanced extends QueryModule {
       """SELECT o.o_custkey AS c_custkey, o.o_orderkey, c.c_name
          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
          WHERE c.c_mktsegment <> 'MACHINERY'""",
+    "q60_durable_agg" ->
+      """SELECT o_custkey, max(o_totalprice) AS max_price,
+           CAST(count(*) AS BIGINT) AS n_orders
+         FROM orders WHERE o_orderkey % 7 <> 0 GROUP BY 1""",
     "q42_inc_keyed_agg" ->
       """SELECT l_partkey, max(l_extendedprice) AS max_price,
            CAST(count(*) AS BIGINT) AS n_items, min(l_quantity) AS min_qty

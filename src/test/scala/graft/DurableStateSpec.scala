@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.ZSetFrame
+import graft.incremental.DurableKeyedState
+
+/** Durable (disk-backed) keyed trace: a run interrupted by a "driver
+  * restart" (fresh SparkSession, state re-attached from the parquet table)
+  * must produce exactly the same state and output stream as an
+  * uninterrupted run — the reference's persistent-spine recovery semantics
+  * (crates/dbsp/src/trace/persistent/mod.rs). */
+class DurableStateSpec extends SparkSpec {
+
+  /** Deterministic delta #i, built against the GIVEN session (the restart
+    * half must construct its inputs on the new session). Mixed ± weights. */
+  private def delta(s: SparkSession, i: Int): ZSetFrame = {
+    import s.implicits._
+    val rows = (0 until 12).map { j =>
+      val w = if ((i + j) % 4 == 0 && i > 1) -1L else 1L
+      (((i * 5 + j * 3) % 16).toLong, ((i * 7 + j) % 50).toLong, w)
+    }
+    ZSetFrame.fromDelta(rows.toDF("k", "v", ZSetFrame.W))
+  }
+
+  private def emptyState(s: SparkSession): ZSetFrame = {
+    import s.implicits._
+    ZSetFrame.fromDelta(Seq.empty[(Long, Long, Long)].toDF("k", "v", ZSetFrame.W))
+  }
+
+  private def aggFn(z: ZSetFrame): ZSetFrame =
+    z.aggregate(Seq(col("k")), expandWeights = false,
+      max(col("v")).as("mx"), count(lit(1)).as("n"))
+
+  test("restart with a new SparkSession resumes exactly (state + outputs)") {
+    val dir1 = java.nio.file.Files.createTempDirectory("graft_dur1").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_dur2").toString
+
+    // uninterrupted: 20 aggStep steps
+    val st1 = DurableKeyedState.create(dir1, Seq("k"), 8, emptyState(spark))
+    val outs1 = (1 to 20).map(i => st1.aggStep(delta(spark, i))(aggFn))
+
+    // interrupted: 10 steps, then a fresh session re-attaches to the table
+    DurableKeyedState.create(dir2, Seq("k"), 8, emptyState(spark))
+    val stA = DurableKeyedState.restore(spark, dir2)
+    val outsA = (1 to 10).map(i => stA.aggStep(delta(spark, i))(aggFn))
+    val s2 = spark.newSession()
+    val stB = DurableKeyedState.restore(s2, dir2)
+    assert(stB.keys == Seq("k") && stB.nBuckets == 8) // sidecar round-trips
+    val outsB = (11 to 20).map(i => stB.aggStep(delta(s2, i))(aggFn))
+
+    // identical final state...
+    assertSameRows(st1.snapshot.consolidate.df, stB.snapshot.consolidate.df)
+    // ...and identical integrated output stream
+    assertSameRows(
+      ZSetFrame.sumAll(outs1).consolidate.df,
+      (ZSetFrame.sumAll(outsA).consolidate.df
+        unionByName ZSetFrame.sumAll(outsB).consolidate.df)
+        .groupBy("k", "mx", "n").agg(sum(ZSetFrame.W).as(ZSetFrame.W))
+        .where(col(ZSetFrame.W) =!= 0))
+  }
+
+  test("merge rewrites only touched bucket partitions on disk") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dur3").toString
+    val st = DurableKeyedState.create(dir, Seq("k"), 8, emptyState(spark))
+    st.merge(delta(spark, 1))
+    def partMtimes(): Map[String, Long] = {
+      val d = new java.io.File(dir)
+      d.listFiles().filter(_.getName.startsWith("__bucket="))
+        .map(f => f.getName -> f.listFiles().map(_.lastModified()).max).toMap
+    }
+    val before = partMtimes()
+    Thread.sleep(1100) // mtime granularity
+    // a single-key delta touches exactly one bucket
+    import spark.implicits._
+    val oneKey = ZSetFrame.fromDelta(Seq((3L, 99L, 1L)).toDF("k", "v", ZSetFrame.W))
+    val touched = st.touchedBuckets(oneKey)
+    assert(touched.size == 1)
+    st.merge(oneKey)
+    val after = partMtimes()
+    val rewritten = after.filter { case (p, m) => before.get(p).forall(_ < m) }.keySet
+    assert(rewritten == Set(s"__bucket=${touched.head}"),
+      s"expected only ${touched.head} rewritten, got $rewritten")
+  }
+}

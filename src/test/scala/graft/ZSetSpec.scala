@@ -43,4 +43,34 @@ class ZSetSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(got == Map("x" -> 7L, "y" -> 1L))
   }
+
+  test("checked weights: overflowing multiply raises instead of wrapping") {
+    // reference: algebra/checked_int.rs — weight arithmetic can be
+    // overflow-checked. Under Spark's default ANSI mode a Long multiply
+    // already raises; the graft flag restores checked semantics even when
+    // a deployment runs with ANSI off (where raw multiply wraps silently).
+    val big = z((1, "x", Long.MaxValue / 2 + 1))
+    // ANSI default: Spark itself raises on the raw Long multiply
+    val eAnsi = intercept[Exception] { big.weigh(lit(4L)).df.collect() }
+    assert(eAnsi.getMessage.contains("ARITHMETIC_OVERFLOW"), eAnsi.getMessage)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      // ANSI off, flag off: silent two's-complement wrap — the hazard
+      assert(big.weigh(lit(4L)).df.collect().head
+        .getAs[Long](ZSetFrame.W) == (Long.MaxValue / 2 + 1) * 4L)
+      spark.conf.set(ZSetFrame.CheckedWeightsConf, "true")
+      val e = intercept[Exception] { big.weigh(lit(4L)).df.collect() }
+      assert(e.getMessage.contains("weight multiply overflow"), e.getMessage)
+      val e2 = intercept[Exception] {
+        big.join(z((1, "y", 8)), Seq("k")).df.collect()
+      }
+      assert(e2.getMessage.contains("weight multiply overflow"), e2.getMessage)
+      // non-overflowing products still work with the check on
+      assert(z((1, "x", 3)).join(z((1, "y", -2)), Seq("k")).df.collect()
+        .head.getAs[Long](ZSetFrame.W) == -6L)
+    } finally {
+      spark.conf.set(ZSetFrame.CheckedWeightsConf, "false")
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+    }
+  }
 }
