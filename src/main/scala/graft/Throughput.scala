@@ -126,13 +126,15 @@ object Throughput {
   }
 
   /** Tumbling-window incremental loop shared by q5/q7: per step the slice
-    * is split by the watermark (monotonic event time, 0 lateness) BEFORE
-    * aggregation — windows the watermark has closed are aggregated, merged
-    * with carried-over open-window partials, and emitted straight to the
-    * sink (never pinned); only the still-open windows' partials (≤ one
-    * window of data) become state for the next step. State is
-    * watermark-bounded exactly like the reference's window operator, and
-    * per-step pinned storage is O(open windows), not O(emitted output). */
+    * is aggregated ONCE into per-window partials (`wstart` is window-
+    * aligned, so `ts_ms < openFrom ⟺ wstart < openFrom` — partials split
+    * by watermark exactly), merged with carried-over open-window partials;
+    * windows the watermark has closed are emitted straight to the sink
+    * (never pinned), still-open windows' partials (≤ one window of data)
+    * become state for the next step. State is watermark-bounded exactly
+    * like the reference's window operator, and per-step pinned storage is
+    * O(open windows), not O(emitted output). One O(slice) job per step —
+    * the partial aggregation — plus two O(windows) merge jobs. */
   private def incWindowed(spark: SparkSession, perAgg: DataFrame => DataFrame,
                           merge: DataFrame => DataFrame): Unit = {
     var carry: DataFrame = null
@@ -140,13 +142,12 @@ object Throughput {
     for (i <- 0 until incSteps) {
       val batchMaxTs = ((i + 1) * per - 1) / 100L // watermark after this batch
       val openFrom = batchMaxTs - batchMaxTs % winMs // first still-open window
-      val slice = bidSlice(spark, i)
-      val closedAgg = perAgg(slice.where(col("ts_ms") < openFrom))
-      val emit = if (carry == null) closedAgg else merge(carry.union(closedAgg))
-      force(emit) // closed windows leave the operator every step
-      val nextCarry = perAgg(slice.where(col("ts_ms") >= openFrom))
+      val sliceAgg = perAgg(bidSlice(spark, i)).localCheckpoint(true)
+      val all = if (carry == null) sliceAgg else carry.union(sliceAgg)
+      force(merge(all.where(col("wstart") < openFrom))) // closed windows leave
+      val nextCarry = merge(all.where(col("wstart") >= openFrom))
         .localCheckpoint(true)
-      unpersistLater(carry); carry = nextCarry
+      unpersistLater(carry); unpersistLater(sliceAgg); carry = nextCarry
     }
     if (carry != null) { force(carry); unpersistLater(carry) }
   }

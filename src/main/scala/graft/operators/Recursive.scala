@@ -62,6 +62,44 @@ object Recursive {
     acc
   }
 
+  /** Joint least fixpoint of N MUTUALLY-recursive collections — the
+    * generality of the reference's `recursive_n` (reference:
+    * crates/dbsp/src/operator/recursive.rs:255, which accepts a tuple of
+    * streams each defined in terms of all of them). `step` receives the
+    * full accumulated collections and the last iteration's deltas and
+    * returns one candidate frame per collection; semi-naive rules derive
+    * from the deltas, but deriving from the accs is equally correct — the
+    * per-collection `except` keeps only genuinely new facts either way.
+    * Iteration stops when no collection gains a fact. Accumulators use the
+    * same lazy-union + periodic compaction as `fixpoint`, so per-iteration
+    * cost tracks delta sizes, not total facts. */
+  def mutual(bases: Seq[DataFrame], maxIter: Int = 1000, compactEvery: Int = 8)
+            (step: (Seq[DataFrame], Seq[DataFrame]) => Seq[DataFrame]): Seq[DataFrame] = {
+    val n = bases.size
+    val lists = Array.tabulate(n)(j => List(materialize(bases(j).distinct())))
+    val accs = Array.tabulate(n)(j => lists(j).head)
+    var deltas: Seq[DataFrame] = accs.toSeq
+    var live = deltas.map(!_.isEmpty)
+    var i = 0
+    while (i < maxIter && live.contains(true)) {
+      val derived = step(accs.toSeq, deltas)
+      require(derived.size == n,
+        s"mutual step returned ${derived.size} collections, expected $n")
+      val fresh = Array.tabulate(n)(j => materialize(derived(j).except(accs(j))))
+      live = fresh.toSeq.map(!_.isEmpty)
+      for (j <- 0 until n if live(j)) {
+        lists(j) ::= fresh(j)
+        if (lists(j).size >= compactEvery) {
+          accs(j) = materialize(lists(j).reduce(_ union _))
+          lists(j) = List(accs(j))
+        } else accs(j) = lists(j).reduce(_ union _)
+      }
+      deltas = fresh.toSeq
+      i += 1
+    }
+    accs.toSeq
+  }
+
   /** Transitive closure by PATH DOUBLING: after k iterations the result is
     * closed under paths of length ≤ 2^k, so a depth-D graph needs ⌈log₂ D⌉
     * barriers instead of D. On Spark each fixpoint iteration is a full

@@ -43,6 +43,31 @@ object Advanced extends QueryModule {
       }
     }),
 
+    // q59: MUTUAL recursion — two collections defined in terms of each
+    // other (even/odd path parity from a root set), the reference's
+    // `recursive_n` generality (recursive.rs:255). even(x) ⊇ roots;
+    // odd(y) ⊇ {y : even(x), edge(x,y)}; even(y) ⊇ {y : odd(x), edge(x,y)}.
+    // Certified against DuckDB's single-CTE parity encoding of the same
+    // joint fixpoint.
+    "q59_mutual_evenodd" -> ((s, dir) => {
+      val edges = t(s, dir, "customer").where(col("c_custkey") >= 2)
+        .select(col("c_custkey").as("src"), expr("c_custkey div 2").as("dst"))
+        .localCheckpoint(true)
+      val roots = t(s, dir, "customer")
+        .where(pmod(col("c_custkey"), lit(10L)) === 0)
+        .select(col("c_custkey").as("node"))
+      def hop(d: DataFrame): DataFrame = {
+        val dd = d.select(col("node").as("h_node"))
+        dd.join(edges, dd("h_node") === edges("src"))
+          .select(edges("dst").as("node"))
+      }
+      val fixed = Recursive.mutual(Seq(roots, roots.where(lit(false)))) {
+        (_, ds) => Seq(hop(ds(1)), hop(ds(0))) // odd feeds even, even feeds odd
+      }
+      fixed(0).select(col("node"), lit(0L).as("par"))
+        .union(fixed(1).select(col("node"), lit(1L).as("par")))
+    }),
+
     // q50: same closure as q27 via PATH DOUBLING — ⌈log₂ depth⌉ barriers
     // instead of depth (the deep-recursion scale path; see Recursive.scala)
     "q50_closure_doubling" -> ((s, dir) => {
@@ -425,6 +450,16 @@ object Advanced extends QueryModule {
                   UNION
                   SELECT tc.src, e.dst FROM tc JOIN e ON tc.dst = e.src)
          SELECT src, dst FROM tc""",
+    "q59_mutual_evenodd" ->
+      """WITH RECURSIVE e AS (SELECT c_custkey AS src, c_custkey // 2 AS dst
+                              FROM customer WHERE c_custkey >= 2),
+           reach AS (
+             SELECT c_custkey AS node, CAST(0 AS BIGINT) AS par
+             FROM customer WHERE c_custkey % 10 = 0
+             UNION
+             SELECT e.dst AS node, 1 - reach.par AS par
+             FROM reach JOIN e ON e.src = reach.node)
+         SELECT node, par FROM reach""",
     "q50_closure_doubling" ->
       """WITH RECURSIVE e AS (SELECT c_custkey AS src, c_custkey // 2 AS dst
                               FROM customer WHERE c_custkey >= 2),

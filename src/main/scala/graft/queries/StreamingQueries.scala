@@ -26,14 +26,29 @@ object StreamingQueries extends QueryModule {
     * mode then emits and GCs all real windows; queries filter the sentinel
     * out). Each query tags its own dir so sentinels never leak across
     * queries. */
-  private def stageDir(s: SparkSession, dir: String, tag: String,
-                       sentinel: Boolean): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+  private[graft] def stageDir(s: SparkSession, dir: String, tag: String,
+                                sentinel: Boolean): String = {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     val staged = Paths.get(
       s"/tmp/graft_stream_${tag}_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
-    if (!Files.exists(staged)) {
-      Files.createDirectories(staged)
-      Files.createSymbolicLink(staged.resolve("events.parquet"),
+    // Readiness is keyed on the LAST artifact staged (the sentinel when one
+    // is requested), NOT on the directory: a crash mid-staging leaves no
+    // marker, so the half-staged dir self-heals on the next call instead of
+    // being served incomplete (empty streams + confusing oracle failures).
+    val marker =
+      staged.resolve(if (sentinel) "zz_flush.parquet" else "events.parquet")
+    def deleteTree(p: Path): Unit = if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+    if (!Files.exists(marker)) {
+      // build in a private dir, then publish with a single atomic rename
+      val build = staged.resolveSibling(
+        s"${staged.getFileName}_build_${java.util.UUID.randomUUID().toString.take(8)}")
+      Files.createDirectories(build)
+      Files.createSymbolicLink(build.resolve("events.parquet"),
         Paths.get(s"$dir/events.parquet"))
       if (sentinel) {
         val raw = s.read.parquet(s"$dir/events.parquet") // ts = raw int64 nanos
@@ -42,12 +57,24 @@ object StreamingQueries extends QueryModule {
             lit(-1L).as("event_id"), lit(FlushNanos).as("ts"),
             lit(-1L).as("user_id"), lit("flush").as("event_type"),
             lit(0.0).as("value"), lit("").as("props")))
-        val tmp = staged.resolveSibling(staged.getFileName.toString + "_tmp")
+        val tmp = build.resolveSibling(build.getFileName.toString + "_pq")
         one.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        val listing = Files.list(tmp)
+        val part = try listing.filter(_.toString.endsWith(".parquet"))
           .findFirst().get()
-        Files.move(part, staged.resolve("zz_flush.parquet"),
+        finally listing.close()
+        Files.move(part, build.resolve("zz_flush.parquet"),
           StandardCopyOption.REPLACE_EXISTING)
+        deleteTree(tmp)
+      }
+      deleteTree(staged) // clear any half-staged leftover before publishing
+      try Files.move(build, staged, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException =>
+          // a concurrent caller published first; accept theirs if complete
+          deleteTree(build)
+          if (!Files.exists(marker))
+            sys.error(s"staging race left $staged incomplete")
       }
     }
     staged.toString

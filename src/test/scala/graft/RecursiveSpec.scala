@@ -21,6 +21,38 @@ class RecursiveSpec extends SparkSpec {
     tc
   }
 
+  test("mutual: even/odd parity reachability reaches the joint fixpoint") {
+    // 1→2→3→4→2: the 2→3→4→2 cycle has odd length, so once entered every
+    // cycle node acquires BOTH parities — a shape single-collection
+    // recursion cannot express without encoding parity into the row
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 2L)).toDF("src", "dst")
+    val roots = Seq(1L).toDF("node")
+    def hop(d: org.apache.spark.sql.DataFrame) = {
+      val dd = d.select(col("node").as("h"))
+      dd.join(edges, dd("h") === edges("src")).select(edges("dst").as("node"))
+    }
+    val fixed = Recursive.mutual(Seq(roots, roots.where(lit(false)))) {
+      (_, ds) => Seq(hop(ds(1)), hop(ds(0)))
+    }
+    assert(fixed(0).as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+    assert(fixed(1).as[Long].collect().toSet == Set(2L, 3L, 4L))
+  }
+
+  test("mutual: acyclic two-collection recursion matches hand model") {
+    // chain 1→2→3→4→5 from root 1: strict alternation, no overlap
+    val edges = (1L to 4L).map(i => (i, i + 1)).toDF("src", "dst")
+    val roots = Seq(1L).toDF("node")
+    def hop(d: org.apache.spark.sql.DataFrame) = {
+      val dd = d.select(col("node").as("h"))
+      dd.join(edges, dd("h") === edges("src")).select(edges("dst").as("node"))
+    }
+    val fixed = Recursive.mutual(Seq(roots, roots.where(lit(false)))) {
+      (_, ds) => Seq(hop(ds(1)), hop(ds(0)))
+    }
+    assert(fixed(0).as[Long].collect().toSet == Set(1L, 3L, 5L))
+    assert(fixed(1).as[Long].collect().toSet == Set(2L, 4L))
+  }
+
   test("IncrementalClosure ≡ batch closure under random insert/retract epochs") {
     for (seed <- 1 to 2) {
       val rnd = new scala.util.Random(seed + 700)
@@ -87,7 +119,10 @@ class RecursiveSpec extends SparkSpec {
     val rows = tc.count()
     val sec = (System.nanoTime() - t0) / 1e9
     assert(rows == n * (n - 1) / 2, s"closure size $rows")
-    assert(sec < 60.0, f"doubling closure took $sec%.1f s")
+    // generous bound: the claim is ~10 barriers instead of 999 (one-hop
+    // would exceed this bound several times over on the per-round latency
+    // floor alone); a tight constant flakes on cold-JIT / loaded machines
+    assert(sec < 150.0, f"doubling closure took $sec%.1f s")
   }
 
   test("fixpoint accumulator compaction keeps per-iteration cost bounded") {

@@ -192,6 +192,42 @@ class StreamingSpec extends SparkSpec {
     assert(st.acc.df.agg(min("ts")).head.getLong(0) == n - 1 - horizon)
   }
 
+  test("stageDir self-heals a half-staged dir and keys readiness on the sentinel") {
+    import java.nio.file.{Files, Paths}
+    val tag = "healtest"
+    val staged = Paths.get(
+      s"/tmp/graft_stream_${tag}_${sf0001.replaceAll("[^A-Za-z0-9]", "_")}")
+    // simulate a crash between createDirectories and the sentinel publish:
+    // dir exists, events symlink exists, but no zz_flush.parquet marker
+    if (Files.exists(staged)) {
+      val w = Files.walk(staged)
+      try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(Files.deleteIfExists(_))
+      finally w.close()
+    }
+    Files.createDirectories(staged)
+    Files.createSymbolicLink(staged.resolve("events.parquet"),
+      Paths.get(s"$sf0001/events.parquet"))
+    assert(!Files.exists(staged.resolve("zz_flush.parquet")))
+    val out = graft.queries.StreamingQueries.stageDir(
+      spark, sf0001, tag, sentinel = true)
+    assert(out == staged.toString)
+    assert(Files.exists(staged.resolve("zz_flush.parquet")), "dir did not self-heal")
+    assert(Files.isSymbolicLink(staged.resolve("events.parquet")))
+    // second call is a no-op fast path (marker present)
+    assert(graft.queries.StreamingQueries.stageDir(
+      spark, sf0001, tag, sentinel = true) == staged.toString)
+    // no _build_/_pq leftovers
+    val sib = Files.list(staged.getParent)
+    val leftovers = try {
+      import scala.jdk.CollectionConverters._
+      sib.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith(s"graft_stream_${tag}") &&
+          (n.contains("_build_") || n.endsWith("_pq"))).toList
+    } finally sib.close()
+    assert(leftovers.isEmpty, s"staging leftovers: $leftovers")
+  }
+
   test("running fold emits updated accumulator per step") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Double)]
