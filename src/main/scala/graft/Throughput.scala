@@ -29,6 +29,12 @@ object Throughput {
 
   val rowsN: Long = 20000000L
   val incSteps: Int = 8
+  /** Incremental runs process more events: per-step cost has a fixed
+    * driver/scheduling floor (~0.3-0.5 s/job locally), so the honest
+    * steady-state rows/s needs enough rows per micro-batch to amortize it —
+    * the reference's own ev/s figures come from 100M-event runs
+    * (reference: benchmark/README.md:184-229). */
+  val incRowsN: Long = 48000000L
 
   /** Event time of event `id`: 100 events per millisecond, monotonic and
     * in-order — a 10 s window holds ~1M events over 1000 auctions, the
@@ -37,18 +43,28 @@ object Throughput {
     * genuinely reduces. */
   private def tsOf(id: Column): Column = (id / 100L).cast("long")
 
-  /** Nexmark-ish bid stream: auction, bidder, price, event-time. */
-  private def bids(spark: SparkSession): DataFrame =
-    spark.range(rowsN).select(
+  /** Nexmark-ish bid stream columns over an id range. */
+  private def bidsOver(ids: DataFrame): DataFrame =
+    ids.select(
       pmod(col("id"), lit(1000L)).as("auction"),
       pmod(col("id") * 2654435761L, lit(10007L)).as("bidder"),
       (pmod(hash(col("id")), lit(10000)).cast("long") + 100L).as("price"),
       tsOf(col("id")).as("ts_ms"))
 
-  /** One time-contiguous micro-batch of the bid stream. */
+  private def bids(spark: SparkSession): DataFrame =
+    bidsOver(spark.range(rowsN).toDF())
+
+  /** One time-contiguous micro-batch of the bid stream — generated as a
+    * bounded range, so a step's job touches only its own slice (generating
+    * the full stream and filtering would charge every step the whole
+    * stream's generation cost). Partition count is sized to the SLICE, not
+    * the core count: 32 tasks of ~78k rows each are pure scheduling
+    * overhead in a sub-second micro-batch — the same per-job sizing lesson
+    * as the stateful-streaming parallelism. */
+  private val slicePartitions = 8
   private def bidSlice(spark: SparkSession, step: Int): DataFrame = {
-    val per = rowsN / incSteps
-    bids(spark).where(col("id") >= step * per && col("id") < (step + 1) * per)
+    val per = incRowsN / incSteps
+    bidsOver(spark.range(step * per, (step + 1) * per, 1, slicePartitions).toDF())
   }
 
   private def force(df: DataFrame): Unit =
@@ -137,19 +153,24 @@ object Throughput {
     * the partial aggregation — plus two O(windows) merge jobs. */
   private def incWindowed(spark: SparkSession, perAgg: DataFrame => DataFrame,
                           merge: DataFrame => DataFrame): Unit = {
-    var carry: DataFrame = null
-    val per = rowsN / incSteps
+    var carry: DataFrame = null // LAZY union of open-window partials
+    val pinned = scala.collection.mutable.Buffer[DataFrame]()
+    val per = incRowsN / incSteps
     for (i <- 0 until incSteps) {
       val batchMaxTs = ((i + 1) * per - 1) / 100L // watermark after this batch
       val openFrom = batchMaxTs - batchMaxTs % winMs // first still-open window
       val sliceAgg = perAgg(bidSlice(spark, i)).localCheckpoint(true)
+      pinned += sliceAgg
       val all = if (carry == null) sliceAgg else carry.union(sliceAgg)
       force(merge(all.where(col("wstart") < openFrom))) // closed windows leave
-      val nextCarry = merge(all.where(col("wstart") >= openFrom))
-        .localCheckpoint(true)
-      unpersistLater(carry); unpersistLater(sliceAgg); carry = nextCarry
+      // carry stays lazy: a union of ≤ incSteps tiny checkpointed partial
+      // frames; `merge` re-aggregates partials at emit time, so deferring
+      // the merge is exact and saves one barrier per step (2 jobs/step:
+      // the O(slice) partial agg + the O(windows) emit)
+      carry = all.where(col("wstart") >= openFrom)
     }
-    if (carry != null) { force(carry); unpersistLater(carry) }
+    if (carry != null) force(merge(carry))
+    pinned.foreach(unpersistLater)
   }
 
   private def incQ5(spark: SparkSession): Unit = incWindowed(spark,
@@ -185,9 +206,13 @@ object Throughput {
     * reference ev/s, the mode label, and the 2× gate. */
   def json(spark: SparkSession, reps: Int = 1): String = {
     val fams = families(spark)
-    fams.foreach { case (_, _, df) => force(df.limit(1000)) } // codegen warmup
     val entries = scala.collection.mutable.ArrayBuffer[(String, Long, Double, String, String, Boolean)]()
     fams.foreach { case (name, base, df) =>
+      // full-shape warmup ×2: C2 compilation of the generated code needs
+      // the real row volume — a LIMIT-1000 pass leaves the hot loop
+      // interpreted, and one full pass still under-measures the regex
+      // family by ~5× on a cold JVM (C2 finishes ramping after ~40M rows)
+      force(df); force(df)
       val sec = timeMedian(reps)(() => force(df))
       val rps = rowsN / sec
       entries += ((name, rps.toLong, base, "batch_upper_bound", name, rps * 2 >= base))
@@ -195,25 +220,34 @@ object Throughput {
     // size shuffle parallelism to the micro-batch state, not the core
     // count: the per-step merges move tiny state/partials, and 32-way
     // shuffles of tiny data are pure scheduling overhead (the same
-    // lesson as sizing stateful-streaming parallelism per job)
+    // lesson as sizing stateful-streaming parallelism per job). AQE is
+    // disabled inside the loops — its per-shuffle re-planning is pure
+    // fixed cost on sub-second micro-batch jobs whose sizes are known.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try incFamilies(spark).foreach { case (name, base, run) =>
       run() // warmup: codegen for the merge/emit plans
       val sec = timeMedian(reps)(run)
-      val rps = rowsN / sec
+      val rps = incRowsN / sec
       entries += ((name + "_inc", rps.toLong, base,
         "incremental_microbatch", name, rps * 2 >= base))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
     val parts = entries.map { case (key, rps, base, mode, _, ok) =>
-      val extra = if (mode == "incremental_microbatch") s""","steps":$incSteps""" else ""
+      val extra = if (mode == "incremental_microbatch")
+        s""","steps":$incSteps,"rows":$incRowsN""" else s""","rows":$rowsN"""
       s""""$key":{"rows_per_sec":$rps,"baseline_ev_per_sec":${base.toLong},""" +
         s""""ratio":${Bench.num(base / rps, 2)},"mode":"$mode"$extra,"within_2x":$ok}"""
     }
     compact = entries.map { case (key, rps, _, mode, _, ok) =>
       s""""$key":{"rps":$rps,"m":"${mode.head}","ok":$ok}"""
     }.mkString("{", ",", "}")
-    s"""{"rows":$rowsN,"note":"stateful 2x gate = *_inc entries",${parts.mkString(",")}}"""
+    s"""{"note":"stateful 2x gate = *_inc entries; per-entry rows","""+
+      s""""note2":"batch families $rowsN rows, incremental families $incRowsN rows",${parts.mkString(",")}}"""
   }
 
   /** Standalone run (dev loop): `runMain graft.Throughput`. */
