@@ -117,6 +117,30 @@ object Dedup extends QueryModule {
       closure.groupBy(col("src").as("doc_id")).agg(min("dst").as("cluster"))
     }),
 
+    // EMBEDDING near-dup pairs, label-BLOCKED: exact cosine over all pairs
+    // within a block (label = source/shard metadata), the standard blocking
+    // strategy for embedding dedup at scale — one shuffle on the block key,
+    // per-block all-pairs bounded by block size, no driver-side data. The
+    // cosine goes through the codegen'd float dot product so the oracle
+    // hash-matches bit-for-bit (d05's trick). Cross-block recall composes
+    // with the LSH bucketing of d06 when blocks don't align with
+    // similarity; within-block the result is EXACT, which is what makes it
+    // oracle-certifiable (unlike a pure LSH pass).
+    "d11_embed_neardup" -> ((s, dir) => {
+      val dotN = (x: Column, y: Column) => graft.functions.VectorFunctions.dotF(x, y)
+      val n = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding").as("e"))
+        .withColumn("nrm", sqrt(dotN(col("e"), col("e"))))
+      val a = n.select(col("label"), col("vec_id").as("d1"),
+        col("e").as("ae"), col("nrm").as("an"))
+      val b = n.select(col("label"), col("vec_id").as("d2"),
+        col("e").as("be"), col("nrm").as("bn"))
+      a.join(b, Seq("label")).where(col("d1") < col("d2"))
+        .select(col("label"), col("d1"), col("d2"),
+          (dotN(col("ae"), col("be")) / (col("an") * col("bn"))).as("sim"))
+        .where(col("sim") >= 0.3)
+    }),
+
     // per-label embedding centroids (the IVF coarse-quantizer build step):
     // positional explode + decimal-exact mean per (label, dim). One shuffle
     // on (label, pos); at 100 TB this is the standard fan-out that AQE
@@ -249,6 +273,14 @@ object Dedup extends QueryModule {
                UNION
                SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src)
          SELECT src AS doc_id, min(dst) AS cluster FROM r GROUP BY src""",
+    "d11_embed_neardup" ->
+      """WITH n AS (SELECT vec_id, label, embedding::DOUBLE[] AS e,
+               sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+             FROM embeddings)
+         SELECT a.label, a.vec_id AS d1, b.vec_id AS d2,
+                list_inner_product(a.e, b.e) / (a.nrm * b.nrm) AS sim
+         FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE list_inner_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.3""",
     "d07_label_centroids" ->
       """SELECT label, i AS pos,
            CAST(SUM(CAST(CAST(embedding[i+1] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
