@@ -132,6 +132,40 @@ object TextAnalysis extends QueryModule {
           Num.dsum(col("q")).as("sum_q"))
     }),
 
+    // DETERMINISTIC per-source sampling — the reproducible down-sampling a
+    // training-mix pipeline needs: the keep/drop decision is a pure
+    // function of (doc_id, source) via an md5 sampling key compared against
+    // a per-source rate threshold (hex-prefix compare: '8' = 8/16 = 50%,
+    // '4' = 25%). No RNG state, no partitioning dependence — the same rows
+    // are kept on any cluster size or retry, and rates are auditable
+    // per-source. Narrow-only plan: no shuffle at all.
+    "d12_sample_det" -> ((s, dir) => {
+      val skey = md5(concat(col("doc_id").cast("string"), lit(":"), col("source")))
+      val srcNum = regexp_extract(col("source"), "([0-9]+)$", 1).cast("long")
+      val rate = when(pmod(srcNum, lit(2L)) === 0, lit("8")).otherwise(lit("4"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), skey.as("skey"))
+        .where(substring(col("skey"), 1, 1) < rate)
+    }),
+
+    // TOKEN-BUDGET SEQUENCE PACKING — assign docs to fixed-budget packs
+    // (context-window chunks) per source: deterministic doc_id order,
+    // running token sum, pack = floor(tokens-before / budget). One window
+    // per source partition; at scale this is the standard pre-tokenization
+    // packing pass (the partition key is the source shard, so packs never
+    // straddle shuffle boundaries).
+    "d13_pack_sequences" -> ((s, dir) => {
+      val budget = 2048L
+      val nTok = size(toks(col("text"))).cast("long")
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), nTok.as("n_tokens"))
+        .withColumn("cum", sum("n_tokens").over(w))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          floor((col("cum") - col("n_tokens")) / budget).as("pack_id"))
+    }),
+
     // document fingerprint: md5 over normalized text
     "t04_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -245,6 +279,21 @@ object TextAnalysis extends QueryModule {
            FROM d WHERE rn = 1 GROUP BY source""",
       "t04_fingerprint" ->
         """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+           FROM documents""",
+      "d12_sample_det" ->
+        """SELECT doc_id, source,
+             md5(concat(CAST(doc_id AS VARCHAR), ':', source)) AS skey
+           FROM documents
+           WHERE substring(md5(concat(CAST(doc_id AS VARCHAR), ':', source)), 1, 1)
+                 < CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 2 = 0
+                        THEN '8' ELSE '4' END""",
+      "d13_pack_sequences" ->
+        """SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(floor((SUM(len(string_split(text, ' ')))
+                           OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING)
+                         - len(string_split(text, ' '))) / 2048.0) AS BIGINT) AS pack_id
            FROM documents""",
       "d01_dedup_exact" ->
         """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
