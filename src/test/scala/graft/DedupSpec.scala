@@ -111,4 +111,27 @@ class DedupSpec extends SparkSpec {
       Dedup.queries("d03_minhash_lsh")(spark, sf0001),
       TextAnalysis.queries("d02_jaccard_pairs")(spark, sf0001))
   }
+
+  test("deterministic sampling is invariant under partitioning and replay") {
+    // the scale claim of d12: keep/drop is a pure row function — the same
+    // rows survive regardless of physical layout or retry
+    val base = TextAnalysis.queries("d12_sample_det")(spark, sf0001)
+    val replay = TextAnalysis.queries("d12_sample_det")(spark, sf0001)
+    assertSameRows(base, replay)
+    // rerun with the input shuffled into a different physical layout
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .repartition(17, col("text")) // layout unrelated to doc_id/source
+    val skey = md5(concat(col("doc_id").cast("string"), lit(":"), col("source")))
+    val srcNum = regexp_extract(col("source"), "([0-9]+)$", 1).cast("long")
+    val rate = when(pmod(srcNum, lit(2L)) === 0, lit("8")).otherwise(lit("4"))
+    val shuffled = docs.select(col("doc_id"), col("source"), skey.as("skey"))
+      .where(substring(col("skey"), 1, 1) < rate)
+    assertSameRows(base, shuffled)
+    // per-source rates actually differ by tier (50% vs 25% in expectation)
+    val kept = base.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val even = kept.filter { case (s, _) => s.replaceAll("[^0-9]", "").toLong % 2 == 0 }
+    val odd = kept.filter { case (s, _) => s.replaceAll("[^0-9]", "").toLong % 2 == 1 }
+    assert(even.values.sum > odd.values.sum, s"even=$even odd=$odd")
+  }
 }

@@ -38,6 +38,19 @@ class RecursiveSpec extends SparkSpec {
     assert(fixed(1).as[Long].collect().toSet == Set(2L, 3L, 4L))
   }
 
+  test("mutual with one collection degenerates to fixpoint") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+      .localCheckpoint(true)
+    def step(d: org.apache.spark.sql.DataFrame) = {
+      val dd = d.select(col("src").as("p_src"), col("dst").as("p_dst"))
+      dd.join(edges, dd("p_dst") === edges("src"))
+        .select(col("p_src").as("src"), edges("dst").as("dst"))
+    }
+    val viaFix = Recursive.fixpoint(edges)(step)
+    val viaMutual = Recursive.mutual(Seq(edges)) { (_, ds) => Seq(step(ds(0))) }
+    assertSameRows(viaFix.distinct(), viaMutual(0).distinct())
+  }
+
   test("mutual: acyclic two-collection recursion matches hand model") {
     // chain 1→2→3→4→5 from root 1: strict alternation, no overlap
     val edges = (1L to 4L).map(i => (i, i + 1)).toDF("src", "dst")
