@@ -208,9 +208,10 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
     * in both terms and cancel in the Z-set minus. The emitted delta is
     * EAGERLY materialized (it is O(touched output), not O(state)) so it
     * stays valid after superseded segments are reclaimed. */
-  def aggStep(delta: ZSetFrame, checkpointDelta: Boolean = true)
+  def aggStep(delta: ZSetFrame, checkpointDelta: Boolean = true,
+              knownTouched: Option[Seq[Int]] = None)
              (agg: ZSetFrame => ZSetFrame): ZSetFrame = {
-    val (oldTouched, newTouched) = merge(delta, checkpointDelta)
+    val (oldTouched, newTouched) = merge(delta, checkpointDelta, knownTouched)
     (agg(newTouched) - agg(oldTouched)).localCheckpoint(eager = true)
   }
 }

