@@ -112,6 +112,21 @@ object StreamingQueries extends QueryModule {
         .where(col("event_type") =!= "flush")
     }),
 
+    // streaming DISTINCT (reference: operator/distinct.rs stream_distinct):
+    // first occurrence per key emits immediately in append mode, state is
+    // the distinct-key set — the same asymptotic state as the reference's
+    // distinct trace. At scale the watermarked variant
+    // (dropDuplicatesWithinWatermark) bounds state to the lateness horizon;
+    // the unbounded form is the faithful analog of the reference operator,
+    // whose trace also retains every distinct key.
+    "q61_stream_distinct" -> ((s, dir) => {
+      val ded = eventStream(s, dir, "sdistinct")
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+      StreamOps.runToMemory(s, ded,
+        s"stream_distinct_${System.nanoTime()}", OutputMode.Append)
+    }),
+
     // streaming upsert (flatMapGroupsWithState −old/+new deltas) consolidated
     // to the final snapshot == batch last-write-wins oracle
     "q34_stream_upsert" -> ((s, dir) => {
@@ -187,6 +202,8 @@ object StreamingQueries extends QueryModule {
       s"""SELECT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS wstart, event_type,
             count(*) AS n, ${oSum("value")} AS sum_value
           FROM events GROUP BY 1, 2""",
+    "q61_stream_distinct" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
     "q34_stream_upsert" ->
       """SELECT user_id, value FROM events
          QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
