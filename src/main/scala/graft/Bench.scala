@@ -60,7 +60,10 @@ object Bench {
     val results = runs.map { case (n, ts) => n -> median(ts) }.toMap
     // O(Δ)-step-cost artifact: keyed (partitioned trace) step time must stay
     // flat as state grows 10×; the naive full-scan state shows the growth
-    val stepBench = try StepBench.json(spark, 500000L, 6)
+    // 10 steps: the growth gate is a ratio of per-step FLOORS, and a floor
+    // over 9 post-warmup samples is materially tighter than over 5 (a 6-step
+    // run put single-run noise of ±0.1 on a ~1.1 ratio)
+    val stepBench = try StepBench.json(spark, 500000L, 10)
       catch { case e: Throwable => s"""{"error":"${e.getClass.getName}"}""" }
     // throughput artifact: rows/s per query family on ≥10M generated rows —
     // batch figures are labeled batch_upper_bound; stateful families are
