@@ -60,15 +60,21 @@ object Incremental {
   def joinDeltaKeyed(aSt: KeyedState, dA: ZSetFrame,
                      bSt: KeyedState, dB: ZSetFrame,
                      keys: Seq[String],
-                     checkpointDeltas: Boolean = true): ZSetFrame = {
+                     checkpointDeltas: Boolean = true,
+                     knownTouchedA: Option[Seq[Int]] = None,
+                     knownTouchedB: Option[Seq[Int]] = None): ZSetFrame = {
     require(aSt.nBuckets == bSt.nBuckets && aSt.keys == bSt.keys,
       "join traces must share key columns and bucket count")
     // bucket ids are computed ONCE per delta and shared between the probe
-    // of one trace and the merge of the other (identical hash layout)
-    val aTouched = aSt.touchedBuckets(dA)
+    // of one trace and the merge of the other (identical hash layout).
+    // Callers that know a delta's bucket span pass it via knownTouched*
+    // (any SUPERSET of the actual span is correct — a DENSE delta passes
+    // all buckets, skipping the per-step bucket-discovery job entirely,
+    // since discovery would return every bucket anyway).
+    val aTouched = knownTouchedA.getOrElse(aSt.touchedBuckets(dA))
     val bOldProbe = bSt.view(aTouched)                 // B_old for ΔA's buckets
     aSt.merge(dA, checkpointDeltas, Some(aTouched))    // A_new includes ΔA
-    val bTouched = bSt.touchedBuckets(dB)
+    val bTouched = knownTouchedB.getOrElse(bSt.touchedBuckets(dB))
     val aNewProbe = aSt.view(bTouched)                 // A_new for ΔB's buckets
     bSt.merge(dB, checkpointDeltas, Some(bTouched))
     // eager: the emitted join delta references partition-pruned probe views

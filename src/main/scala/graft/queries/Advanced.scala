@@ -425,10 +425,16 @@ object Advanced extends QueryModule {
         } :+ ((ZSetFrame.fromTable(a.where(lit(false))),
                ZSetFrame.fromDelta(b.where(col("c_mktsegment") === "MACHINERY")
                  .withColumn(ZSetFrame.W, lit(-1L)))))
+      // every wave is DENSE (a third of the key space / a whole segment),
+      // so its bucket span is all 32 buckets by construction — pass it and
+      // skip the per-wave bucket-discovery jobs (fewer jobs per step is
+      // the lever; any superset of the true span is correct)
+      val allBuckets = Some(0 until aSt.nBuckets: Seq[Int])
       val outDeltas = waves.map { case (dA, dB) =>
         // deltas are filters over the pinned scans — no per-wave checkpoint
         Incremental.joinDeltaKeyed(aSt, dA, bSt, dB, keys,
-          checkpointDeltas = false)
+          checkpointDeltas = false,
+          knownTouchedA = allBuckets, knownTouchedB = allBuckets)
       }
       ZSetFrame.sumAll(outDeltas).consolidate
         .toDF.select("c_custkey", "o_orderkey", "c_name")
