@@ -32,7 +32,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Whole-stage codegen across ~80 bench queries generates far more JIT'd
+  // code than the JDK17 default 240m code cache holds; once it fills, hot
+  // loops (regexp families especially) silently fall back to the
+  // interpreter — a 10-50x per-family collapse late in a long run. 512m
+  // keeps every family compiled for the whole bench/verify process.
+  "-XX:ReservedCodeCacheSize=512m",
   // logging config lives OUTSIDE src/main/resources so the published jar
   // does not override a downstream consumer's log4j2 defaults; it applies
   // only to the forked run/test JVMs of this build

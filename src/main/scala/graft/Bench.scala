@@ -87,9 +87,12 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
         full.getBytes("UTF-8"))
     } catch { case _: Throwable => () } // read-only cwd must not kill the run
+    // compact line budget ~2 KB (the driver's stdout capture is size-
+    // limited): totals + gates + errors only — per-query timings live in
+    // the committed BENCH_LOCAL.json
     val compact =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,""" +
-      s""""queries":${qJson(2)},"errors":$errJson,"step_bench":$stepBench,""" +
+      s""""n_queries":${results.size},"errors":$errJson,"step_bench":$stepBench,""" +
       s""""throughput":${Throughput.compact},"detail":"BENCH_LOCAL.json","sf":"$sfDir"}"""
     // The driver extracts this JSON from stdout: silence logging BEFORE
     // stop() so no shutdown-hook chatter can print after (or interleave

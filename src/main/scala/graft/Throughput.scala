@@ -122,13 +122,24 @@ object Throughput {
   private def unpersistLater(old: DataFrame): Unit =
     if (old != null) old.rdd.unpersist(false)
 
+  /** Per-step wall times of the CURRENT incremental run — cleared by the
+    * measurement loop before each run and dumped into the full artifact, so
+    * a collapsed family shows WHICH step paid (first-step codegen vs a
+    * drifting per-step cost vs one GC-hit outlier step). */
+  private val stepTimes = scala.collection.mutable.Buffer[Double]()
+  private def stepTimed(body: => Unit): Unit = {
+    val t0 = System.nanoTime()
+    body
+    stepTimes += (System.nanoTime() - t0) / 1e9
+  }
+
   /** q4: running max per auction (insert-only stream → max is maintained by
     * merging per-batch partial maxes into 1000-row state), then the updated
     * per-category avg is emitted every step. */
   private def incQ4(spark: SparkSession): Unit = {
     val cat = category(spark)
     var state: DataFrame = null
-    for (i <- 0 until incSteps) {
+    for (i <- 0 until incSteps) stepTimed {
       val stepMax = bidSlice(spark, i)
         .groupBy("auction").agg(max("price").as("final"))
       val merged = if (state == null) stepMax
@@ -137,6 +148,74 @@ object Throughput {
       unpersistLater(state); state = ck
       force(ck.join(broadcast(cat), "auction")
         .groupBy("cat").agg(avg("final").as("avg_final")))
+    }
+    unpersistLater(state)
+  }
+
+  /** q9: winning bid per auction — per-key ARGMAX maintained across steps
+    * (reference: crates/nexmark/src/queries/q9.rs winning-bids shape;
+    * baseline benchmark/README.md:213). State is one struct row per auction;
+    * the per-step slice argmax merges into it by struct-max (price, then
+    * ts, then bidder — a total order, so the merge is associative). */
+  private def incQ9(spark: SparkSession): Unit = {
+    def win = max(struct(col("price"), col("ts_ms"), col("bidder"))).as("w")
+    var state: DataFrame = null
+    for (i <- 0 until incSteps) stepTimed {
+      val stepWin = bidSlice(spark, i).groupBy("auction").agg(win)
+      val merged = if (state == null) stepWin
+        else state.union(stepWin).groupBy("auction").agg(max("w").as("w"))
+      val ck = merged.localCheckpoint(true)
+      unpersistLater(state); state = ck
+      force(ck.select(col("auction"), col("w.price").as("price"),
+        col("w.ts_ms").as("ts_ms"), col("w.bidder").as("bidder")))
+    }
+    unpersistLater(state)
+  }
+
+  /** q18: LAST bid per (bidder, auction) — per-key upsert state (reference:
+    * crates/nexmark/src/queries/q18.rs last-per-key via Fold; baseline
+    * benchmark/README.md:222). Event time is monotonic, so "last" is the
+    * struct-max on (ts_ms, price); the state carries one row per live key
+    * (up to ~10M keys at 48M events — a real large-state family: each step
+    * merges the slice's per-key last into the full key state, which is the
+    * honest cost since a uniform bid stream touches every key bucket). */
+  private def incQ18(spark: SparkSession): Unit = {
+    def last = max(struct(col("ts_ms"), col("price"))).as("w")
+    var state: DataFrame = null
+    for (i <- 0 until incSteps) stepTimed {
+      val stepLast = bidSlice(spark, i).groupBy("bidder", "auction").agg(last)
+      val merged = if (state == null) stepLast
+        else state.union(stepLast).groupBy("bidder", "auction").agg(max("w").as("w"))
+      val ck = merged.localCheckpoint(true)
+      unpersistLater(state); state = ck
+      // emit only the step's affected keys' current rows (the output delta);
+      // emitting the full 10M-key state per step would be O(state) output
+      force(ck.join(stepLast.select("bidder", "auction"), Seq("bidder", "auction"))
+        .select(col("bidder"), col("auction"),
+          col("w.ts_ms").as("ts_ms"), col("w.price").as("price")))
+    }
+    unpersistLater(state)
+  }
+
+  /** q19: TOP-10 bids per auction (reference:
+    * crates/nexmark/src/queries/q19.rs window rank ≤ 10; baseline
+    * benchmark/README.md:223). Per step: slice top-10 per auction (window
+    * rank over the slice only), merged with the carried 10-per-auction
+    * state, re-ranked, truncated — state stays ≤ 10 rows/auction, so the
+    * re-rank is O(auctions), never O(stream). */
+  private def incQ19(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("auction")
+      .orderBy(col("price").desc, col("ts_ms"), col("bidder"))
+    def top10(df: DataFrame): DataFrame =
+      df.withColumn("rn", row_number().over(w)).where(col("rn") <= 10).drop("rn")
+    var state: DataFrame = null
+    for (i <- 0 until incSteps) stepTimed {
+      val stepTop = top10(bidSlice(spark, i))
+      val merged = top10(if (state == null) stepTop else state.union(stepTop))
+      val ck = merged.localCheckpoint(true)
+      unpersistLater(state); state = ck
+      force(ck)
     }
     unpersistLater(state)
   }
@@ -156,7 +235,7 @@ object Throughput {
     var carry: DataFrame = null // LAZY union of open-window partials
     val pinned = scala.collection.mutable.Buffer[DataFrame]()
     val per = incRowsN / incSteps
-    for (i <- 0 until incSteps) {
+    for (i <- 0 until incSteps) stepTimed {
       val batchMaxTs = ((i + 1) * per - 1) / 100L // watermark after this batch
       val openFrom = batchMaxTs - batchMaxTs % winMs // first still-open window
       val sliceAgg = perAgg(bidSlice(spark, i)).localCheckpoint(true)
@@ -185,7 +264,10 @@ object Throughput {
     Seq(
       ("q4_join_agg", 9768487d, () => incQ4(spark)),
       ("q5_window", 9906875d, () => incQ5(spark)),
-      ("q7_maxbid", 7380618d, () => incQ7(spark)))
+      ("q7_maxbid", 7380618d, () => incQ7(spark)),
+      ("q9_winning_bid", 2107437d, () => incQ9(spark)),
+      ("q18_last_per_key", 3377351d, () => incQ18(spark)),
+      ("q19_top10", 2732390d, () => incQ19(spark)))
 
   // ------------------------------------------------------------- reporting
 

@@ -180,7 +180,21 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
       retiredSegs += ((gen, new Segment(c.df.rdd)))
       c
     } else aligned
-    val touched = knownTouched.getOrElse(touchedBuckets(d))
+    // knownTouched CONTRACT: any SUPERSET of the delta's true bucket span.
+    // An under-inclusive set silently corrupts state — install() repoints
+    // only the listed buckets, so delta rows hashing elsewhere land in an
+    // unreferenced partition and are dropped without error. Validated
+    // behind spark.graft.checkedTouched (debug; costs one extra job/step).
+    val touched = knownTouched match {
+      case Some(ts) =>
+        if (spark.conf.getOption(KeyedState.CheckedTouchedConf).contains("true")) {
+          val missing = touchedBuckets(d).filterNot(ts.contains)
+          require(missing.isEmpty,
+            s"graft: knownTouched misses buckets $missing — deltas there would be dropped")
+        }
+        ts
+      case None => touchedBuckets(d)
+    }
     val oldTouched = ZSetFrame.fromDelta(bucketsDf(touched))
     // consolidate BEFORE installing: state rows must stay physically unique
     // (weight-merged) or count-style aggregates over the trace would see
@@ -207,11 +221,22 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
     * scanned; output rows of co-bucketed but untouched keys are identical
     * in both terms and cancel in the Z-set minus. The emitted delta is
     * EAGERLY materialized (it is O(touched output), not O(state)) so it
-    * stays valid after superseded segments are reclaimed. */
+    * stays valid after superseded segments are reclaimed.
+    *
+    * `knownTouched`: any SUPERSET of the buckets the delta's keys hash
+    * into (see `merge` — an under-inclusive set silently drops rows; the
+    * delta's keys must hash with the state's exact column types). */
   def aggStep(delta: ZSetFrame, checkpointDelta: Boolean = true,
               knownTouched: Option[Seq[Int]] = None)
              (agg: ZSetFrame => ZSetFrame): ZSetFrame = {
     val (oldTouched, newTouched) = merge(delta, checkpointDelta, knownTouched)
     (agg(newTouched) - agg(oldTouched)).localCheckpoint(eager = true)
   }
+}
+
+object KeyedState {
+  /** Debug flag: when "true", `merge` verifies a caller-supplied
+    * `knownTouched` is a superset of the delta's actual bucket span
+    * (the same contract-check philosophy as ZSetFrame.CheckedWeightsConf). */
+  val CheckedTouchedConf = "spark.graft.checkedTouched"
 }

@@ -95,10 +95,11 @@ object Advanced extends QueryModule {
       val horizon = 3600000L
       val st = new Incremental.BoundedState(
         ZSetFrame.fromTable(ev.where(lit(false))), "ts_ms")
-      val cnt = new Incremental.State(Incremental.emptyLike(
-        ZSetFrame.fromTable(ev.where(lit(false)).select("user_id"))))
-      val sum4 = new Incremental.State(Incremental.emptyLike(
-        ZSetFrame.fromTable(ev.where(lit(false)).select("user_id"))))
+      // output side: per-step weighed deltas are logged and integrated once
+      // at read-out (delta-log pattern); only the INPUT window state is
+      // maintained per step
+      val cntDeltas = Seq.newBuilder[ZSetFrame]
+      val sumDeltas = Seq.newBuilder[ZSetFrame]
       (0 until 4).foreach { i =>
         val lo = start + i * span
         val hi = start + (i + 1) * span
@@ -111,14 +112,16 @@ object Advanced extends QueryModule {
           st.acc.df.where(col("ts_ms") < waterline)
             .withColumn(ZSetFrame.W, -col(ZSetFrame.W)))
         val wDelta = chunk.where(col("ts_ms") >= waterline) + expired
-        cnt.update(Incremental.linearAggDelta(wDelta, Seq(col("user_id")), lit(1L)))
-        sum4.update(Incremental.linearAggDelta(wDelta, Seq(col("user_id")),
-          (col("v") * 10000).cast("long")))
+        cntDeltas += Incremental.linearAggDelta(wDelta, Seq(col("user_id")), lit(1L))
+        sumDeltas += Incremental.linearAggDelta(wDelta, Seq(col("user_id")),
+          (col("v") * 10000).cast("long"))
         st.update(chunk, waterline)
       }
-      val c = cnt.acc.df.select(col("user_id"), col(ZSetFrame.W).as("n"))
-      val v = sum4.acc.df.select(col("user_id").as("u2"),
-        (col(ZSetFrame.W).cast("decimal(18,4)") / 10000).cast("double").as("sum_value"))
+      val c = ZSetFrame.sumAll(cntDeltas.result()).consolidate.df
+        .select(col("user_id"), col(ZSetFrame.W).as("n"))
+      val v = ZSetFrame.sumAll(sumDeltas.result()).consolidate.df
+        .select(col("user_id").as("u2"),
+          (col(ZSetFrame.W).cast("decimal(18,4)") / 10000).cast("double").as("sum_value"))
       c.join(v, c("user_id") === v("u2")).select("user_id", "n", "sum_value")
     }),
 
@@ -176,21 +179,22 @@ object Advanced extends QueryModule {
     }),
 
     // incremental LINEAR aggregate over 3 delta steps with retraction:
-    // count + sum per group via weigh → consolidate (aggregate/mod.rs:253)
+    // count + sum per group via weigh (aggregate/mod.rs:253). The emitted
+    // stream is the weighed deltas themselves — the consumer integrates ONCE
+    // at read-out (delta-log pattern, reference output.rs:219); no per-step
+    // consolidation of accumulated output, so a step is O(|Δ|) flat.
     "q29_inc_linear_agg" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select("l_returnflag", "l_orderkey", "l_quantity")
       val ds = deltas3(li, "l_orderkey")
-      val cnt = new Incremental.State(Incremental.emptyLike(
-        ds.head.select(col("l_returnflag"))))
-      val qty = new Incremental.State(Incremental.emptyLike(
-        ds.head.select(col("l_returnflag"))))
-      ds.foreach { d =>
-        cnt.update(Incremental.linearAggDelta(d, Seq(col("l_returnflag")), lit(1L)))
-        qty.update(Incremental.linearAggDelta(d, Seq(col("l_returnflag")),
+      val cntDeltas = ds.map(d =>
+        Incremental.linearAggDelta(d, Seq(col("l_returnflag")), lit(1L)))
+      val qtyDeltas = ds.map(d =>
+        Incremental.linearAggDelta(d, Seq(col("l_returnflag")),
           col("l_quantity").cast("long")))
-      }
-      val c = cnt.acc.df.select(col("l_returnflag"), col(ZSetFrame.W).as("n"))
-      val q = qty.acc.df.select(col("l_returnflag").as("rf2"), col(ZSetFrame.W).as("sum_qty"))
+      val c = ZSetFrame.sumAll(cntDeltas).consolidate.df
+        .select(col("l_returnflag"), col(ZSetFrame.W).as("n"))
+      val q = ZSetFrame.sumAll(qtyDeltas).consolidate.df
+        .select(col("l_returnflag").as("rf2"), col(ZSetFrame.W).as("sum_qty"))
       c.join(q, c("l_returnflag") === q("rf2")).select("l_returnflag", "n", "sum_qty")
     }),
 
@@ -205,16 +209,19 @@ object Advanced extends QueryModule {
       val (da, db) = (halves(a), halves(b))
       val aSt = new Incremental.State(Incremental.emptyLike(da.head))
       val bSt = new Incremental.State(Incremental.emptyLike(db.head))
-      val out = new Incremental.State(Incremental.emptyLike(
-        da.head.join(db.head, Seq("c_custkey"))))
-      da.zip(db).foreach { case (dA, dB) =>
+      // INPUT traces are integrated (that is the operator's state); the
+      // OUTPUT stays a log of per-step join deltas, consolidated once at
+      // read-out (delta-log pattern, reference output.rs:219) — per-step
+      // cost never includes re-consolidating the accumulated output
+      val outDeltas = da.zip(db).map { case (dA, dB) =>
         val bOld = bSt.acc
         aSt.update(dA)
         val d = Incremental.joinDelta(dA, bOld, aSt.acc, dB, Seq("c_custkey"))
         bSt.update(dB)
-        out.update(d)
+        d
       }
-      out.acc.toDF.select("c_custkey", "o_orderkey", "c_name")
+      ZSetFrame.sumAll(outDeltas).consolidate
+        .toDF.select("c_custkey", "o_orderkey", "c_name")
     }),
 
     // incremental DISTINCT with over-insertion and retraction below zero
@@ -227,46 +234,56 @@ object Advanced extends QueryModule {
         ZSetFrame.fromDelta(o.where(pmod(col("k"), lit(5L)) === 1)
           .withColumn(ZSetFrame.W, lit(-2L))))
       val in = new Incremental.State(Incremental.emptyLike(ds.head))
-      val out = new Incremental.State(Incremental.emptyLike(ds.head))
-      ds.foreach { d =>
+      val outDeltas = ds.map { d =>
         val aOld = in.acc
         in.update(d)
-        out.update(Incremental.distinctDelta(aOld, in.acc))
+        Incremental.distinctDelta(aOld, in.acc)
       }
-      out.acc.toDF
+      ZSetFrame.sumAll(outDeltas).consolidate.toDF
     }),
 
     // incremental ANTI-JOIN by delta-rule composition (reference
     // operator/join.rs:298-320: A − A⋉distinct(B), each part incremental):
     // Δout = ΔA − (ΔA⋈D_old + A_new⋈ΔD), ΔD = Δdistinct(B). Step 2 RETRACTS
-    // customers from B, which must RE-ADD their orders to the output.
+    // customers from B, which must RE-ADD their orders to the output. All
+    // three traces (A, raw B, D = distinct B) live on KEY-PARTITIONED state:
+    // Δdistinct(B) is an aggStep over B's touched buckets and the semi-join
+    // delta probes partition-pruned views — a step never scans full state;
+    // the output is a log of per-step deltas consolidated once at read-out.
     "q40_inc_antijoin" -> ((s, dir) => {
-      val a = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"), col("o_orderkey"))
-      val bldg = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
-        .select("c_custkey")
-      val furn = t(s, dir, "customer").where(col("c_mktsegment") === "FURNITURE")
-        .select("c_custkey")
+      val a = t(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"), col("o_orderkey"))
+        .localCheckpoint(true)
+      val cust = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+        .localCheckpoint(true)
+      val bldg = cust.where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val furn = cust.where(col("c_mktsegment") === "FURNITURE").select("c_custkey")
       val das = Seq(
         ZSetFrame.fromTable(a.where(pmod(col("o_orderkey"), lit(2L)) === 0)),
         ZSetFrame.fromTable(a.where(pmod(col("o_orderkey"), lit(2L)) === 1)))
       val dbs = Seq(
         ZSetFrame.fromTable(bldg.unionByName(furn)),
         ZSetFrame.fromDelta(furn.withColumn(ZSetFrame.W, lit(-1L))))
-      val aSt = new Incremental.State(Incremental.emptyLike(das.head))
-      val bSt = new Incremental.State(Incremental.emptyLike(dbs.head))
-      val dSt = new Incremental.State(Incremental.emptyLike(dbs.head)) // distinct(B)
-      val out = new Incremental.State(Incremental.emptyLike(das.head))
-      das.zip(dbs).foreach { case (dA, dB) =>
-        val bOld = bSt.acc
-        bSt.update(dB)
-        val dD = Incremental.distinctDelta(bOld, bSt.acc)
-        val dOld = dSt.acc
-        dSt.update(dD)
-        aSt.update(dA)
-        val dSemi = Incremental.joinDelta(dA, dOld, aSt.acc, dD, Seq("c_custkey"))
-        out.update(dA - dSemi)
+      val keys = Seq("c_custkey")
+      val aSt = new KeyedState(keys, 32, Incremental.emptyLike(das.head))
+      val bSt = new KeyedState(keys, 32, Incremental.emptyLike(dbs.head))
+      val dSt = new KeyedState(keys, 32, Incremental.emptyLike(dbs.head))
+      // every delta here is DENSE in the key space (half of orders / a whole
+      // market segment), so its bucket span is all 32 by construction — pass
+      // it and skip the per-step discovery jobs; deltas are filters over the
+      // pinned scans, so no per-step checkpoint either (the q42/q54 lesson:
+      // job count per step is the local-mode lever)
+      val allB = Some(0 until 32: Seq[Int])
+      val outDeltas = das.zip(dbs).map { case (dA, dB) =>
+        val dD = bSt.aggStep(dB, checkpointDelta = false,
+          knownTouched = allB)(_.distinctZ)
+        val dSemi = Incremental.joinDeltaKeyed(aSt, dA, dSt, dD, keys,
+          checkpointDeltas = false,
+          knownTouchedA = allB, knownTouchedB = allB)
+        dA - dSemi
       }
-      out.acc.toDF.select("c_custkey", "o_orderkey")
+      ZSetFrame.sumAll(outDeltas).consolidate
+        .toDF.select("c_custkey", "o_orderkey")
     }),
 
     // incremental PARTITIONED ROLLING aggregate with OUT-OF-ORDER input:
@@ -293,11 +310,13 @@ object Advanced extends QueryModule {
           .select("event_id", "user_id", "n_1h", "sum_1h"))
       }
       // key-partitioned trace: the out-of-order correction recomputes only
-      // the touched users' buckets, not the whole accumulated state
+      // the touched users' buckets, not the whole accumulated state; the
+      // output is a delta log consolidated once at read-out (aggStep already
+      // materializes each emitted delta, so no per-step O(output) work)
       val in = new KeyedState(Seq("user_id"), 32, Incremental.emptyLike(ds.head))
-      val out = new Incremental.State(Incremental.emptyLike(aggFn(ds.head)))
-      ds.foreach { d => out.update(in.aggStep(d)(aggFn)) }
-      out.acc.toDF.select("event_id", "user_id", "n_1h", "sum_1h")
+      val outDeltas = ds.map(d => in.aggStep(d)(aggFn))
+      ZSetFrame.sumAll(outDeltas).consolidate
+        .toDF.select("event_id", "user_id", "n_1h", "sum_1h")
     }),
 
     // incremental TOP-N per key under retraction — beyond the reference
@@ -316,11 +335,12 @@ object Advanced extends QueryModule {
         ZSetFrame.fromTable(z.toDF.withColumn("rn", row_number().over(w))
           .where(col("rn") <= 3).select("user_id", "event_id", "value", "rn"))
       }
-      // key-partitioned trace: a step touches only its keys' buckets
+      // key-partitioned trace: a step touches only its keys' buckets; the
+      // output is a delta log consolidated once at read-out
       val in = new KeyedState(Seq("user_id"), 32, Incremental.emptyLike(ds.head))
-      val out = new Incremental.State(Incremental.emptyLike(aggFn(ds.head)))
-      ds.foreach { d => out.update(in.aggStep(d)(aggFn)) }
-      out.acc.toDF.select("user_id", "event_id", "value", "rn")
+      val outDeltas = ds.map(d => in.aggStep(d)(aggFn))
+      ZSetFrame.sumAll(outDeltas).consolidate
+        .toDF.select("user_id", "event_id", "value", "rn")
     }),
 
     // q42: KEY-PARTITIONED trace — the O(Δ) step-cost proof. 21 delta steps
@@ -448,16 +468,15 @@ object Advanced extends QueryModule {
         ZSetFrame.fromTable(o),
         ZSetFrame.fromDelta(o.where(pmod(col("o_orderkey"), lit(7L)) === 0)
           .withColumn(ZSetFrame.W, lit(-1L))))
-      // key-partitioned trace: a step touches only its keys' buckets
+      // key-partitioned trace: a step touches only its keys' buckets; the
+      // output is a delta log consolidated once at read-out
       val in = new KeyedState(Seq("o_custkey"), 32, Incremental.emptyLike(ds.head))
-      val out = new Incremental.State(ZSetFrame.fromDelta(
-        o.where(lit(false)).select(col("o_custkey"), col("o_totalprice").as("max_price"))
-          .withColumn(ZSetFrame.W, lit(1L))))
       def aggFn(z: ZSetFrame): ZSetFrame =
         z.aggregate(Seq(col("o_custkey")), expandWeights = false,
           max(col("o_totalprice")).as("max_price"))
-      ds.foreach { d => out.update(in.aggStep(d)(aggFn)) }
-      out.acc.toDF.select("o_custkey", "max_price")
+      val outDeltas = ds.map(d => in.aggStep(d)(aggFn))
+      ZSetFrame.sumAll(outDeltas).consolidate
+        .toDF.select("o_custkey", "max_price")
     })
   )
 

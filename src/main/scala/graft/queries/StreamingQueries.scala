@@ -67,6 +67,12 @@ object StreamingQueries extends QueryModule {
           StandardCopyOption.REPLACE_EXISTING)
         deleteTree(tmp)
       }
+      // NOTE: only the final move is atomic; the deleteTree→move pair is
+      // not. Concurrent callers could delete a competitor's just-published
+      // dir before re-publishing, and a reader listing mid-gap sees a
+      // transient missing dir. The bench/verify drivers call this
+      // SEQUENTIALLY (one query at a time), which is the assumption here;
+      // a concurrent deployment would take a lock file around the publish.
       deleteTree(staged) // clear any half-staged leftover before publishing
       try Files.move(build, staged, StandardCopyOption.ATOMIC_MOVE)
       catch {
