@@ -31,6 +31,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // RDD-shuffle serializer (SQL exchanges use UnsafeRow regardless):
+      // the q18 throughput family ships (Long,Long) pairs — Kryo beats
+      // the default Java serializer ~5× on primitive pairs
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

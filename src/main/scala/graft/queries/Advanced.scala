@@ -273,7 +273,8 @@ object Advanced extends QueryModule {
       // it and skip the per-step discovery jobs; deltas are filters over the
       // pinned scans, so no per-step checkpoint either (the q42/q54 lesson:
       // job count per step is the local-mode lever)
-      val allB = Some(0 until 32: Seq[Int])
+      val allB = Some(0 until aSt.nBuckets: Seq[Int]) // derived from the
+      // state so a future bucket-count change can't silently shrink the span
       val outDeltas = das.zip(dbs).map { case (dA, dB) =>
         val dD = bSt.aggStep(dB, checkpointDelta = false,
           knownTouched = allB)(_.distinctZ)

@@ -44,6 +44,24 @@ object StreamingQueries extends QueryModule {
       finally walk.close()
     }
     if (!Files.exists(marker)) {
+      // crash debris first: a previous run killed mid-publish can leave
+      // `_build_<uuid>` / `_pq` siblings with this staged dir's prefix.
+      // Readiness is keyed on the marker, so on the self-heal path anything
+      // else carrying the prefix is garbage — sweep it (other tags have
+      // different prefixes and are untouched; same-tag callers are
+      // sequential per the publish contract below).
+      val pfx = staged.getFileName.toString
+      val cutoff = System.currentTimeMillis() - 60000L // age-guard: an
+      // in-flight build of a concurrent suite is seconds old — only dirs
+      // a previous (crashed) run could have left are old enough to sweep
+      val sibs = Files.list(staged.getParent)
+      try sibs.filter { p =>
+        val n = p.getFileName.toString
+        n != pfx && n.startsWith(pfx) && (n.contains("_build_") || n.endsWith("_pq")) &&
+          (try Files.getLastModifiedTime(p).toMillis < cutoff
+           catch { case _: java.io.IOException => false })
+      }.forEach(p => deleteTree(p))
+      finally sibs.close()
       // build in a private dir, then publish with a single atomic rename
       val build = staged.resolveSibling(
         s"${staged.getFileName}_build_${java.util.UUID.randomUUID().toString.take(8)}")

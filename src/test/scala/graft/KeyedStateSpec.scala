@@ -160,4 +160,83 @@ class KeyedStateSpec extends SparkSpec {
       assertSameRows(out.acc.consolidate.df, aggFn(in.snapshot.consolidate).df)
     }
   }
+
+  test("BucketedUpsertState: step ≡ naive fold, emits touched keys, no state shuffle") {
+    import graft.incremental.BucketedUpsertState
+    import org.apache.spark.ShuffleDependency
+    val mx = (a: Long, b: Long) => math.max(a, b)
+    val st = new BucketedUpsertState[Long, Long](spark.sparkContext, 4, mx)
+    val naive = scala.collection.mutable.Map[Long, Long]()
+    val rnd = new scala.util.Random(7)
+    for (step <- 1 to 5) {
+      val delta = Seq.fill(40)((rnd.nextInt(25).toLong, rnd.nextInt(1000).toLong))
+      val emitted = st.step(spark.sparkContext.parallelize(delta, 3)).collect().toMap
+      delta.foreach { case (k, v) =>
+        naive(k) = naive.get(k).map(mx(_, v)).getOrElse(v)
+      }
+      // emitted delta = the merged CURRENT value of exactly the touched keys
+      assert(emitted.keySet == delta.map(_._1).toSet)
+      emitted.foreach { case (k, v) => assert(v == naive(k), s"key $k") }
+      assert(st.snapshot.collect().toMap == naive.toMap)
+      // partition-preservation: the state keeps its partitioner, and the
+      // merge's lineage has NO shuffle dependency on the state side — only
+      // the delta's reduceByKey shuffles (the O(|Δ|)-network contract)
+      assert(st.snapshot.partitioner.exists(_.numPartitions == 4))
+      val mergedDeps = st.snapshot.dependencies.head.rdd.dependencies
+      assert(mergedDeps.forall(!_.isInstanceOf[ShuffleDependency[_, _, _]]),
+        "the bucket merge must be narrow on both sides (the delta's " +
+          "shuffle happens inside its reduceByKey, upstream of the zip)")
+    }
+    // keys are physically where the partitioner says (bucket-local merge is
+    // only correct if delta and state agree on placement)
+    val part = st.snapshot.partitioner.get
+    val placed = st.snapshot.mapPartitionsWithIndex { (pid, it) =>
+      it.map { case (k, _) => (k, pid) }
+    }.collect()
+    placed.foreach { case (k, pid) => assert(part.getPartition(k) == pid) }
+    st.close()
+  }
+
+  test("BucketedUpsertStateLong ≡ naive fold across steps (incl. growth + dup keys)") {
+    import graft.incremental.BucketedUpsertState
+    import graft.incremental.BucketedUpsertStateLong
+    val stL = new BucketedUpsertStateLong(spark.sparkContext, 4, math.max)
+    val naive = scala.collection.mutable.Map[Long, Long]()
+    val rnd = new scala.util.Random(11)
+    for (step <- 1 to 6) {
+      // enough keys per step to force LongLongMap growth through several
+      // doublings, and a hot key so duplicate-in-delta emission is exercised
+      val delta = Seq.fill(3000)((rnd.nextInt(5000).toLong,
+        rnd.nextLong(1L << 40))) ++ Seq((42L, step.toLong), (42L, step + 7L))
+      val emitted = stL.step(spark.sparkContext.parallelize(delta, 3)).collect()
+      delta.foreach { case (k, v) =>
+        naive(k) = naive.get(k).map(math.max(_, v)).getOrElse(v)
+      }
+      assert(emitted.map(_._1).distinct.length == emitted.length,
+        "dup delta keys must emit one row")
+      assert(emitted.toMap.keySet == delta.map(_._1).toSet)
+      emitted.foreach { case (k, v) => assert(v == naive(k), s"key $k") }
+    }
+    assert(stL.snapshot.collect().toMap == naive.toMap)
+    assert(stL.size == naive.size.toLong)
+    stL.close()
+  }
+
+  test("LongLongMap: put/combine/growth/copy semantics") {
+    import graft.incremental.LongLongMap
+    val m = new LongLongMap(4)
+    (0L until 1000L).foreach(k => m.put(k, k * 2, math.max))
+    (0L until 1000L).foreach(k => m.put(k, k, math.max)) // no-op (smaller)
+    assert(m.size == 1000)
+    (0L until 1000L).foreach(k => assert(m.getOrElse(k, -1L) == k * 2))
+    assert(m.getOrElse(5000L, -1L) == -1L)
+    val c = m.copyWith(10)
+    c.put(5000L, 9L, math.max)
+    assert(c.getOrElse(5000L, -1L) == 9L)
+    assert(m.getOrElse(5000L, -1L) == -1L, "copy must not alias the original")
+    // negative keys (hash mixing must handle the full long range)
+    m.put(-77L, 3L, math.max)
+    assert(m.getOrElse(-77L, -1L) == 3L)
+    assert(m.iterator.size == m.size)
+  }
 }

@@ -209,6 +209,20 @@ class StreamingSpec extends SparkSpec {
     Files.createSymbolicLink(staged.resolve("events.parquet"),
       Paths.get(s"$sf0001/events.parquet"))
     assert(!Files.exists(staged.resolve("zz_flush.parquet")))
+    // pre-poison: crash debris from "an earlier run" — a half-built _build_
+    // dir and a _pq spill dir. The self-heal path must sweep both (a test
+    // run killed mid-publish previously left such debris, and this test
+    // then failed on every later run until /tmp was cleaned by hand).
+    val debrisBuild = staged.resolveSibling(staged.getFileName.toString + "_build_deadbeef")
+    val debrisPq = staged.resolveSibling(staged.getFileName.toString + "_build_deadbeef_pq")
+    Seq(debrisBuild, debrisPq).foreach { d =>
+      if (!Files.exists(d)) Files.createDirectories(d)
+      Files.write(d.resolve("junk"), Array[Byte](1, 2, 3))
+      // back-date past the sweep's 60 s age guard (real debris is from a
+      // previous run; fresh dirs are presumed in-flight and left alone)
+      Seq(d.resolve("junk"), d).foreach(p => Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L)))
+    }
     val out = graft.queries.StreamingQueries.stageDir(
       spark, sf0001, tag, sentinel = true)
     assert(out == staged.toString)
