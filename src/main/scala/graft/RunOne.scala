@@ -29,9 +29,15 @@ object RunOne {
         case '\r' => "\\r"; case '\t' => "\\t"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
-        s"{${q(name)}: ${q(sql)}}")
+      // MERGE with any existing oracle file so successive RunOne calls
+      // into the same outDir accumulate and check.py diffs them all
+      val p = java.nio.file.Paths.get(s"$outDir/oracle_sql.json")
+      val prior = if (java.nio.file.Files.exists(p)) {
+        val txt = java.nio.file.Files.readString(p).trim
+          .stripPrefix("{").stripSuffix("}").trim
+        if (txt.isEmpty) "" else txt + ", "
+      } else ""
+      java.nio.file.Files.writeString(p, s"{$prior${q(name)}: ${q(sql)}}")
     }
     spark.stop()
   }
