@@ -42,8 +42,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // absorb JVM/session warmup (codegen per expression family, parquet
     // footer reads) before timing: one scan query, one HOF/text query,
-    // one vector query
-    Seq("q01_project", "t02_quality", "d06_ann_lsh").foreach { w =>
+    // one vector query, one STREAMING query — the latter stages the shared
+    // /tmp event dirs and pays the first-checkpoint setup, which otherwise
+    // lands on q33's first rep (~6 s of staging measured as query time)
+    Seq("q01_project", "t02_quality", "d06_ann_lsh", "q33_stream_tumble")
+      .foreach { w =>
       SparkEntry.queries.get(w).foreach { fn =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }

@@ -112,6 +112,49 @@ class DedupSpec extends SparkSpec {
       TextAnalysis.queries("d02_jaccard_pairs")(spark, sf0001))
   }
 
+  test("d11 ∘ d06 composition: cross-block near-dups recovered, recall ≥0.9") {
+    // d11's scale story is label-blocking (exact within a block) and its
+    // comment claims cross-block recall COMPOSES with d06's LSH when
+    // blocks don't align with similarity. Evidence: plant near-dup pairs
+    // that deliberately STRADDLE blocks (jittered copy under a different
+    // label), show the blocked-exact pass alone misses all of them, then
+    // assert the composed pipeline (blocked-exact ∪ LSH candidates ≥
+    // threshold) recovers ≥0.9 of the planted pairs.
+    val base = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val planted = base.where(col("vec_id") < 100).select(
+      (col("vec_id") + 10000L).as("vec_id"),
+      // different block than ANY base label (labels are non-negative)
+      lit(-1L).as("label"),
+      zip_with(col("embedding"),
+        transform(sequence(lit(0), lit(63)),
+          j => xxhash64(col("vec_id"), j).cast("double") / lit(9.223372036854776e18)),
+        (x, r) => (x * (lit(1.0) + lit(0.03) * r)).cast("float")).as("embedding"))
+    val corpus = base.unionByName(planted).localCheckpoint(true)
+    val dotN = graft.functions.VectorFunctions.dotF _
+    def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = dotN(a, b)
+    // blocked-exact pass (d11's shape over this corpus)
+    val n = corpus.withColumn("nrm", sqrt(cos(col("embedding"), col("embedding"))))
+    val a = n.select(col("label"), col("vec_id").as("d1"), col("embedding").as("ae"), col("nrm").as("an"))
+    val b = n.select(col("label"), col("vec_id").as("d2"), col("embedding").as("be"), col("nrm").as("bn"))
+    val blocked = a.join(b, Seq("label")).where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        (cos(col("ae"), col("be")) / (col("an") * col("bn"))).as("sim"))
+      .where(col("sim") >= 0.9)
+    assert(blocked.where(col("d2") >= 10000L && col("d1") === col("d2") - 10000L).isEmpty,
+      "planted pairs straddle blocks — the blocked pass must not see them")
+    // cross-block pass: d06's LSH candidates at the same similarity bar
+    val nPlanes = Dedup.planesFor(600L)
+    val lsh = Dedup.annLshCandidates(corpus, col("vec_id") >= 10000L, nPlanes)
+      .where(col("sim") >= 0.9)
+      .select(least(col("qid"), col("nid")).as("d1"),
+        greatest(col("qid"), col("nid")).as("d2"), col("sim"))
+    val composed = blocked.unionByName(lsh).select("d1", "d2").distinct().cache()
+    val found = composed
+      .where(col("d2") >= 10000L && col("d1") === col("d2") - 10000L).count()
+    assert(found >= 90L, s"composed recall $found/100 below 0.9")
+  }
+
   test("deterministic sampling is invariant under partitioning and replay") {
     // the scale claim of d12: keep/drop is a pure row function — the same
     // rows survive regardless of physical layout or retry
