@@ -143,8 +143,10 @@ object Advanced extends QueryModule {
 
     // q53: PageRank — iterated weighted sums inside recursion (reference
     // benches/ldbc-graphalytics/pagerank.rs). Deterministic decimal
-    // contribution sums; no DuckDB-expressible oracle (iterated float
-    // division) → rows-only check + RecursiveSpec tolerance gate.
+    // contribution sums make every iteration bit-reproducible, so the
+    // oracle UNROLLS the fixed 10 iterations as chained materialized CTEs
+    // (see pageRankOracle) and hash-matches exactly; RecursiveSpec keeps
+    // the independent driver-side 1e-9 reference gate.
     "q53_pagerank" -> ((s, dir) => {
       val c = t(s, dir, "customer").select("c_custkey")
       val edges = c.where(col("c_custkey") >= 2)
@@ -481,7 +483,46 @@ object Advanced extends QueryModule {
     })
   )
 
+  /** q53's oracle: the fixed-iteration PageRank UNROLLED as chained CTEs
+    * (DuckDB disallows aggregates in a recursive term; with iters fixed,
+    * unrolling sidesteps it). Float determinism: per-iteration contribution
+    * and dangling sums go through DECIMAL(28,14) in BOTH engines
+    * (order-independent, same half-up rounding for positive values) and
+    * every other op is IEEE double with operands forced to DOUBLE, so each
+    * iteration is bit-reproducible across engines — the same trick that
+    * makes d05/d07/d11 hash-match. Decimal→double is exact-then-correctly-
+    * rounded on both sides because the unscaled values stay below 2^53. */
+  private def pageRankOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      s"""d$i AS MATERIALIZED (SELECT coalesce(CAST(SUM(CAST(rank AS DECIMAL(28,14))) AS DOUBLE), CAST(0 AS DOUBLE)) AS dm
+             FROM $p WHERE node NOT IN (SELECT src FROM srcs)),
+         c$i AS MATERIALIZED (SELECT ed.dst AS node,
+               CAST(SUM(CAST(r.rank / CAST(ed.deg AS DOUBLE) AS DECIMAL(28,14))) AS DOUBLE) AS cs
+             FROM ed JOIN $p r ON ed.src = r.node GROUP BY ed.dst),
+         r$i AS MATERIALIZED (SELECT nodes.node,
+               (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT nd FROM nn)
+                 + CAST(0.85 AS DOUBLE) *
+                   (coalesce(c.cs, CAST(0 AS DOUBLE)) + d.dm / (SELECT nd FROM nn)) AS rank
+             FROM nodes LEFT JOIN c$i c ON nodes.node = c.node CROSS JOIN d$i d)"""
+    }.mkString(",\n         ")
+    s"""WITH e AS MATERIALIZED (
+           SELECT c_custkey AS src, c_custkey // 2 AS dst FROM customer WHERE c_custkey >= 2
+           UNION ALL
+           SELECT c_custkey AS src, c_custkey - 7 AS dst FROM customer WHERE c_custkey >= 9),
+         nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+           SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM nodes),
+         deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         ed AS MATERIALIZED (SELECT e.src, e.dst, d.deg FROM e JOIN deg d USING (src)),
+         srcs AS MATERIALIZED (SELECT DISTINCT src FROM e),
+         r0 AS MATERIALIZED (SELECT node, CAST(1 AS DOUBLE) / (SELECT nd FROM nn) AS rank FROM nodes),
+         $steps
+       SELECT node, rank FROM r$iters"""
+  }
+
   override def oracle: Map[String, String] = Map(
+    "q53_pagerank" -> pageRankOracle(10),
     "q27_closure" ->
       """WITH RECURSIVE e AS (SELECT c_custkey AS src, c_custkey // 2 AS dst
                               FROM customer WHERE c_custkey >= 2),
