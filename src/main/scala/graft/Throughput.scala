@@ -392,8 +392,10 @@ object Throughput {
     compact = results.map { r =>
       s""""${r.key}":{"rps":${r.rps},"m":"${r.mode.head}","ok":${r.ok}}"""
     }.mkString("{", ",", "}")
-    s"""{"note":"stateful 2x gate = *_inc entries; best-attempt median of reps runs","""+
-      s""""note2":"batch families $rowsN rows, incremental families $incRowsN rows",${parts.mkString(",")}}"""
+    (Seq(
+      s""""note":"stateful 2x gate = *_inc entries; best-attempt median of reps runs"""",
+      s""""note2":"batch families $rowsN rows, incremental families $incRowsN rows"""") ++ parts)
+      .mkString("{", ",", "}")
   }
 
   /** Standalone run (dev loop): `runMain graft.Throughput`. */
