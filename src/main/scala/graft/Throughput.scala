@@ -301,7 +301,7 @@ object Throughput {
 
   /** One measured run: wall seconds + the per-step times stepTimed captured
     * (empty for batch families, which have no step loop). */
-  private case class Run(sec: Double, steps: Seq[Double])
+  private[graft] case class Run(sec: Double, steps: Seq[Double])
 
   private def timeRun(run: () => Unit): Run = {
     stepTimes.clear()
@@ -316,8 +316,8 @@ object Throughput {
     * of `reps` runs) up to `maxAttempts` times; the gate decision uses the
     * BEST attempt's median, and EVERY run is recorded into the artifact so
     * a residual red is a diagnosis (see its step_times), not a mystery. */
-  private def measureAdaptive(reps: Int, base: Double, rows: Long,
-                              maxAttempts: Int = 3)(run: () => Unit)
+  private[graft] def measureAdaptive(reps: Int, base: Double, rows: Long,
+                                     maxAttempts: Int = 3)(run: () => Unit)
       : (Double, Seq[Seq[Run]]) = {
     val attempts = scala.collection.mutable.Buffer[Seq[Run]]()
     var best = Double.MaxValue

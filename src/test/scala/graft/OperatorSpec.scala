@@ -112,4 +112,31 @@ class OperatorSpec extends SparkSpec {
       Geo.stPoint(col("lon2"), col("lat2"))).as("d")).head().getDouble(0)
     assert(math.abs(km - 343.5) < 5.0, s"paris-london ${km}km") // ~343 km
   }
+
+  test("adaptive throughput gate: retries a failing family, records every run, stops when green") {
+    // a "family" that is too slow on the first attempt's runs and fast
+    // afterwards — the q4/q5 flip shape the adaptive gate exists for.
+    // rows=100, base=1000 ev/s → gate needs sec ≤ 0.2 (rows/sec*2 >= base).
+    var calls = 0
+    val (best, attempts) = Throughput.measureAdaptive(
+      reps = 2, base = 1000d, rows = 100L) { () =>
+      calls += 1
+      val ms = if (calls <= 2) 300L else 50L // attempt 1 slow, attempt 2 fast
+      Thread.sleep(ms)
+    }
+    assert(attempts.size == 2, s"expected exactly one retry, got ${attempts.size}")
+    assert(attempts.forall(_.size == 2), "every attempt must record all reps")
+    assert(best < 0.2 && best >= 0.05, s"best median $best should be the fast attempt's")
+    assert(100 / best * 2 >= 1000, "gate must be green on the best attempt")
+    assert(calls == 4, "no further attempts once green")
+    // a family that is always fast never retries
+    var calls2 = 0
+    val (_, a2) = Throughput.measureAdaptive(
+      reps = 2, base = 1000d, rows = 100L) { () => calls2 += 1; Thread.sleep(20L) }
+    assert(a2.size == 1 && calls2 == 2)
+    // a family that never gets green stops at maxAttempts, keeps all runs
+    val (_, a3) = Throughput.measureAdaptive(
+      reps = 1, base = 1000d, rows = 100L, maxAttempts = 2) { () => Thread.sleep(250L) }
+    assert(a3.size == 2 && a3.flatten.size == 2)
+  }
 }
