@@ -76,6 +76,28 @@ object StepBench {
     * additive and heavy-tailed, so the floor is the clean signal of
     * data-dependent cost — if a step scans state, its FLOOR grows with
     * state; if it only touches delta buckets, the floor stays put. */
+  /** Per-step seconds for the dense-delta upsert state: seed ~`nKeys` keys,
+    * then fixed-size delta steps. The claim under test is the q18 design —
+    * per-step NETWORK is O(Δ) because the state is never re-shuffled; the
+    * local per-bucket work (array clone + delta inserts) grows with state
+    * but stays memcpy-cheap, so the step floor should grow far slower than
+    * 10× across a 10× state. */
+  def runUpsert(spark: SparkSession, nKeys: Long, steps: Int): Seq[Double] = {
+    val sc = spark.sparkContext
+    val st = new graft.incremental.BucketedUpsertStateLong(sc, 32, math.max)
+    def delta(step: Int, rows: Long) = sc.range(0, rows, 1, 32).map { i =>
+      ((i * 2654435761L + step * 7919L) % nKeys, step * 10000000L + i)
+    }
+    st.step(delta(0, nKeys)).count() // seed: populate most of the key space
+    val ts = (1 to steps).map { i =>
+      val t0 = System.nanoTime()
+      st.step(delta(i, 100000L)).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    st.close()
+    ts
+  }
+
   def json(spark: SparkSession, base: Long, steps: Int): String = {
     val nKeys = base / 50
     // FLOOR (best case), not a median: drop the first post-seed step as
@@ -93,9 +115,11 @@ object StepBench {
     val kL = floor2(() => runKeyed(spark, base * 10, nKeys * 10, steps, 256))
     val nS = floor2(() => runNaive(spark, base, nKeys, steps))
     val nL = floor2(() => runNaive(spark, base * 10, nKeys * 10, steps))
+    val uS = floor2(() => runUpsert(spark, base, steps))
+    val uL = floor2(() => runUpsert(spark, base * 10, steps))
     // "stat" labels the *_sec figures: per-step FLOORS over two runs each,
     // not medians — the growth gate compares best-case step costs
-    f"""{"stat":"per_step_floor_of_2_runs","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"keyed_small_sec":$kS%.3f,"keyed_large_sec":$kL%.3f,"naive_small_sec":$nS%.3f,"naive_large_sec":$nL%.3f,"keyed_growth":${kL / kS}%.2f,"naive_growth":${nL / nS}%.2f}"""
+    f"""{"stat":"per_step_floor_of_2_runs","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"keyed_small_sec":$kS%.3f,"keyed_large_sec":$kL%.3f,"naive_small_sec":$nS%.3f,"naive_large_sec":$nL%.3f,"upsert_small_sec":$uS%.3f,"upsert_large_sec":$uL%.3f,"keyed_growth":${kL / kS}%.2f,"naive_growth":${nL / nS}%.2f,"upsert_growth":${uL / uS}%.2f}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -105,6 +129,8 @@ object StepBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // match the Bench session: RDD shuffles (upsert track) use Kryo
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
