@@ -61,7 +61,9 @@ final class BucketedUpsertState[K: ClassTag, V: ClassTag](
     * for near-zero reduction); the state partitions are read locally and
     * never re-shuffled. Returns the emitted output delta: the merged
     * current values of exactly the keys present in `delta` (a narrow
-    * filter over the pinned merge result). */
+    * filter over the pinned merge result). LIFETIME: the returned RDD is a
+    * view over this step's pinned generation — consume it before the next
+    * `step`, which retires that generation. */
   def step(delta: RDD[(K, V)]): RDD[(K, V)] = {
     val d = if (delta.partitioner.contains(partitioner)) delta
             else delta.partitionBy(partitioner)
@@ -202,7 +204,9 @@ final class BucketedUpsertStateLong(
     * merge into a COPY of the bucket map (persisted generations stay
     * immutable for retry/re-read safety). Returns the emitted output delta
     * — current values of exactly the touched keys. Keys must not equal
-    * Long.MinValue (the map's empty sentinel). */
+    * Long.MinValue (the map's empty sentinel). LIFETIME: the returned RDD
+    * is a view over this step's pinned generation — consume it before the
+    * next `step`, which retires that generation. */
   def step(delta: RDD[(Long, Long)]): RDD[(Long, Long)] = {
     val d = if (delta.partitioner.contains(partitioner)) delta
             else delta.partitionBy(partitioner)
