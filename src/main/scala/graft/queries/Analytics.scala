@@ -256,10 +256,33 @@ object Analytics extends QueryModule {
         dense_rank().over(byPrice).as("drk"),
         lag(col("o_orderkey"), 1).over(byDate).as("prev_order"),
         lead(col("o_orderkey"), 1).over(byDate).as("next_order"))
+    }),
+
+    // EXACT percentiles per group (p50/p95/p99 pricing distribution) — the
+    // distribution-shape summary an analytics/quality pipeline ships.
+    // Spark's `percentile` and DuckDB's `quantile_cont` both implement
+    // linear interpolation between closest ranks (type-7), so the oracle
+    // hash-matches exactly. At 100 TB the exact single-pass percentile is
+    // a per-group sort-free OrderedCountFunction aggregate; the approx
+    // path (percentile_approx/t-digest) is the knob when groups are huge.
+    "q62_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95"),
+          expr("percentile(l_extendedprice, 0.99)").as("p99"),
+          count(lit(1)).as("n"))
     })
   )
 
   override def oracle: Map[String, String] = Map(
+    "q62_percentiles" ->
+      """SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.95) AS p95,
+           quantile_cont(l_extendedprice, 0.99) AS p99,
+           count(*) AS n
+         FROM lineitem GROUP BY l_returnflag""",
     "q11_scalar_suite" ->
       """SELECT o_orderkey,
            CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'hot' ELSE 'cold' END AS pri_class,

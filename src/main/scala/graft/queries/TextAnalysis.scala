@@ -166,6 +166,30 @@ object TextAnalysis extends QueryModule {
           floor((col("cum") - col("n_tokens")) / budget).as("pack_id"))
     }),
 
+    // REPETITION / boilerplate signals (Gopher-style quality filters): the
+    // duplicate-3-gram mass of a document. One explode + two integer
+    // aggregations; the ratios are single exact double divisions, so the
+    // oracle hash-matches. At 100 TB this is one shuffle keyed on
+    // (doc_id, gram) — same shape as the shingle pipeline.
+    "t06_repetition" -> ((s, dir) => {
+      val tk = toks(col("text"))
+      val grams = when(size(tk) >= 3,
+        transform(sequence(lit(0), size(tk) - 3),
+          i => array_join(slice(tk, i + 1, lit(3)), " ")))
+        .otherwise(array().cast("array<string>"))
+      val g = t(s, dir, "documents")
+        .select(col("doc_id"), explode(grams).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      g.groupBy("doc_id").agg(
+          sum("c").as("n_grams"),
+          count(lit(1)).as("n_distinct"),
+          max("c").as("top_count"))
+        .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+          (lit(1.0) - col("n_distinct").cast("double") / col("n_grams"))
+            .as("dup_ratio"),
+          (col("top_count").cast("double") / col("n_grams")).as("top_ratio"))
+    }),
+
     // document fingerprint: md5 over normalized text
     "t04_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -280,6 +304,18 @@ object TextAnalysis extends QueryModule {
       "t04_fingerprint" ->
         """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
            FROM documents""",
+      "t06_repetition" ->
+        """WITH gr AS (
+             SELECT doc_id, unnest(list_transform(range(len(string_split(text,' '))-2),
+               i -> array_to_string(string_split(text,' ')[i+1:i+3], ' '))) AS g
+             FROM documents),
+           c AS (SELECT doc_id, g, count(*) AS c FROM gr GROUP BY 1, 2)
+           SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_grams,
+             count(*) AS n_distinct,
+             CAST(1 AS DOUBLE) - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS dup_ratio,
+             CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS top_ratio
+           FROM c GROUP BY doc_id""",
       "d12_sample_det" ->
         """SELECT doc_id, source,
              md5(concat(CAST(doc_id AS VARCHAR), ':', source)) AS skey
