@@ -53,16 +53,28 @@ object Bench {
     }
     val errors = scala.collection.mutable.Map[String, String]()
     val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).iterator.map { _ =>
+      val times = scala.collection.mutable.Buffer[Double]()
+      def rep(): Unit = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case e: Throwable =>
           // record the failure: a throwing query must NOT read as a speedup
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
         }
-        (System.nanoTime() - t0) / 1e9
-      }.takeWhile(_ => !errors.contains(name)).toSeq
-      name -> (if (times.isEmpty) Seq(0.0) else times)
+        times += (System.nanoTime() - t0) / 1e9
+      }
+      var more = reps
+      while (more > 0 && !errors.contains(name)) { rep(); more -= 1 }
+      // variance guard (VERDICT r6 #2, the per-query measureAdaptive
+      // analog): a rep spread beyond 3× is box noise, not the query — give
+      // the median up to 2 extra samples so one GC/scheduling outlier
+      // cannot masquerade as a 3× regression; every run lands in
+      // `query_runs`, the spread in `query_spread`, the best in
+      // `query_floors`, so a residual outlier is diagnosable
+      var extra = 2
+      while (extra > 0 && !errors.contains(name) && times.size > 1 &&
+             times.max / math.max(times.min, 1e-9) > 3.0) { rep(); extra -= 1 }
+      name -> (if (times.isEmpty) Seq(0.0) else times.toSeq)
     }
     val results = runs.map { case (n, ts) => n -> median(ts) }.toMap
     // O(Δ)-step-cost artifact: keyed (partitioned trace) step time must stay
@@ -86,9 +98,17 @@ object Bench {
     val runsJson = runs.sortBy(_._1)
       .map { case (k, ts) => s""""$k":[${ts.map(num(_)).mkString(",")}]""" }
       .mkString("{", ",", "}")
+    val floorsJson = runs.sortBy(_._1)
+      .map { case (k, ts) => s""""$k":${num(ts.min)}""" }.mkString("{", ",", "}")
+    val spreadJson = runs.sortBy(_._1)
+      .map { case (k, ts) =>
+        s""""$k":${num(ts.max / math.max(ts.min, 1e-9), 2)}""" }
+      .mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,""" +
-      s""""queries":${qJson(3)},"query_runs":$runsJson,"errors":$errJson,""" +
+      s""""queries":${qJson(3)},"query_runs":$runsJson,""" +
+      s""""query_floors":$floorsJson,"query_spread":$spreadJson,""" +
+      s""""errors":$errJson,""" +
       s""""step_bench":$stepBench,"throughput":$throughput,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),

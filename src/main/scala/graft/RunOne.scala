@@ -30,14 +30,32 @@ object RunOne {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
       // MERGE with any existing oracle file so successive RunOne calls
-      // into the same outDir accumulate and check.py diffs them all
+      // into the same outDir accumulate and check.py diffs them all;
+      // REPLACE any prior entry for this name (duplicate JSON keys are
+      // parser-dependent — re-running a query must update, not append)
       val p = java.nio.file.Paths.get(s"$outDir/oracle_sql.json")
-      val prior = if (java.nio.file.Files.exists(p)) {
+      val prior: Seq[String] = if (java.nio.file.Files.exists(p)) {
         val txt = java.nio.file.Files.readString(p).trim
-          .stripPrefix("{").stripSuffix("}").trim
-        if (txt.isEmpty) "" else txt + ", "
-      } else ""
-      java.nio.file.Files.writeString(p, s"{$prior${q(name)}: ${q(sql)}}")
+          .stripPrefix("{").stripSuffix("}")
+        // split on top-level commas only (commas inside the escaped SQL
+        // strings don't separate entries)
+        val parts = scala.collection.mutable.Buffer[String]()
+        val sb = new StringBuilder
+        var inStr = false
+        var esc = false
+        txt.foreach { c =>
+          if (esc) { sb += c; esc = false }
+          else if (inStr && c == '\\') { sb += c; esc = true }
+          else if (c == '"') { sb += c; inStr = !inStr }
+          else if (c == ',' && !inStr) { parts += sb.toString; sb.clear() }
+          else sb += c
+        }
+        parts += sb.toString
+        parts.map(_.trim).filter(_.nonEmpty).toSeq
+      } else Seq.empty
+      val kept = prior.filterNot(_.startsWith(q(name) + ":"))
+      java.nio.file.Files.writeString(p,
+        (kept :+ s"${q(name)}: ${q(sql)}").mkString("{", ", ", "}"))
     }
     spark.stop()
   }

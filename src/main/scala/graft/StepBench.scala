@@ -98,6 +98,45 @@ object StepBench {
     ts
   }
 
+  /** Per-step seconds for incremental ROLLING-aggregate maintenance (the
+    * q36 shape — corrections to a per-key rolling window under deltas):
+    * state is the key-partitioned trace; each step's delta touches 2 keys,
+    * and aggStep recomputes ONLY the touched keys' buckets
+    * (partition-pruned), so the per-step floor tracks the touched horizon
+    * (rows per bucket), never |DB|. Reference yardstick: radix-tree partial
+    * aggregates recompute the affected time range only (reference:
+    * crates/dbsp/src/operator/time_series/radix_tree/mod.rs:1-60). */
+  def runRolling(spark: SparkSession, n: Long, nKeys: Long, steps: Int,
+                 nBuckets: Int): Seq[Double] = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def aggFn(z: ZSetFrame): ZSetFrame = {
+      val w = Window.partitionBy("k").orderBy(col("ts"))
+        .rangeBetween(-1000L, 0L)
+      ZSetFrame.fromTable(z.toDF
+        .withColumn("n_1k", count(lit(1)).over(w))
+        .select("k", "ts", "n_1k"))
+    }
+    val empty = ZSetFrame.fromDelta(
+      Seq.empty[(Long, Long, Long)].toDF("k", "ts", ZSetFrame.W))
+    val st = new KeyedState(Seq("k"), nBuckets, empty)
+    val seed = spark.range(n).select(
+      pmod(col("id"), lit(nKeys)).as("k"), col("id").as("ts"))
+    st.aggStep(ZSetFrame.fromTable(seed))(aggFn)
+    (1 to steps).map { i =>
+      // 2 touched keys: insert one late row, retract the previous step's
+      // (same delta shape as smallDelta — timing track, not an oracle)
+      val rows = (0 until 2).flatMap { j =>
+        val k = (i * 31L + j * 97L) % nKeys
+        Seq((k, n + i * 1000L + j, 1L), (k, n + (i - 1) * 1000L + j, -1L))
+      }
+      val d = ZSetFrame.fromDelta(rows.toDF("k", "ts", ZSetFrame.W))
+      val t0 = System.nanoTime()
+      st.aggStep(d)(aggFn)
+      (System.nanoTime() - t0) / 1e9
+    }
+  }
+
   def json(spark: SparkSession, base: Long, steps: Int): String = {
     val nKeys = base / 50
     // FLOOR (best case), not a median: drop the first post-seed step as
@@ -117,9 +156,11 @@ object StepBench {
     val nL = floor2(() => runNaive(spark, base * 10, nKeys * 10, steps))
     val uS = floor2(() => runUpsert(spark, base, steps))
     val uL = floor2(() => runUpsert(spark, base * 10, steps))
+    val rS = floor2(() => runRolling(spark, base, nKeys, steps, 256))
+    val rL = floor2(() => runRolling(spark, base * 10, nKeys * 10, steps, 256))
     // "stat" labels the *_sec figures: per-step FLOORS over two runs each,
     // not medians — the growth gate compares best-case step costs
-    f"""{"stat":"per_step_floor_of_2_runs","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"keyed_small_sec":$kS%.3f,"keyed_large_sec":$kL%.3f,"naive_small_sec":$nS%.3f,"naive_large_sec":$nL%.3f,"upsert_small_sec":$uS%.3f,"upsert_large_sec":$uL%.3f,"keyed_growth":${kL / kS}%.2f,"naive_growth":${nL / nS}%.2f,"upsert_growth":${uL / uS}%.2f}"""
+    f"""{"stat":"per_step_floor_of_2_runs","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"keyed_small_sec":$kS%.3f,"keyed_large_sec":$kL%.3f,"naive_small_sec":$nS%.3f,"naive_large_sec":$nL%.3f,"upsert_small_sec":$uS%.3f,"upsert_large_sec":$uL%.3f,"rolling_small_sec":$rS%.3f,"rolling_large_sec":$rL%.3f,"keyed_growth":${kL / kS}%.2f,"naive_growth":${nL / nS}%.2f,"upsert_growth":${uL / uS}%.2f,"rolling_growth":${rL / rS}%.2f}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -39,12 +39,21 @@ import org.apache.spark.storage.StorageLevel
   *
   * Lifecycle: each step pins the merged state (`MEMORY_AND_DISK`) and
   * unpersists the previous generation after the merge materializes, so
-  * pinned storage tracks ONE state copy plus the in-flight merge. */
+  * pinned storage tracks ONE state copy plus the in-flight merge. Every
+  * [[BucketedUpsertState.TruncateEvery]] steps the generation is
+  * `localCheckpoint`ed: each generation's lineage points at the previous
+  * (unpersisted) one, so without truncation a lost block after N steps
+  * recomputes the whole delta history (and deep lineage risks stack
+  * overflow on long runs). localCheckpoint reuses the already-persisted
+  * blocks — no extra IO — at the standard cost that an executor loss
+  * forfeits recompute for those blocks (the durable path for that failure
+  * mode is [[DurableKeyedState]]). */
 final class BucketedUpsertState[K: ClassTag, V: ClassTag](
     sc: SparkContext, val nBuckets: Int, combine: (V, V) => V)
     extends Serializable {
 
   private val partitioner = new HashPartitioner(nBuckets)
+  private var stepsDone = 0
   /** Current state: (key, (value, touchedLastStep)). `mapValues`/`filter`
     * views preserve the partitioner, so `state` stays co-partitioned with
     * every step's shuffled delta. */
@@ -80,6 +89,9 @@ final class BucketedUpsertState[K: ClassTag, V: ClassTag](
         m.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue))
     }
     merged.persist(StorageLevel.MEMORY_AND_DISK)
+    stepsDone += 1
+    if (stepsDone % BucketedUpsertState.TruncateEvery == 0)
+      merged.localCheckpoint() // truncate lineage (see class scaladoc)
     merged.count() // materialize before retiring the previous generation
     val prev = pinned
     pinned = merged
@@ -177,6 +189,15 @@ final class LongLongMap private (
 object LongLongMap {
   private def capFor(expected: Int): Int =
     Integer.highestOneBit(math.max(16, expected * 10 / 7 - 1)) * 2
+}
+
+object BucketedUpsertState {
+  /** Lineage-truncation cadence for both state classes: generation N's
+    * lineage references generation N−1, which is unpersisted — after K
+    * steps a lost block would replay K delta merges, and unbounded chains
+    * eventually overflow the stack. Every 8th generation localCheckpoints
+    * (reusing its persisted blocks), bounding any replay to <8 steps. */
+  val TruncateEvery = 8
 }
 
 /** [[BucketedUpsertState]] specialized to packed-long keys and values — the

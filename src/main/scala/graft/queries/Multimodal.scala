@@ -72,6 +72,13 @@ object Multimodal extends QueryModule {
         it.grouped(64).flatMap { batch =>
           batch.iterator.flatMap { r =>
             val bytes = r.media
+            // the DuckDB mirror enumerates frame indices from range(0,256,2)
+            // — a doc at/over 256 frames would fail the oracle diff as a
+            // confusing value mismatch; assert the corpus bound crisply
+            // here instead (the sf* corpora max out well under 4 KiB/doc)
+            require(bytes.length < 256 * frameLen, s"m02 oracle frame-index " +
+              s"bound exceeded: doc ${r.doc_id} has ${bytes.length} bytes " +
+              s">= ${256 * frameLen}")
             val nFrames = bytes.length / frameLen // full frames only
             (0 until nFrames by stride).iterator.map { f =>
               val off = f * frameLen

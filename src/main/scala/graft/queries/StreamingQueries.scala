@@ -195,6 +195,107 @@ object StreamingQueries extends QueryModule {
           epochMs(col("c_ts")).as("c_ms"), epochMs(col("p_ts")).as("p_ms"))
     }),
 
+    // CHAINED stateful→stateful in ONE streaming query (SURVEY §7.3's
+    // "hardest mismatch"; reference analog: q9's join+argmax runs as a
+    // single incremental circuit, crates/nexmark/src/queries/q9.rs:129):
+    // stream-stream interval join (stateful stage 1) feeding a watermarked
+    // tumbling aggregation (stateful stage 2), both inside one append-mode
+    // query — Spark's multi-stateful-operator support (the join's output
+    // carries the left side's event-time column; late-record filtering
+    // uses the previous batch's watermark, so join matches emitted in
+    // batch N are not dropped by the downstream agg). The flush sentinel
+    // on BOTH sources pushes the global watermark past every real window;
+    // the flush×flush self-match is filtered between the stages (a
+    // stateless filter between stateful operators is legal anywhere).
+    "q63_stream_join_agg" -> ((s, dir) => {
+      val clicks = eventStream(s, dir, "sjagg_l", sentinel = true)
+        .where(col("event_type") === "click" || col("event_type") === "flush")
+        .select(col("user_id"), col("ts").as("c_ts"),
+          col("event_type").as("c_type"))
+        .withWatermark("c_ts", "1 second")
+      val buys = eventStream(s, dir, "sjagg_r", sentinel = true)
+        .where(col("event_type") === "purchase" || col("event_type") === "flush")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("value").as("p_value"))
+        .withWatermark("p_ts", "1 second")
+      val joined = clicks.join(buys,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      val agg = joined.where(col("c_type") =!= "flush")
+        .groupBy(window(col("c_ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_pairs"), dsum(col("p_value")).as("sum_value"))
+        .select(epochMs(col("window.start")).as("wstart"),
+          col("n_pairs"), col("sum_value"))
+      StreamOps.runToMemory(s, agg, s"stream_join_agg_${System.nanoTime()}",
+        OutputMode.Append)
+    }),
+
+    // CHAINED stateful→stateful across TWO checkpointed streaming queries —
+    // the foreachBatch-checkpoint chaining SURVEY §7.3 prescribes for
+    // pipelines Spark cannot fuse into one query (e.g. update-mode stages):
+    // stage 1 (watermarked hourly agg) writes its append stream to an
+    // interchange dir via foreachBatch + checkpoint (exactly-once up to
+    // batch replay; a replayed batch re-appends, which the FRESH
+    // interchange dir per invocation makes moot); stage 2 re-derives event
+    // time from the interchange rows and runs a SECOND watermarked agg
+    // (6-hour re-window: max/sum of the hourly counts). Stage 1's own
+    // flush window never closes (by design), so the chain plants its own
+    // far-future sentinel row into the interchange before stage 2 replays
+    // it — the same bounded-replay flush the single-stage queries use.
+    "q64_chained_stateful" -> ((s, dir) => {
+      import java.nio.file.{Files, Paths}
+      val base = Paths.get(s"/tmp/graft_chain_${java.util.UUID.randomUUID().toString.take(8)}")
+      val stage1Out = base.resolve("stage1").toString
+      val ck1 = base.resolve("ck1").toString
+      val hourly = eventStream(s, dir, "tumble", sentinel = true)
+        .withWatermark("ts", "1 second")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(epochMs(col("window.start")).as("wstart"),
+          col("event_type"), col("n"))
+      val q1 = hourly.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // ONE file per micro-batch: a batch's closed windows all precede
+          // the batch-end watermark, and consecutive batches close strictly
+          // later windows — so one-file-per-batch makes the interchange
+          // time-monotone under stage 2's file-mtime replay order. Multiple
+          // hash-partitioned part files per batch would interleave window
+          // times across stage-2 triggers and its watermark would drop the
+          // late-ordered files' rows. (Interchange volume is the AGGREGATE
+          // stream — hourly rows — so coalesce(1) moves KBs, not the data.)
+          batch.coalesce(1).write.mode("append").parquet(stage1Out)
+        }
+        .option("checkpointLocation", ck1)
+        .outputMode(OutputMode.Append)
+        .start()
+      q1.processAllAvailable(); q1.stop()
+      // interchange sentinel: flush stage 2's tail windows on replay
+      s.range(1).select((lit(FlushNanos / 1000000L)).as("wstart"),
+          lit("flush").as("event_type"), lit(0L).as("n"))
+        .coalesce(1).write.mode("append").parquet(stage1Out)
+      val schema2 = s.read.parquet(stage1Out).schema
+      val rewin = s.readStream.schema(schema2)
+        .option("maxFilesPerTrigger", "1").parquet(stage1Out)
+        .withColumn("hts", timestamp_millis(col("wstart")))
+        .withWatermark("hts", "1 second")
+        .groupBy(window(col("hts"), "6 hours"), col("event_type"))
+        .agg(max("n").as("max_hourly_n"), sum("n").as("sum_n"))
+        .select(epochMs(col("window.start")).as("w6start"), col("event_type"),
+          col("max_hourly_n"), col("sum_n"))
+      val out = StreamOps.runToMemory(s, rewin,
+        s"chained_stateful_${System.nanoTime()}", OutputMode.Append)
+        .where(col("event_type") =!= "flush")
+      // interchange + checkpoint are consumed (memory sink holds the rows)
+      if (Files.exists(base)) {
+        val walk = Files.walk(base)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(Files.deleteIfExists(_))
+        finally walk.close()
+      }
+      out
+    }),
+
     // REAL stream-stream join (reference: operator/join.rs:87
     // monotonic_stream_join): two watermarked streams, event-time range
     // condition bounding state on both sides; inner matches emit in append
@@ -246,6 +347,22 @@ object StreamingQueries extends QueryModule {
          FROM events c JOIN events p
            ON c.user_id = p.user_id
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
-         WHERE c.event_type = 'click' AND p.event_type = 'purchase'"""
+         WHERE c.event_type = 'click' AND p.event_type = 'purchase'""",
+    "q63_stream_join_agg" ->
+      s"""SELECT epoch_ms(c.ts) - epoch_ms(c.ts) % 3600000 AS wstart,
+            count(*) AS n_pairs, ${oSum("p.value")} AS sum_value
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+         GROUP BY 1""",
+    "q64_chained_stateful" ->
+      """WITH hourly AS (
+           SELECT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS wstart, event_type,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT wstart - wstart % 21600000 AS w6start, event_type,
+                max(n) AS max_hourly_n, CAST(sum(n) AS BIGINT) AS sum_n
+         FROM hourly GROUP BY 1, 2"""
   )
 }
