@@ -106,6 +106,32 @@ object Throughput {
         b.select(col("auction"),
           regexp_extract(concat(lit("ch_"), col("bidder"), lit("_end")),
             "ch_([0-9]+)_end", 1).as("channel"))),
+      // q14-ish: price conversion + range filter + time-of-day bucketing +
+      // char-count over a derived string (reference:
+      // crates/nexmark/src/queries/q14.rs; baseline benchmark/README.md:218)
+      ("q14_calc", 9928515d, {
+        val eur = col("price") * 89L / 100L
+        val hour = pmod(col("ts_ms") / 3600000L, lit(24L))
+        val extra = concat(lit("ch_"), col("bidder"), lit("_end"))
+        b.where(eur > 1000L && eur < 9000L)
+          .select(col("auction"), col("bidder"), eur.as("price_eur"),
+            when(hour >= 8 && hour <= 18, "dayTime")
+              .when(hour <= 6 || hour >= 20, "nightTime")
+              .otherwise("otherTime").as("bid_time_type"),
+            (length(extra) - length(regexp_replace(extra, "0", "")))
+              .as("c_counts"),
+            col("ts_ms"))
+      }),
+      // q22-ish: SPLIT_INDEX over a derived URL (reference:
+      // crates/nexmark/src/queries/q22.rs; baseline benchmark/README.md:226)
+      ("q22_split", 9935420d, {
+        val url = concat(lit("https://www.nexmark.com/"), col("bidder"),
+          lit("/"), col("auction"), lit("/item.htm?query=1"))
+        val parts = split(url, "/")
+        b.select(col("auction"), col("bidder"), col("price"),
+          parts.getItem(3).as("dir1"), parts.getItem(4).as("dir2"),
+          parts.getItem(5).as("dir3"))
+      }),
       // q5-ish: hot items — bids per auction per tumbling window
       ("q5_window", 9906875d,
         b.groupBy(wstartCol, col("auction")).agg(count(lit(1)).as("n"))),
@@ -391,15 +417,170 @@ object Throughput {
     _.groupBy(wstartCol).agg(max("price").as("max_price")),
     _.groupBy("wstart").agg(max("max_price").as("max_price")))
 
+  /** q12: bids per bidder per 10 s tumbling window (reference:
+    * crates/nexmark/src/queries/q12.rs — per-bidder window count; baseline
+    * benchmark/README.md:216; the reference windows on processing time,
+    * which in this harness IS the monotone generator clock). Same
+    * watermark-bounded consolidate-and-emit loop as q5/q7, keyed by bidder
+    * — the carry is O(open windows × bidders) ≈ 10k rows, never O(stream). */
+  private def incQ12(spark: SparkSession): Unit = incWindowed(spark,
+    _.groupBy(wstartCol, col("bidder")).agg(count(lit(1)).as("n")),
+    _.groupBy("wstart", "bidder").agg(sum("n").as("n")))
+
+  /** q8: monitor new users — persons who created auctions in the same
+    * tumbling window (reference: crates/nexmark/src/queries/q8.rs — persons
+    * ⋈ auctions on seller within the window; baseline
+    * benchmark/README.md:212). The event range is demultiplexed
+    * nexmark-style: every 50th event is a new person, the next 3 are that
+    * person's auctions (1 person : 3 auctions : 46 bids — the bid majority
+    * is filtered out, which is also where the reference's q8 spends most
+    * events). The 13 s window deliberately does NOT divide the 60 s
+    * micro-batch span, so windows straddle batch boundaries and the carry
+    * path does real work. Per step the persons/auctions alive in any open
+    * window are consolidated into ONE checkpointed frame (kind 0 = person,
+    * kind 1 = auction, stamped with the arrival step); the emission is the
+    * bilinear delta join ΔP ⋈ A ∪ P_prev ⋈ ΔA, every term a narrow filter
+    * of that tiny frame — the raw stream is scanned once, closed windows'
+    * state is dropped by the watermark filter. */
+  private def incQ8(spark: SparkSession): Unit = {
+    val win8 = 13000L
+    val per = incRowsN / incSteps
+    var stateCk: DataFrame = null
+    var open: DataFrame = null // prior generation filtered to open windows
+    for (i <- 0 until incSteps) stepTimed {
+      val ids = spark.range(i * per, (i + 1) * per, 1, slicePartitions).toDF()
+        .select(col("id"), tsOf(col("id")).as("ts_ms"))
+      val delta = ids.where(pmod(col("id"), lit(50L)) < 4)
+        .select(
+          when(pmod(col("id"), lit(50L)) === 0, 0L).otherwise(1L).as("kind"),
+          ((col("id") - pmod(col("id"), lit(50L))) / 50L).cast("long").as("pid"),
+          col("id").as("entity"),
+          (col("ts_ms") - pmod(col("ts_ms"), lit(win8))).as("wstart"),
+          lit(i).as("st"))
+      val batchMaxTs = ((i + 1) * per - 1) / 100L
+      val openFrom = batchMaxTs - batchMaxTs % win8
+      // consolidate FIRST (windows alive during this step = prior open ∪ Δ),
+      // so every join term below reads the one small checkpointed frame
+      val ck = (if (open == null) delta else open.union(delta))
+        .localCheckpoint(true)
+      val dp = ck.where(col("kind") === 0 && col("st") === i)
+        .select(col("pid").as("person"), col("wstart").as("pw"))
+      val pPrev = ck.where(col("kind") === 0 && col("st") < i)
+        .select(col("pid").as("person"), col("wstart").as("pw"))
+      val aAll = ck.where(col("kind") === 1)
+        .select(col("pid").as("seller"), col("entity").as("auction_id"),
+          col("wstart").as("aw"))
+      val aNew = ck.where(col("kind") === 1 && col("st") === i)
+        .select(col("pid").as("seller"), col("entity").as("auction_id"),
+          col("wstart").as("aw"))
+      def cond = col("person") === col("seller") && col("pw") === col("aw")
+      force(dp.join(aAll, cond).select("person", "pw", "auction_id")
+        .union(pPrev.join(aNew, cond).select("person", "pw", "auction_id")))
+      unpersistLater(stateCk); stateCk = ck
+      open = ck.where(col("wstart") >= openFrom)
+    }
+    unpersistLater(stateCk)
+  }
+
+  /** q15: per-day bidding statistics (reference:
+    * crates/nexmark/src/queries/q15.rs — daily totals, price-band counts
+    * and COUNT(DISTINCT bidder / auction); baseline
+    * benchmark/README.md:219). The generator clock is compressed (100
+    * ev/ms), so a "day" is 60 s of event time — 8 days across the run, the
+    * same per-day group growth as the reference's calendar days.
+    * Distinctness is the stateful part: (day, bidder) and (day, auction)
+    * keys upsert into a first-seen-step state (combine = min over step
+    * index; a key is NEW ⟺ its merged value equals this step), map-side
+    * combined via reduceByKey INTO THE STATE'S PARTITIONER so the per-step
+    * shuffle ships the ~22k distinct keys, not the 12M raw pairs, and the
+    * state-side merge sees an already-co-partitioned delta (no second
+    * shuffle). Linear totals and band counts ride the same slice pass via
+    * accumulators — no second scan of the stream. Per-step cost is
+    * O(|Δ distinct|); the state is never re-shuffled. */
+  private def incQ15(spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
+    val part = new org.apache.spark.HashPartitioner(32)
+    val st = new graft.incremental.BucketedUpsertStateLong(sc, 32, math.min)
+    val days = (incRowsN / 100L / 60000L).toInt + 1
+    // per-(day, band) running totals; band 3 = all bids that day
+    val bandCounts = Array.fill(days * 4)(sc.longAccumulator)
+    val distinctSoFar = new Array[Long](days * 2) // slot = day*2 + kind
+    val per = incRowsN / incSteps
+    for (i <- 0 until incSteps) stepTimed {
+      val acc = bandCounts
+      val keys = sc.parallelize(0 until 32, 32).mapPartitions(_.flatMap { p =>
+        val lo = i * per + p * per / 32
+        val hi = i * per + (p + 1) * per / 32
+        (lo until hi).iterator.flatMap { id =>
+          val auction = id % 1000L
+          val bidder = (id * 2654435761L) % 10007L
+          var x = id + -7046029254386353131L
+          x = (x ^ (x >>> 30)) * -4658895280553007687L
+          val price = ((x ^ (x >>> 27)) & Long.MaxValue) % 10000L + 100L
+          val day = id / 100L / 60000L
+          val band = if (price < 4000L) 0 else if (price < 7000L) 1 else 2
+          acc((day * 4 + band).toInt).add(1L)
+          acc((day * 4 + 3).toInt).add(1L)
+          Iterator((day * 2 << 14 | bidder, i.toLong),
+            ((day * 2 + 1) << 14 | auction, i.toLong))
+        }
+      })
+      val newKeys = st.step(keys.reduceByKey(part, math.min(_, _)))
+        .filter(_._2 == i).map(kv => ((kv._1 >>> 14).toInt, 1L))
+        .reduceByKey(_ + _, 4).collect()
+      newKeys.foreach { case (slot, n) => distinctSoFar(slot) += n }
+    }
+    st.close()
+  }
+
+  /** q17: per-auction daily statistics (reference:
+    * crates/nexmark/src/queries/q17.rs — bids per auction per day with
+    * price-band counts, min/max/avg; baseline benchmark/README.md:221).
+    * Day = 60 s of compressed event time, as q15. State is one row per
+    * (auction, day) — ≤ 1000 × days rows — maintained by the associative
+    * merge (counts and sums add; min/min, max/max); avg is emitted as
+    * sum/count so the state stays linear-mergeable under deltas. */
+  private def incQ17(spark: SparkSession): Unit = {
+    def dayCol = (col("ts_ms") / 60000L).cast("long").as("day")
+    var state: DataFrame = null
+    for (i <- 0 until incSteps) stepTimed {
+      val stepAgg = bidSlice(spark, i)
+        .groupBy(col("auction"), dayCol)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("price") < 4000L, 1L).otherwise(0L)).as("n_lo"),
+          sum(when(col("price") >= 4000L && col("price") < 7000L, 1L)
+            .otherwise(0L)).as("n_mid"),
+          sum(when(col("price") >= 7000L, 1L).otherwise(0L)).as("n_hi"),
+          min("price").as("min_p"), max("price").as("max_p"),
+          sum("price").as("sum_p"))
+      val merged = if (state == null) stepAgg
+        else state.union(stepAgg).groupBy("auction", "day")
+          .agg(sum("n").as("n"), sum("n_lo").as("n_lo"),
+            sum("n_mid").as("n_mid"), sum("n_hi").as("n_hi"),
+            min("min_p").as("min_p"), max("max_p").as("max_p"),
+            sum("sum_p").as("sum_p"))
+      val ck = merged.localCheckpoint(true)
+      unpersistLater(state); state = ck
+      force(ck.select(col("auction"), col("day"), col("n"), col("n_lo"),
+        col("n_mid"), col("n_hi"), col("min_p"), col("max_p"),
+        (col("sum_p") / col("n")).as("avg_p")))
+    }
+    unpersistLater(state)
+  }
+
   private def incFamilies(spark: SparkSession): Seq[(String, Double, () => Unit)] =
     Seq(
       ("q4_join_agg", 9768487d, () => incQ4(spark)),
       ("q5_window", 9906875d, () => incQ5(spark)),
       ("q6_last10_avg", 9829942d, () => incQ6(spark)),
       ("q7_maxbid", 7380618d, () => incQ7(spark)),
+      ("q8_monitor_new", 9380863d, () => incQ8(spark)),
       ("q9_winning_bid", 2107437d, () => incQ9(spark)),
+      ("q12_bidder_window", 9134088d, () => incQ12(spark)),
       ("q13_side_join", 5778009d, () => incQ13(spark)),
+      ("q15_daily_distinct", 8911862d, () => incQ15(spark)),
       ("q16_channel_distinct", 3094251d, () => incQ16(spark)),
+      ("q17_auction_stats", 7127076d, () => incQ17(spark)),
       ("q18_last_per_key", 3377351d, () => incQ18(spark)),
       ("q19_top10", 2732390d, () => incQ19(spark)),
       ("q20_filter_join", 3444356d, () => incQ20(spark)))
@@ -453,7 +634,10 @@ object Throughput {
   private val famNotes = Map(
     "q18_last_per_key_inc" -> ("slice generated as packed-long RDD pairs " +
       "(cheaper than the shared bidsOver DataFrame generator; same key/value " +
-      "cardinalities) - generator cost is inside the timed loop"))
+      "cardinalities) - generator cost is inside the timed loop"),
+    "q15_daily_distinct_inc" -> ("slice generated as packed-long RDD pairs " +
+      "(same cardinalities as bidsOver) with generation inside the timed " +
+      "loop; day = 60s of compressed event time"))
 
   /** JSON: per-family rows/s (best attempt's median of `reps` runs), ratio
     * vs the reference ev/s, the mode label, the 2× gate, and the full

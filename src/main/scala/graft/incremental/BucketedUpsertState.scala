@@ -216,6 +216,7 @@ final class BucketedUpsertStateLong(
     extends Serializable {
 
   private val partitioner = new HashPartitioner(nBuckets)
+  private var stepsDone = 0
   /** Per partition: ONE (stateMap, touchedMap) pair — touchedMap holds the
     * keys the last step touched, at their merged current values (the
     * emitted output delta, already deduplicated). */
@@ -253,6 +254,9 @@ final class BucketedUpsertStateLong(
         Iterator((state, touched))
     }
     merged.persist(StorageLevel.MEMORY_AND_DISK)
+    stepsDone += 1
+    if (stepsDone % BucketedUpsertState.TruncateEvery == 0)
+      merged.localCheckpoint() // truncate lineage (see BucketedUpsertState doc)
     merged.count() // materialize before retiring the previous generation
     val prev = pinned
     pinned = merged

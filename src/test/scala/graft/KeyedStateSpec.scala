@@ -203,7 +203,9 @@ class KeyedStateSpec extends SparkSpec {
     val stL = new BucketedUpsertStateLong(spark.sparkContext, 4, math.max)
     val naive = scala.collection.mutable.Map[Long, Long]()
     val rnd = new scala.util.Random(11)
-    for (step <- 1 to 6) {
+    // > 2× TruncateEvery steps so the lineage-truncation path (every 8th
+    // generation localCheckpoints) runs — and semantics survive it
+    for (step <- 1 to 18) {
       // enough keys per step to force LongLongMap growth through several
       // doublings, and a hot key so duplicate-in-delta emission is exercised
       val delta = Seq.fill(3000)((rnd.nextInt(5000).toLong,
