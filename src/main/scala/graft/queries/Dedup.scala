@@ -20,12 +20,46 @@ object Dedup extends QueryModule {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
-  /** Per-doc MinHash signature columns m0..m31 from exploded shingles:
+  /** Exploded (doc_id, shingle) rows — the shingle store every LSH stage
+    * (signatures, exact verification) derives from. Materialize it ONCE
+    * when several stages reuse it (d14's step loop does). */
+  private def shingleStore(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(col("text"))).as("g"))
+
+  /** Per-doc MinHash signature columns m0..m31 from the shingle store:
     * one shuffle on doc_id, 32 min-aggregates (partial agg map-side). */
-  private def signatures(docs: DataFrame): DataFrame = {
-    val sh = docs.select(col("doc_id"), explode(shingles(col("text"))).as("g"))
+  private def signatures(sh: DataFrame): DataFrame = {
     val mins = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("g"))).as(s"m$i"))
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH band-bucket rows (doc_id, band, bh) — the unit of both the batch
+    * join (d03) and the incremental trace (d14). */
+  private def bandBuckets(sh: DataFrame): DataFrame = {
+    val sig = signatures(sh)
+    val bands = (0 until NumHashes / BandRows).map { b =>
+      val cols = (0 until BandRows).map(r => col(s"m${b * BandRows + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
+
+  /** Exact-Jaccard verification of candidate pairs (d1 < d2) against the
+    * shingle store: intersection counts for CANDIDATES ONLY, then the
+    * jac ≥ 0.5 cut — identical arithmetic to the d02 exact baseline,
+    * which is what lets every LSH path share d02's oracle. */
+  private def verifyCandidates(sh: DataFrame, cand: DataFrame): DataFrame = {
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.as("a"), col("d1") === col("a.doc_id"))
+      .join(sh.as("b"), col("d2") === col("b.doc_id") && col("a.g") === col("b.g"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    val jac = col("inter").cast("double") / (col("s1.sz") + col("s2.sz") - col("inter"))
+    inter.join(sz.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
+      .where(jac >= 0.5)
+      .select(col("d1"), col("d2"), jac.as("jac"))
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -34,31 +68,60 @@ object Dedup extends QueryModule {
     // ~1e-10), so the verified output equals the exact d02 result and shares
     // its oracle. reference analog: none (beyond-reference operator).
     "d03_minhash_lsh" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val sig = signatures(docs)
-      // band key = hash of the band's signature slice
-      val bands = (0 until NumHashes / BandRows).map { b =>
-        val cols = (0 until BandRows).map(r => col(s"m${b * BandRows + r}"))
-        struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
-      }
-      val buckets = sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      val sh = shingleStore(t(s, dir, "documents"))
+      val buckets = bandBuckets(sh)
       val cand = buckets.as("x").join(buckets.as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
-      // exact verification of candidates only
-      val sh = docs.select(col("doc_id"), explode(shingles(col("text"))).as("g"))
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = cand
-        .join(sh.as("a"), col("d1") === col("a.doc_id"))
-        .join(sh.as("b"), col("d2") === col("b.doc_id") && col("a.g") === col("b.g"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-      val jac = col("inter").cast("double") / (col("s1.sz") + col("s2.sz") - col("inter"))
-      inter.join(sz.as("s1"), col("d1") === col("s1.doc_id"))
-        .join(sz.as("s2"), col("d2") === col("s2.doc_id"))
-        .where(jac >= 0.5)
-        .select(col("d1"), col("d2"), jac.as("jac"))
+      verifyCandidates(sh, cand)
+    }),
+
+    // INCREMENTAL corpus dedup — the continuous-ingestion rendition of d03:
+    // documents arrive in K batches (batch = doc_id mod K); the accumulated
+    // band-bucket trace is the operator's state. A batch BROADCASTS its
+    // Δ-buckets against the trace (the trace is never re-shuffled — at
+    // 100 TB the corpus-side state stays put and only the arriving batch
+    // moves, the same delta-vs-trace economics as the reference's
+    // incremental join, reference: crates/dbsp/src/operator/join.rs:180),
+    // self-joins the Δ for same-batch pairs, exact-verifies ONLY the new
+    // candidates, and appends Δ to the trace (consolidated checkpoint per
+    // step). Each near-dup pair surfaces exactly once — in the step its
+    // later-arriving member lands — so the union over steps EQUALS the
+    // batch d03 result and shares the exact-d02 oracle; DedupSpec asserts
+    // the equivalence frame-for-frame at sf0.001.
+    "d14_inc_dedup" -> ((s, dir) => {
+      val K = 4
+      // the shingle store is materialized ONCE and shared by every step's
+      // signature + verification work (at 100 TB this is the per-batch
+      // feature store a continuous pipeline maintains anyway — the point
+      // is the CORPUS is never rescanned per batch, only probed by key)
+      val sh = shingleStore(t(s, dir, "documents")).localCheckpoint(true)
+      var trace: DataFrame = null // accumulated (doc_id, band, bh) buckets
+      var result: DataFrame = null
+      for (i <- 0 until K) {
+        val delta = bandBuckets(sh.where(pmod(col("doc_id"), lit(K)) === i))
+          .localCheckpoint(true)
+        val sameBatch = delta.as("x").join(delta.as("y"),
+            col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        val crossBatch = if (trace == null) null
+          else trace.as("x").join(broadcast(delta.as("y")),
+              col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+            .select(least(col("x.doc_id"), col("y.doc_id")).as("d1"),
+              greatest(col("x.doc_id"), col("y.doc_id")).as("d2"))
+        val cand = (if (crossBatch == null) sameBatch
+          else sameBatch.union(crossBatch)).distinct()
+        val ver = verifyCandidates(sh, cand)
+        result = if (result == null) ver else result.union(ver)
+        // the trace is a union of the ALREADY-CHECKPOINTED deltas — K is
+        // fixed, so the fan-in is bounded and nothing is ever recomputed;
+        // an unbounded stream would consolidate every K steps instead
+        // (the compactEvery pattern of Recursive.fixpoint / KeyedState)
+        trace = if (trace == null) delta else trace.union(delta)
+      }
+      result
     }),
 
     // SimHash document fingerprint (48-bit): token hashes vote per bit.
@@ -105,6 +168,64 @@ object Dedup extends QueryModule {
       val v = t(s, dir, "embeddings").select(
         col("vec_id"), col("label"), col("embedding"))
       Dedup.annIvfTop1(v, col("vec_id") < 100, nprobe = 2)
+    }),
+
+    // INCREMENTAL ANN — d06 under continuous ingestion: vectors arrive in
+    // K batches (batch = vec_id mod K) and every query's top-1 neighbor is
+    // MAINTAINED as the corpus grows, the reference's incremental
+    // bilinear-join + argmax economics (reference:
+    // crates/dbsp/src/operator/join.rs:180 delta-vs-trace;
+    // crates/nexmark/src/queries/q9.rs argmax maintenance): a batch's new
+    // queries probe the arrived-vector trace, existing queries probe ONLY
+    // the broadcast Δ (the trace is never re-shuffled and never rescanned),
+    // and the per-query best is an associative struct-max state merged per
+    // step — so the final frame EQUALS batch d06 (same candidates: LSH
+    // buckets don't depend on arrival order; same tie-break: max on
+    // (sim, -nid) = sim desc, nid asc) and shares its literal DuckDB
+    // oracle. DedupSpec asserts the equivalence frame-for-frame.
+    "d15_inc_ann" -> ((s, dir) => {
+      val dotN = (x: Column, y: Column) => graft.functions.VectorFunctions.dotF(x, y)
+      val v = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      // plane count sized to the FULL corpus (as d06): a production system
+      // re-sizes its index periodically; equality to the batch result
+      // requires the same bucket geometry on both paths
+      val np = planesFor(cachedCount(v, s"$dir/embeddings"))
+      val base = v.select(col("vec_id"), col("embedding").as("e"),
+          lshBucket(col("embedding"), np).as("bucket"))
+        .withColumn("nrm", sqrt(dotN(col("e"), col("e"))))
+      val probes = typedLit(probeMasks(np))
+      def asQueries(df: DataFrame): DataFrame = df.where(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
+          explode(transform(probes, p => col("bucket").bitwiseXOR(p))).as("bucket"))
+      def asCorpus(df: DataFrame): DataFrame =
+        df.select(col("vec_id").as("nid"), col("e").as("ce"),
+          col("nrm").as("cn"), col("bucket"))
+      val K = 4
+      var trace: DataFrame = null // arrived vectors (bounded union of K ckpts)
+      var best: DataFrame = null  // per-query argmax state
+      for (i <- 0 until K) {
+        val delta = base.where(pmod(col("vec_id"), lit(K)) === i)
+          .localCheckpoint(true)
+        val all = if (trace == null) delta else trace.union(delta)
+        // bilinear delta join: ΔQ ⋈ (N ∪ ΔN)  ∪  Q_prev ⋈ ΔN
+        val newQ = asQueries(delta).join(asCorpus(all), Seq("bucket"))
+        val pairs = if (trace == null) newQ
+          else newQ.union(
+            asQueries(trace).join(broadcast(asCorpus(delta)), Seq("bucket")))
+        val stepBest = pairs.where(col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"),
+            (dotN(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
+          .distinct()
+          .groupBy("qid")
+          .agg(max(struct(col("sim"), (-col("nid")).as("nn"))).as("w"))
+        val merged = (if (best == null) stepBest
+          else best.union(stepBest).groupBy("qid").agg(max("w").as("w")))
+          .localCheckpoint(true)
+        val prev = best; best = merged
+        if (prev != null) prev.rdd.unpersist(false)
+        trace = all
+      }
+      best.select(col("qid"), (-col("w.nn")).as("nid"), col("w.sim").as("sim"))
     }),
 
     // DUP CLUSTERS: near-dup pairs (d03's verified LSH output) → undirected
@@ -302,9 +423,62 @@ object Dedup extends QueryModule {
       .select("qid", "nid", "sim")
   }
 
+  /** The d06 LSH-ANN mirror, shared verbatim by d15 (the incrementally
+    * maintained top-1 equals the batch result — see the d15 scaladoc). */
+  private val annLshOracleSql =
+    """WITH params AS (
+         SELECT greatest(4, CAST(ceil(ln(count(*) / 64.0) / ln(2.0)) AS INT)) AS np
+         FROM embeddings),
+       eq AS (
+         SELECT vec_id, list_transform(embedding,
+           v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+         FROM embeddings),
+       terms AS (
+         SELECT e.vec_id, p.p,
+           e.q[CAST(j.j + 1 AS INT)] *
+             ((((p.p * 64 + j.j + 1) * 2654435761) % 2147483647) * 48271 % 2147483647
+               - 1073741823) AS t
+         FROM eq e, range(64) p(p), range(64) j(j)
+         WHERE p.p < (SELECT np FROM params)),
+       dots AS (SELECT vec_id, p, sum(t) AS dot FROM terms GROUP BY 1, 2),
+       buckets AS (
+         SELECT vec_id,
+           CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END)
+             AS BIGINT) AS bucket
+         FROM dots GROUP BY 1),
+       masks AS (
+         SELECT 0::BIGINT AS m
+         UNION ALL
+         SELECT (1::BIGINT << CAST(i AS INT)) FROM range(64) t(i)
+         WHERE i < (SELECT np FROM params)
+         UNION ALL
+         SELECT (1::BIGINT << CAST(a.i AS INT)) | (1::BIGINT << CAST(b.j AS INT))
+         FROM range(64) a(i), range(64) b(j)
+         WHERE a.i < b.j AND b.j < (SELECT np FROM params)),
+       nv AS (
+         SELECT vec_id, embedding::DOUBLE[] AS e,
+           sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         FROM embeddings),
+       qprobe AS (
+         SELECT b.vec_id AS qid, xor(b.bucket, m.m) AS bucket
+         FROM buckets b, masks m WHERE b.vec_id < 100),
+       sims AS (
+         SELECT DISTINCT q.qid, c.vec_id AS nid,
+           list_inner_product(nq.e, nc.e) / (nq.nrm * nc.nrm) AS sim
+         FROM qprobe q
+         JOIN buckets c ON q.bucket = c.bucket AND c.vec_id <> q.qid
+         JOIN nv nq ON nq.vec_id = q.qid
+         JOIN nv nc ON nc.vec_id = c.vec_id)
+       SELECT qid, nid, sim FROM (
+         SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+         FROM sims) WHERE rn = 1"""
+
   override def oracle: Map[String, String] = Map(
     // identical to the exact d02 result (LSH verified-candidates path)
     "d03_minhash_lsh" -> TextAnalysis.oracle("d02_jaccard_pairs"),
+    // the incremental union over arrival batches ≡ the batch LSH result
+    // ≡ the exact d02 result (see the d14 scaladoc for why)
+    "d14_inc_dedup" -> TextAnalysis.oracle("d02_jaccard_pairs"),
 
     // literal mirror of the simhash pipeline: per-token 60-bit md5 prefix
     // (positional hex decode — DuckDB has no hex→int cast), per-bit ±1
@@ -331,53 +505,10 @@ object Dedup extends QueryModule {
     // coefficients over 2^-20-quantized embeddings (exact in any engine),
     // hamming≤2 probe masks, exact cosine rerank (list_inner_product on
     // DOUBLE[] — the d05/d11-proven bit-identical dot), top-1 per query.
-    "d06_ann_lsh" ->
-      """WITH params AS (
-           SELECT greatest(4, CAST(ceil(ln(count(*) / 64.0) / ln(2.0)) AS INT)) AS np
-           FROM embeddings),
-         eq AS (
-           SELECT vec_id, list_transform(embedding,
-             v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
-           FROM embeddings),
-         terms AS (
-           SELECT e.vec_id, p.p,
-             e.q[CAST(j.j + 1 AS INT)] *
-               ((((p.p * 64 + j.j + 1) * 2654435761) % 2147483647) * 48271 % 2147483647
-                 - 1073741823) AS t
-           FROM eq e, range(64) p(p), range(64) j(j)
-           WHERE p.p < (SELECT np FROM params)),
-         dots AS (SELECT vec_id, p, sum(t) AS dot FROM terms GROUP BY 1, 2),
-         buckets AS (
-           SELECT vec_id,
-             CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END)
-               AS BIGINT) AS bucket
-           FROM dots GROUP BY 1),
-         masks AS (
-           SELECT 0::BIGINT AS m
-           UNION ALL
-           SELECT (1::BIGINT << CAST(i AS INT)) FROM range(64) t(i)
-           WHERE i < (SELECT np FROM params)
-           UNION ALL
-           SELECT (1::BIGINT << CAST(a.i AS INT)) | (1::BIGINT << CAST(b.j AS INT))
-           FROM range(64) a(i), range(64) b(j)
-           WHERE a.i < b.j AND b.j < (SELECT np FROM params)),
-         nv AS (
-           SELECT vec_id, embedding::DOUBLE[] AS e,
-             sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-           FROM embeddings),
-         qprobe AS (
-           SELECT b.vec_id AS qid, xor(b.bucket, m.m) AS bucket
-           FROM buckets b, masks m WHERE b.vec_id < 100),
-         sims AS (
-           SELECT DISTINCT q.qid, c.vec_id AS nid,
-             list_inner_product(nq.e, nc.e) / (nq.nrm * nc.nrm) AS sim
-           FROM qprobe q
-           JOIN buckets c ON q.bucket = c.bucket AND c.vec_id <> q.qid
-           JOIN nv nq ON nq.vec_id = q.qid
-           JOIN nv nc ON nc.vec_id = c.vec_id)
-         SELECT qid, nid, sim FROM (
-           SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
-           FROM sims) WHERE rn = 1""",
+    "d06_ann_lsh" -> annLshOracleSql,
+    // the incrementally-maintained top-1 equals the batch d06 result
+    // (see the d15 scaladoc for why), so it shares d06's literal mirror
+    "d15_inc_ann" -> annLshOracleSql,
 
     // literal mirror of the IVF pipeline: decimal-exact per-label centroids
     // (d07), nearest-cell assignment by exact cosine, top-2 probe cells per

@@ -26,6 +26,23 @@ class DedupSpec extends SparkSpec {
       s"near-dup hamming avg $dupAvg not well below random-pair avg $rnd")
   }
 
+  test("d14 incremental dedup ≡ d03 batch LSH, frame for frame") {
+    // the union over arrival batches must equal the batch result exactly
+    // (same pairs, same jac doubles) — the incremental-view-maintenance
+    // property the d14 trace design claims
+    assertSameRows(
+      Dedup.queries("d14_inc_dedup")(spark, sf0001),
+      Dedup.queries("d03_minhash_lsh")(spark, sf0001))
+  }
+
+  test("d15 incremental ANN ≡ d06 batch ANN, frame for frame") {
+    // maintaining per-query top-1 across arrival batches must converge to
+    // the batch answer exactly (same candidates, same tie-break)
+    assertSameRows(
+      Dedup.queries("d15_inc_ann")(spark, sf0001),
+      Dedup.queries("d06_ann_lsh")(spark, sf0001))
+  }
+
   test("ann-lsh: every reported neighbor shares the query's bucket and sim is exact") {
     val ann = Dedup.queries("d06_ann_lsh")(spark, sf0001).cache()
     assert(ann.count() > 0)
