@@ -249,26 +249,74 @@ object Throughput {
 
   /** q6: average price of the LAST 10 bids per bidder (reference:
     * crates/nexmark/src/queries/q6.rs — avg of last 10 winning bids per
-    * seller; baseline benchmark/README.md:210). Per step: slice last-10 per
-    * bidder (window rank by ts desc over the slice only), merged with the
-    * carried ≤10-per-bidder state, re-ranked, truncated — state stays ≤10
-    * rows × 10007 bidders, so the re-rank is O(bidders), never O(stream);
-    * the updated per-bidder average is emitted every step. */
+    * seller via a per-key Fold; baseline benchmark/README.md:210). "Last
+    * 10" is a COMMUTATIVE MONOID under the packed (ts, price, auction)
+    * total order (top-10 of a union = top-10 of merged top-10s), so the
+    * per-step maintenance is one aggregateByKey whose map-side combiners
+    * reduce each slice partition to ≤10 packed longs per bidder BEFORE the
+    * shuffle — the shuffle ships O(bidders × 10) however large the slice,
+    * and the carried state (≤10 longs × 10007 bidders) rides the same
+    * combine. This replaced a full-slice window sort (rank over 6M rows per
+    * step, ratio 1.43); the monoid shape is the reference's Fold economics
+    * and the standard Spark partial top-k design. The updated per-bidder
+    * average is emitted every step from the merged state. */
   private def incQ6(spark: SparkSession): Unit = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("bidder")
-      .orderBy(col("ts_ms").desc, col("price").desc, col("auction"))
-    def last10(df: DataFrame): DataFrame =
-      df.withColumn("rn", row_number().over(w)).where(col("rn") <= 10).drop("rn")
-    var state: DataFrame = null
+    val sc = spark.sparkContext
+    val part = new org.apache.spark.HashPartitioner(32)
+    val per = incRowsN / incSteps
+    // packed = ts_ms<<24 | price<<10 | auction (ts<2^19, price<2^14,
+    // auction<2^10): long comparison == (ts, price, auction) lexicographic,
+    // so "last 10" = the 10 largest packed values per bidder
+    def seqOp(arr: Array[Long], v: Long): Array[Long] =
+      if (arr.length < 10) { val a = new Array[Long](arr.length + 1)
+        System.arraycopy(arr, 0, a, 0, arr.length); a(arr.length) = v; a
+      } else {
+        var mi = 0; var i = 1
+        while (i < 10) { if (arr(i) < arr(mi)) mi = i; i += 1 }
+        if (v > arr(mi)) arr(mi) = v
+        arr
+      }
+    def combOp(a: Array[Long], b: Array[Long]): Array[Long] =
+      if (a.isEmpty) b else if (b.isEmpty) a
+      else (a ++ b).sorted.reverse.take(10)
+    var state: org.apache.spark.rdd.RDD[(Long, Array[Long])] = null
     for (i <- 0 until incSteps) stepTimed {
-      val stepLast = last10(bidSlice(spark, i))
-      val merged = last10(if (state == null) stepLast else state.union(stepLast))
-      val ck = merged.localCheckpoint(true)
-      unpersistLater(state); state = ck
-      force(ck.groupBy("bidder").agg(avg("price").as("avg_price")))
+      val (start, nParts) = (i * per, 32)
+      val slicePairs = sc.parallelize(0 until nParts, nParts)
+        .mapPartitions(_.flatMap { p =>
+          val lo = start + p * per / nParts
+          val hi = start + (p + 1) * per / nParts
+          (lo until hi).iterator.map { id =>
+            val auction = id % 1000L
+            val bidder = (id * 2654435761L) % 10007L
+            var x = id + -7046029254386353131L
+            x = (x ^ (x >>> 30)) * -4658895280553007687L
+            val price = ((x ^ (x >>> 27)) & Long.MaxValue) % 10000L + 100L
+            (bidder, ((id / 100L) << 24) | (price << 10) | auction)
+          }
+        })
+      val statePairs = if (state == null) sc.emptyRDD[(Long, Array[Long])]
+        else state
+      val merged = slicePairs
+        .aggregateByKey(Array.empty[Long], part)(seqOp, combOp)
+        .cogroup(statePairs, part)
+        .mapValues { case (news, olds) =>
+          (news.iterator ++ olds.iterator).reduceOption(combOp)
+            .getOrElse(Array.empty[Long])
+        }
+      merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (i == incSteps - 1) merged.localCheckpoint() // bound lineage
+      merged.count() // materialize before retiring the previous generation
+      val prev = state; state = merged
+      if (prev != null) prev.unpersist(false)
+      // emit: updated per-bidder average over the ≤10 carried prices
+      state.map { case (b, arr) =>
+        var s = 0L; var j = 0
+        while (j < arr.length) { s += (arr(j) >> 10) & 0x3FFFL; j += 1 }
+        (b, s.toDouble / math.max(arr.length, 1))
+      }.count()
     }
-    unpersistLater(state)
+    if (state != null) state.unpersist(false)
   }
 
   /** q13: bounded side-input join (reference:
@@ -637,7 +685,10 @@ object Throughput {
       "cardinalities) - generator cost is inside the timed loop"),
     "q15_daily_distinct_inc" -> ("slice generated as packed-long RDD pairs " +
       "(same cardinalities as bidsOver) with generation inside the timed " +
-      "loop; day = 60s of compressed event time"))
+      "loop; day = 60s of compressed event time"),
+    "q6_last10_avg_inc" -> ("slice generated as packed-long RDD pairs " +
+      "(same cardinalities as bidsOver) with generation inside the timed " +
+      "loop; last-10 maintained as a top-10 monoid via aggregateByKey"))
 
   /** JSON: per-family rows/s (best attempt's median of `reps` runs), ratio
     * vs the reference ev/s, the mode label, the 2× gate, and the full
