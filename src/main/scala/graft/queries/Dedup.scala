@@ -170,6 +170,31 @@ object Dedup extends QueryModule {
       Dedup.annIvfTop1(v, col("vec_id") < 100, nprobe = 2)
     }),
 
+    // TEST-SET DECONTAMINATION — the guard every training pipeline ships
+    // in front of a benchmark: training documents that near-duplicate any
+    // HELD-OUT eval document (jac ≥ 0.5) are flagged for removal, with the
+    // matched eval doc and the exact score as the audit trail. Eval set =
+    // sources src0/src1/src2 (a held-out benchmark is a SOURCE, which is
+    // also what makes the shape scale-honest: the eval side is tiny and
+    // broadcast — at 100 TB the train-side bucket stream never shuffles
+    // against it). Candidates come from the same band buckets as d03
+    // (signatures are per-doc, so subset bucketing ≡ full-corpus
+    // bucketing), then exact verification of candidates only; d03 ≡ d02
+    // (green at every scale) already proves every true pair shares a
+    // bucket, so this restriction is exact too and the oracle is the d02
+    // relation filtered to train×eval.
+    "d16_decontam" -> ((s, dir) => {
+      val isEval = col("source").isin("src0", "src1", "src2")
+      val docs = t(s, dir, "documents")
+      val train = bandBuckets(shingleStore(docs.where(!isEval)))
+      val ev = bandBuckets(shingleStore(docs.where(isEval)))
+      val cand = train.as("x").join(broadcast(ev.as("y")),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+      verifyCandidates(shingleStore(docs), cand)
+        .select(col("d1").as("doc_id"), col("d2").as("eval_doc_id"), col("jac"))
+    }),
+
     // INCREMENTAL ANN — d06 under continuous ingestion: vectors arrive in
     // K batches (batch = vec_id mod K) and every query's top-1 neighbor is
     // MAINTAINED as the corpus grows, the reference's incremental
@@ -479,6 +504,21 @@ object Dedup extends QueryModule {
     // the incremental union over arrival batches ≡ the batch LSH result
     // ≡ the exact d02 result (see the d14 scaladoc for why)
     "d14_inc_dedup" -> TextAnalysis.oracle("d02_jaccard_pairs"),
+    // the exact pair relation restricted to train×eval and re-oriented to
+    // (train doc, matched eval doc); jac arithmetic shared with d02
+    "d16_decontam" ->
+      s"""WITH pairs AS (${TextAnalysis.oracle("d02_jaccard_pairs")}),
+         s AS (SELECT doc_id, source FROM documents)
+         SELECT CASE WHEN a.source IN ('src0','src1','src2') THEN p.d2
+                     ELSE p.d1 END AS doc_id,
+                CASE WHEN a.source IN ('src0','src1','src2') THEN p.d1
+                     ELSE p.d2 END AS eval_doc_id,
+                p.jac
+         FROM pairs p
+         JOIN s a ON a.doc_id = p.d1
+         JOIN s b ON b.doc_id = p.d2
+         WHERE (a.source IN ('src0','src1','src2'))
+            <> (b.source IN ('src0','src1','src2'))""",
 
     // literal mirror of the simhash pipeline: per-token 60-bit md5 prefix
     // (positional hex decode — DuckDB has no hex→int cast), per-bit ±1

@@ -35,6 +35,24 @@ class DedupSpec extends SparkSpec {
       Dedup.queries("d03_minhash_lsh")(spark, sf0001))
   }
 
+  test("d16 decontamination: oriented train×eval, consistent with the exact pairs") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val evalIds = docs.where(col("source").isin("src0", "src1", "src2"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val out = Dedup.queries("d16_decontam")(spark, sf0001).collect()
+    assert(out.nonEmpty, "decontamination must flag the planted cross pairs")
+    out.foreach { r =>
+      assert(!evalIds.contains(r.getLong(0)), "doc_id must be a TRAIN doc")
+      assert(evalIds.contains(r.getLong(1)), "eval_doc_id must be an EVAL doc")
+    }
+    // consistency with the exact pair relation: same (unordered) id pairs
+    val exact = TextAnalysis.queries("d02_jaccard_pairs")(spark, sf0001)
+      .collect().map(r => Set(r.getLong(0), r.getLong(1)))
+      .filter(p => p.count(evalIds.contains) == 1).toSet
+    assert(out.map(r => Set(r.getLong(0), r.getLong(1))).toSet == exact)
+  }
+
   test("d15 incremental ANN ≡ d06 batch ANN, frame for frame") {
     // maintaining per-query top-1 across arrival batches must converge to
     // the batch answer exactly (same candidates, same tie-break)
