@@ -190,6 +190,65 @@ object TextAnalysis extends QueryModule {
           (col("top_count").cast("double") / col("n_grams")).as("top_ratio"))
     }),
 
+    // PII DETECTION / REDACTION (t07) — the scrubbing pass a training
+    // pipeline ships before tokenization (C4/Dolma-style): regex detection
+    // counts + multi-pattern redaction (email, phone, SSN-shaped ids).
+    // The corpus is synthetic word-soup with no organic PII, so the
+    // harness embeds deterministic pseudo-PII derived from doc_id — the
+    // SAME expression in the DuckDB oracle — and the operator does the
+    // real work over it. Pure codegen'd column expressions: at 100 TB
+    // this is a narrow map with zero shuffle.
+    "t07_pii" -> ((s, dir) => {
+      val id = col("doc_id")
+      val phone = concat(lit(" call 555-"),
+        lpad(((id * 7) % 10000).cast("string"), 4, "0"))
+      val ssn = concat(lit(" id "),
+        lpad(((id * 13) % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad(((id * 17) % 100).cast("string"), 2, "0"), lit("-"),
+        lpad(((id * 19) % 10000).cast("string"), 4, "0"))
+      val pt = concat(col("text"),
+        lit(" contact user"), id.cast("string"), lit("@mail.example"),
+        when(id % 3 === 0, phone).otherwise(lit("")),
+        when(id % 5 === 0, ssn).otherwise(lit("")))
+      t(s, dir, "documents").select(
+        id,
+        regexp_count(pt, lit(EmailRe)).as("n_emails"),
+        regexp_count(pt, lit(PhoneRe)).as("n_phones"),
+        regexp_count(pt, lit(SsnRe)).as("n_ids"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(pt, SsnRe, "<ID>"),
+            PhoneRe, "<PHONE>"),
+          EmailRe, "<EMAIL>").as("redacted"))
+    }),
+
+    // CROSS-DOC BOILERPLATE (d17) — corpus-wide duplicate-segment
+    // signals, the Dolma/CCNet-style pass that removes repeated
+    // navigation/boilerplate text shared ACROSS documents (t06 is the
+    // within-doc analog). Sliding word 8-grams → per-gram distinct-doc
+    // count → per-doc duplicated-gram mass. Two shuffles, both keyed on
+    // the gram; the aggregated per-gram side is co-partitioned with the
+    // gram stream (exchange reuse), and it is NEVER broadcast — at
+    // 100 TB the distinct-gram table is corpus-sized.
+    "d17_boilerplate" -> ((s, dir) => {
+      val tk = toks(col("text"))
+      val grams = when(size(tk) >= 8,
+        transform(sequence(lit(0), size(tk) - 8),
+          i => array_join(slice(tk, i + 1, lit(8)), " ")))
+        .otherwise(array().cast("array<string>"))
+      val g = t(s, dir, "documents")
+        .select(col("doc_id"), explode(grams).as("g"))
+      val docCounts = g.groupBy("g")
+        .agg(countDistinct("doc_id").as("nd"))
+      g.join(docCounts.hint("shuffle_hash"), Seq("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          count(when(col("nd") >= 2, 1)).as("n_boiler"))
+        .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+          (col("n_boiler").cast("double") / col("n_grams")).as("boiler_ratio"),
+          (col("n_boiler") * lit(5) >= col("n_grams")).cast("int").as("is_boiler"))
+    }),
+
     // document fingerprint: md5 over normalized text
     "t04_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -242,6 +301,12 @@ object TextAnalysis extends QueryModule {
         .select("qid", "nid", "sim", "rn")
     })
   )
+
+  // PII regexes (t07) — the common Java-regex / RE2 subset, so the Spark
+  // plan and the DuckDB oracle compile the same automaton.
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\b555-[0-9]{4}\\b"
+  private val SsnRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
 
   private val oShingles =
     """list_distinct(list_transform(range(len(string_split(text,' '))-4),
@@ -301,6 +366,42 @@ object TextAnalysis extends QueryModule {
              CAST(sum(n_tokens) AS BIGINT) AS token_budget,
              CAST(SUM(CAST(q AS DECIMAL(18,4))) AS DOUBLE) AS sum_q
            FROM d WHERE rn = 1 GROUP BY source""",
+      "t07_pii" ->
+        """WITH p AS (
+             SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example'
+                 || CASE WHEN doc_id % 3 = 0
+                      THEN ' call 555-' || lpad(CAST((doc_id*7) % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0
+                      THEN ' id ' || lpad(CAST((doc_id*13) % 1000 AS VARCHAR), 3, '0')
+                        || '-' || lpad(CAST((doc_id*17) % 100 AS VARCHAR), 2, '0')
+                        || '-' || lpad(CAST((doc_id*19) % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END AS pt
+             FROM documents)
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(pt, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+             CAST(len(regexp_extract_all(pt, '\b555-[0-9]{4}\b')) AS INT) AS n_phones,
+             CAST(len(regexp_extract_all(pt, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS INT) AS n_ids,
+             regexp_replace(regexp_replace(regexp_replace(pt,
+               '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<ID>', 'g'),
+               '\b555-[0-9]{4}\b', '<PHONE>', 'g'),
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS redacted
+           FROM p""",
+      "d17_boilerplate" ->
+        """WITH sh AS (
+             SELECT doc_id, unnest(list_transform(range(len(string_split(text,' '))-7),
+               i -> array_to_string(string_split(text,' ')[i+1:i+8], ' '))) AS g
+             FROM documents),
+           dc AS (SELECT g, count(DISTINCT doc_id) AS nd FROM sh GROUP BY 1),
+           j AS (SELECT s.doc_id,
+                   count(*) AS n_grams,
+                   count(CASE WHEN d.nd >= 2 THEN 1 END) AS n_boiler
+                 FROM sh s JOIN dc d USING (g) GROUP BY 1)
+           SELECT doc_id, n_grams, n_boiler,
+             CAST(n_boiler AS DOUBLE) / n_grams AS boiler_ratio,
+             CAST(n_boiler * 5 >= n_grams AS INT) AS is_boiler
+           FROM j""",
       "t04_fingerprint" ->
         """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
            FROM documents""",

@@ -212,4 +212,44 @@ class DedupSpec extends SparkSpec {
     val odd = kept.filter { case (s, _) => s.replaceAll("[^0-9]", "").toLong % 2 == 1 }
     assert(even.values.sum > odd.values.sum, s"even=$even odd=$odd")
   }
+
+  test("t07 pii: planted PII fully detected and redaction leaves no residue") {
+    val out = TextAnalysis.queries("t07_pii")(spark, sf0001).cache()
+    assert(out.count() == 500)
+    // the harness plants exactly one email per doc, a phone iff doc_id%3==0,
+    // an SSN-shaped id iff doc_id%5==0 — detection must match exactly
+    val bad = out.where(
+      col("n_emails") =!= 1 ||
+      col("n_phones") =!= when(col("doc_id") % 3 === 0, 1).otherwise(0) ||
+      col("n_ids") =!= when(col("doc_id") % 5 === 0, 1).otherwise(0))
+    assert(bad.isEmpty, s"miscounted PII: ${bad.take(3).mkString}")
+    // redacted text carries placeholders and zero surviving PII matches
+    val residue = out.where(
+      regexp_count(col("redacted"), lit("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}")) > 0 ||
+      regexp_count(col("redacted"), lit("\\b555-[0-9]{4}\\b")) > 0 ||
+      regexp_count(col("redacted"), lit("\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b")) > 0)
+    assert(residue.isEmpty, "PII survived redaction")
+    assert(out.where(!col("redacted").contains("<EMAIL>")).isEmpty)
+  }
+
+  test("d17 boilerplate: near-exact dup pairs carry cross-doc duplicated grams") {
+    val boiler = TextAnalysis.queries("d17_boilerplate")(spark, sf0001).cache()
+    // sanity: mass bounded by total grams, ratio in [0,1]
+    assert(boiler.where(col("n_boiler") > col("n_grams")).isEmpty)
+    assert(boiler.where(col("boiler_ratio") < 0 || col("boiler_ratio") > 1).isEmpty)
+    // every doc in a near-exact planted pair (jaccard ≥ 0.9 on 5-gram
+    // shingles) must show duplicated 8-gram mass — that is what the
+    // cross-doc pass exists to catch
+    val pairs = TextAnalysis.queries("d02_jaccard_pairs")(spark, sf0001)
+      .where(col("jac") >= 0.9)
+    val dupDocs = pairs.select(col("d1").as("doc_id"))
+      .union(pairs.select(col("d2"))).distinct()
+    assert(dupDocs.count() > 0, "fixture must contain near-exact pairs")
+    val missed = dupDocs.join(boiler, Seq("doc_id"))
+      .where(col("n_boiler") === 0)
+    assert(missed.isEmpty, s"near-exact dup docs with zero boiler mass: ${missed.take(5).mkString}")
+    // and unique docs dominate: most of the corpus has no cross-doc grams
+    val clean = boiler.where(col("n_boiler") === 0).count()
+    assert(clean > 400, s"expected mostly-clean corpus, got $clean clean docs")
+  }
 }
