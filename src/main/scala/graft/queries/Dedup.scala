@@ -23,7 +23,7 @@ object Dedup extends QueryModule {
   /** Exploded (doc_id, shingle) rows — the shingle store every LSH stage
     * (signatures, exact verification) derives from. Materialize it ONCE
     * when several stages reuse it (d14's step loop does). */
-  private def shingleStore(docs: DataFrame): DataFrame =
+  private[queries] def shingleStore(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(shingles(col("text"))).as("g"))
 
   /** Per-doc MinHash signature columns m0..m31 from the shingle store:
@@ -35,7 +35,7 @@ object Dedup extends QueryModule {
 
   /** LSH band-bucket rows (doc_id, band, bh) — the unit of both the batch
     * join (d03) and the incremental trace (d14). */
-  private def bandBuckets(sh: DataFrame): DataFrame = {
+  private[queries] def bandBuckets(sh: DataFrame): DataFrame = {
     val sig = signatures(sh)
     val bands = (0 until NumHashes / BandRows).map { b =>
       val cols = (0 until BandRows).map(r => col(s"m${b * BandRows + r}"))
@@ -49,7 +49,7 @@ object Dedup extends QueryModule {
     * shingle store: intersection counts for CANDIDATES ONLY, then the
     * jac ≥ 0.5 cut — identical arithmetic to the d02 exact baseline,
     * which is what lets every LSH path share d02's oracle. */
-  private def verifyCandidates(sh: DataFrame, cand: DataFrame): DataFrame = {
+  private[queries] def verifyCandidates(sh: DataFrame, cand: DataFrame): DataFrame = {
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(sh.as("a"), col("d1") === col("a.doc_id"))

@@ -104,6 +104,51 @@ object StreamingQueries extends QueryModule {
     staged.toString
   }
 
+  /** Stage the documents table as K parquet files (batch i = docs with
+    * doc_id % K == i) for the file stream source — the arrival batches of
+    * the continuous-ingest dedup (q65). Same publish contract as stageDir:
+    * build private, single atomic rename, marker-keyed readiness,
+    * sequential callers. */
+  private[graft] def stageDocsDir(s: SparkSession, dir: String, k: Int): String = {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    val staged = Paths.get(
+      s"/tmp/graft_stream_docs${k}_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    val marker = staged.resolve(s"b${k - 1}.parquet")
+    def deleteTree(p: Path): Unit = if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+    if (!Files.exists(marker)) {
+      val build = staged.resolveSibling(
+        s"${staged.getFileName}_build_${java.util.UUID.randomUUID().toString.take(8)}")
+      Files.createDirectories(build)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      for (i <- 0 until k) {
+        val tmp = build.resolve(s"tmp$i")
+        docs.where(pmod(col("doc_id"), lit(k)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val listing = Files.list(tmp)
+        val part = try listing.filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally listing.close()
+        Files.move(part, build.resolve(s"b$i.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        deleteTree(tmp)
+      }
+      deleteTree(staged)
+      try Files.move(build, staged, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException =>
+          deleteTree(build)
+          if (!Files.exists(marker))
+            sys.error(s"staging race left $staged incomplete")
+      }
+    }
+    staged.toString
+  }
+
   /** Streaming read of the (staged) events table; converts the raw
     * nanos-long event time back to TimestampType. */
   private def eventStream(s: SparkSession, dir: String, tag: String,
@@ -296,6 +341,66 @@ object StreamingQueries extends QueryModule {
       out
     }),
 
+    // CONTINUOUS-INGEST CORPUS DEDUP as a REAL streaming query — d14's
+    // incremental MinHash-LSH trace driven by the streaming engine instead
+    // of the deterministic step loop: file-source stream of document
+    // batches → checkpointed foreachBatch maintaining the accumulated
+    // (doc_id, band, bh) bucket trace and shingle store across triggers.
+    // Each arriving batch broadcasts its Δ buckets against the trace
+    // (the corpus-side state is never re-shuffled or rescanned), verifies
+    // only the new candidates against the accumulated store, and appends
+    // its Δ — O(Δ) work per trigger, the 100 TB continuous-pipeline
+    // economics. Union over triggers ≡ batch d03 ≡ exact d02 (shared
+    // oracle); every pair is discovered exactly once (at its second
+    // doc's arrival), so arrival order never changes the result.
+    "q65_stream_dedup" -> ((s, dir) => {
+      import java.nio.file.{Files, Paths}
+      import graft.queries.{Dedup => D}
+      val K = 4
+      val staged = stageDocsDir(s, dir, K)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+      // driver-held incremental state, advanced once per trigger; each
+      // generation is eagerly checkpointed so nothing is recomputed and
+      // the fan-in stays bounded by the trigger count
+      var trace: DataFrame = null   // accumulated (doc_id, band, bh)
+      var store: DataFrame = null   // accumulated (doc_id, g) shingles
+      var result: DataFrame = null
+      val ck = Files.createTempDirectory("graft_sdedup_ck")
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val sh = D.shingleStore(batch).localCheckpoint(true)
+            store = if (store == null) sh else store.union(sh)
+            val delta = D.bandBuckets(sh).localCheckpoint(true)
+            val sameBatch = delta.as("x").join(delta.as("y"),
+                col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+                  col("x.doc_id") < col("y.doc_id"))
+              .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+            val crossBatch = if (trace == null) null
+              else trace.as("x").join(broadcast(delta.as("y")),
+                  col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+                .select(least(col("x.doc_id"), col("y.doc_id")).as("d1"),
+                  greatest(col("x.doc_id"), col("y.doc_id")).as("d2"))
+            val cand = (if (crossBatch == null) sameBatch
+              else sameBatch.union(crossBatch)).distinct()
+            val ver = D.verifyCandidates(store, cand).localCheckpoint(true)
+            result = if (result == null) ver else result.union(ver)
+            trace = if (trace == null) delta else trace.union(delta)
+          }
+        }
+        .option("checkpointLocation", ck.toString)
+        .start()
+      q.processAllAvailable(); q.stop()
+      // checkpoint consumed (state lives in the checkpointed frames)
+      val walk = Files.walk(ck)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(Files.deleteIfExists(_))
+      finally walk.close()
+      result
+    }),
+
     // REAL stream-stream join (reference: operator/join.rs:87
     // monotonic_stream_join): two watermarked streams, event-time range
     // condition bounding state on both sides; inner matches emit in append
@@ -356,6 +461,7 @@ object StreamingQueries extends QueryModule {
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
          WHERE c.event_type = 'click' AND p.event_type = 'purchase'
          GROUP BY 1""",
+    "q65_stream_dedup" -> TextAnalysis.oracle("d02_jaccard_pairs"),
     "q64_chained_stateful" ->
       """WITH hourly AS (
            SELECT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS wstart, event_type,

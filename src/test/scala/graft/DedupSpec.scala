@@ -53,6 +53,14 @@ class DedupSpec extends SparkSpec {
     assert(out.map(r => Set(r.getLong(0), r.getLong(1))).toSet == exact)
   }
 
+  test("q65 streaming dedup ≡ d03 batch LSH — real engine-driven triggers") {
+    // the checkpointed foreachBatch trace, driven by the streaming engine,
+    // must converge to the same frame as the batch LSH pipeline
+    assertSameRows(
+      graft.queries.StreamingQueries.queries("q65_stream_dedup")(spark, sf0001),
+      Dedup.queries("d03_minhash_lsh")(spark, sf0001))
+  }
+
   test("d15 incremental ANN ≡ d06 batch ANN, frame for frame") {
     // maintaining per-query top-1 across arrival batches must converge to
     // the batch answer exactly (same candidates, same tie-break)
