@@ -225,25 +225,30 @@ object TextAnalysis extends QueryModule {
     // CROSS-DOC BOILERPLATE (d17) — corpus-wide duplicate-segment
     // signals, the Dolma/CCNet-style pass that removes repeated
     // navigation/boilerplate text shared ACROSS documents (t06 is the
-    // within-doc analog). Sliding word 8-grams → per-gram distinct-doc
-    // count → per-doc duplicated-gram mass. Two shuffles, both keyed on
-    // the gram; the aggregated per-gram side is co-partitioned with the
-    // gram stream (exchange reuse), and it is NEVER broadcast — at
-    // 100 TB the distinct-gram table is corpus-sized.
+    // within-doc analog). Spark-first shape: NO self-join — the raw gram
+    // stream is pre-aggregated to (g, doc_id, inst) (map-side combine),
+    // the per-gram distinct-doc count nd is a count window OVER the gram
+    // key on that same pre-aggregated frame, and the result re-groups by
+    // doc. One parquet scan, one linear pipeline, three keyed shuffles
+    // (g+doc → g → doc), zero joins, nothing broadcast — the join-free
+    // plan survives a corpus-sized distinct-gram table at 100 TB. (The
+    // naive groupBy+join-back alternative scans and explodes the corpus
+    // twice: Catalyst cannot reuse the exchange because column pruning
+    // makes the two branches differ.)
     "d17_boilerplate" -> ((s, dir) => {
       val tk = toks(col("text"))
       val grams = when(size(tk) >= 8,
         transform(sequence(lit(0), size(tk) - 8),
           i => array_join(slice(tk, i + 1, lit(8)), " ")))
         .otherwise(array().cast("array<string>"))
-      val g = t(s, dir, "documents")
+      val gi = t(s, dir, "documents")
         .select(col("doc_id"), explode(grams).as("g"))
-      val docCounts = g.groupBy("g")
-        .agg(countDistinct("doc_id").as("nd"))
-      g.join(docCounts.hint("shuffle_hash"), Seq("g"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          count(when(col("nd") >= 2, 1)).as("n_boiler"))
+        .groupBy("g", "doc_id").agg(count(lit(1)).as("inst"))
+      val withNd = gi.withColumn("nd",
+        count(lit(1)).over(Window.partitionBy("g")))
+      withNd.groupBy("doc_id")
+        .agg(sum("inst").as("n_grams"),
+          sum(when(col("nd") >= 2, col("inst")).otherwise(0L)).as("n_boiler"))
         .select(col("doc_id"), col("n_grams"), col("n_boiler"),
           (col("n_boiler").cast("double") / col("n_grams")).as("boiler_ratio"),
           (col("n_boiler") * lit(5) >= col("n_grams")).cast("int").as("is_boiler"))
