@@ -45,6 +45,102 @@ object Dedup extends QueryModule {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
   }
 
+  /** Incremental MinHash-LSH dedup stepper — ONE implementation driven by
+    * two harnesses: d14's deterministic step loop and q65's checkpointed
+    * streaming foreachBatch. State = the accumulated (doc_id, band, bh)
+    * bucket trace + shingle store; a step broadcasts its Δ-buckets against
+    * the never-re-shuffled trace (delta-vs-trace economics, reference:
+    * crates/dbsp/src/operator/join.rs:180), self-joins the Δ for
+    * same-batch pairs, exact-verifies ONLY the new candidates, and appends
+    * Δ. Every near-dup pair surfaces exactly once (at its later member's
+    * arrival), so the union over steps equals batch d03 regardless of
+    * arrival order. Each generation is eagerly checkpointed; fan-in is
+    * bounded by the step count (an unbounded stream would consolidate
+    * every K steps — the compactEvery pattern of Recursive.fixpoint). */
+  private[queries] final class LshDedupState {
+    private var trace: DataFrame = null // accumulated (doc_id, band, bh)
+    private var store: DataFrame = null // accumulated (doc_id, g) shingles
+    private var res: DataFrame = null
+    /** Advance by one arriving batch's shingle store slice. */
+    def advance(shRaw: DataFrame): Unit = {
+      val sh = shRaw.localCheckpoint(true)
+      store = if (store == null) sh else store.union(sh)
+      val delta = bandBuckets(sh).localCheckpoint(true)
+      val sameBatch = delta.as("x").join(delta.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      val crossBatch = if (trace == null) null
+        else trace.as("x").join(broadcast(delta.as("y")),
+            col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+          .select(least(col("x.doc_id"), col("y.doc_id")).as("d1"),
+            greatest(col("x.doc_id"), col("y.doc_id")).as("d2"))
+      val cand = (if (crossBatch == null) sameBatch
+        else sameBatch.union(crossBatch)).distinct()
+      val ver = verifyCandidates(store, cand).localCheckpoint(true)
+      res = if (res == null) ver else res.union(ver)
+      trace = if (trace == null) delta else trace.union(delta)
+    }
+    def result: DataFrame = res
+  }
+
+  /** ANN-base frame: (vec_id, e, bucket, nrm) with d06's bucket geometry.
+    * The norm MUST come from the codegen'd FloatDotProduct (same sequential
+    * double accumulation as the DuckDB oracle) — the HOF fold accumulates
+    * differently in the last bits and would break the literal mirror. */
+  private[queries] def annBase(v: DataFrame, np: Int): DataFrame = {
+    val dotN = (x: Column, y: Column) => graft.functions.VectorFunctions.dotF(x, y)
+    v.select(col("vec_id"), col("embedding").as("e"),
+        lshBucket(col("embedding"), np).as("bucket"))
+      .withColumn("nrm", sqrt(dotN(col("e"), col("e"))))
+  }
+
+  /** Incremental ANN-maintenance stepper — ONE implementation driven by
+    * d15's step loop and q66's streaming foreachBatch. A batch's new
+    * queries probe the arrived-vector trace; existing queries probe ONLY
+    * the broadcast Δ (the trace is never re-shuffled or rescanned); the
+    * per-query best is an associative struct-max state merged per step
+    * (max on (sim, −nid) = sim desc, nid asc — d06's exact tie-break), so
+    * the final frame EQUALS batch d06 bit-for-bit and shares its literal
+    * DuckDB oracle. */
+  private[queries] final class AnnState(np: Int) {
+    private val dotN =
+      (x: Column, y: Column) => graft.functions.VectorFunctions.dotF(x, y)
+    private val probes = typedLit(probeMasks(np))
+    private var trace: DataFrame = null // arrived vectors (bounded union)
+    private var best: DataFrame = null  // per-query argmax state
+    private def asQueries(df: DataFrame): DataFrame = df.where(col("vec_id") < 100)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
+        explode(transform(probes, p => col("bucket").bitwiseXOR(p))).as("bucket"))
+    private def asCorpus(df: DataFrame): DataFrame =
+      df.select(col("vec_id").as("nid"), col("e").as("ce"),
+        col("nrm").as("cn"), col("bucket"))
+    /** Advance by one arriving batch of annBase-shaped vectors. */
+    def advance(deltaRaw: DataFrame): Unit = {
+      val delta = deltaRaw.localCheckpoint(true)
+      val all = if (trace == null) delta else trace.union(delta)
+      // bilinear delta join: ΔQ ⋈ (N ∪ ΔN)  ∪  Q_prev ⋈ ΔN
+      val newQ = asQueries(delta).join(asCorpus(all), Seq("bucket"))
+      val pairs = if (trace == null) newQ
+        else newQ.union(
+          asQueries(trace).join(broadcast(asCorpus(delta)), Seq("bucket")))
+      val stepBest = pairs.where(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          (dotN(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
+        .distinct()
+        .groupBy("qid")
+        .agg(max(struct(col("sim"), (-col("nid")).as("nn"))).as("w"))
+      val merged = (if (best == null) stepBest
+        else best.union(stepBest).groupBy("qid").agg(max("w").as("w")))
+        .localCheckpoint(true)
+      val prev = best; best = merged
+      if (prev != null) prev.rdd.unpersist(false)
+      trace = all
+    }
+    def result: DataFrame =
+      best.select(col("qid"), (-col("w.nn")).as("nid"), col("w.sim").as("sim"))
+  }
+
   /** Exact-Jaccard verification of candidate pairs (d1 < d2) against the
     * shingle store: intersection counts for CANDIDATES ONLY, then the
     * jac ≥ 0.5 cut — identical arithmetic to the d02 exact baseline,
@@ -92,36 +188,14 @@ object Dedup extends QueryModule {
     // the equivalence frame-for-frame at sf0.001.
     "d14_inc_dedup" -> ((s, dir) => {
       val K = 4
-      // the shingle store is materialized ONCE and shared by every step's
-      // signature + verification work (at 100 TB this is the per-batch
-      // feature store a continuous pipeline maintains anyway — the point
-      // is the CORPUS is never rescanned per batch, only probed by key)
+      // the shingle store is built ONCE; each step feeds its slice to the
+      // shared LshDedupState stepper (the same object q65 drives from a
+      // real streaming query — one implementation, two harnesses)
       val sh = shingleStore(t(s, dir, "documents")).localCheckpoint(true)
-      var trace: DataFrame = null // accumulated (doc_id, band, bh) buckets
-      var result: DataFrame = null
-      for (i <- 0 until K) {
-        val delta = bandBuckets(sh.where(pmod(col("doc_id"), lit(K)) === i))
-          .localCheckpoint(true)
-        val sameBatch = delta.as("x").join(delta.as("y"),
-            col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        val crossBatch = if (trace == null) null
-          else trace.as("x").join(broadcast(delta.as("y")),
-              col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
-            .select(least(col("x.doc_id"), col("y.doc_id")).as("d1"),
-              greatest(col("x.doc_id"), col("y.doc_id")).as("d2"))
-        val cand = (if (crossBatch == null) sameBatch
-          else sameBatch.union(crossBatch)).distinct()
-        val ver = verifyCandidates(sh, cand)
-        result = if (result == null) ver else result.union(ver)
-        // the trace is a union of the ALREADY-CHECKPOINTED deltas — K is
-        // fixed, so the fan-in is bounded and nothing is ever recomputed;
-        // an unbounded stream would consolidate every K steps instead
-        // (the compactEvery pattern of Recursive.fixpoint / KeyedState)
-        trace = if (trace == null) delta else trace.union(delta)
-      }
-      result
+      val st = new LshDedupState
+      for (i <- 0 until K)
+        st.advance(sh.where(pmod(col("doc_id"), lit(K)) === i))
+      st.result
     }),
 
     // SimHash document fingerprint (48-bit): token hashes vote per bit.
@@ -209,48 +283,19 @@ object Dedup extends QueryModule {
     // (sim, -nid) = sim desc, nid asc) and shares its literal DuckDB
     // oracle. DedupSpec asserts the equivalence frame-for-frame.
     "d15_inc_ann" -> ((s, dir) => {
-      val dotN = (x: Column, y: Column) => graft.functions.VectorFunctions.dotF(x, y)
       val v = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       // plane count sized to the FULL corpus (as d06): a production system
       // re-sizes its index periodically; equality to the batch result
       // requires the same bucket geometry on both paths
       val np = planesFor(cachedCount(v, s"$dir/embeddings"))
-      val base = v.select(col("vec_id"), col("embedding").as("e"),
-          lshBucket(col("embedding"), np).as("bucket"))
-        .withColumn("nrm", sqrt(dotN(col("e"), col("e"))))
-      val probes = typedLit(probeMasks(np))
-      def asQueries(df: DataFrame): DataFrame = df.where(col("vec_id") < 100)
-        .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
-          explode(transform(probes, p => col("bucket").bitwiseXOR(p))).as("bucket"))
-      def asCorpus(df: DataFrame): DataFrame =
-        df.select(col("vec_id").as("nid"), col("e").as("ce"),
-          col("nrm").as("cn"), col("bucket"))
+      val base = annBase(v, np)
+      // each step feeds its slice to the shared AnnState stepper (the same
+      // object q66 drives from a real streaming query)
       val K = 4
-      var trace: DataFrame = null // arrived vectors (bounded union of K ckpts)
-      var best: DataFrame = null  // per-query argmax state
-      for (i <- 0 until K) {
-        val delta = base.where(pmod(col("vec_id"), lit(K)) === i)
-          .localCheckpoint(true)
-        val all = if (trace == null) delta else trace.union(delta)
-        // bilinear delta join: ΔQ ⋈ (N ∪ ΔN)  ∪  Q_prev ⋈ ΔN
-        val newQ = asQueries(delta).join(asCorpus(all), Seq("bucket"))
-        val pairs = if (trace == null) newQ
-          else newQ.union(
-            asQueries(trace).join(broadcast(asCorpus(delta)), Seq("bucket")))
-        val stepBest = pairs.where(col("qid") =!= col("nid"))
-          .select(col("qid"), col("nid"),
-            (dotN(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
-          .distinct()
-          .groupBy("qid")
-          .agg(max(struct(col("sim"), (-col("nid")).as("nn"))).as("w"))
-        val merged = (if (best == null) stepBest
-          else best.union(stepBest).groupBy("qid").agg(max("w").as("w")))
-          .localCheckpoint(true)
-        val prev = best; best = merged
-        if (prev != null) prev.rdd.unpersist(false)
-        trace = all
-      }
-      best.select(col("qid"), (-col("w.nn")).as("nid"), col("w.sim").as("sim"))
+      val st = new AnnState(np)
+      for (i <- 0 until K)
+        st.advance(base.where(pmod(col("vec_id"), lit(K)) === i))
+      st.result
     }),
 
     // DUP CLUSTERS: near-dup pairs (d03's verified LSH output) → undirected

@@ -104,15 +104,16 @@ object StreamingQueries extends QueryModule {
     staged.toString
   }
 
-  /** Stage the documents table as K parquet files (batch i = docs with
-    * doc_id % K == i) for the file stream source — the arrival batches of
-    * the continuous-ingest dedup (q65). Same publish contract as stageDir:
-    * build private, single atomic rename, marker-keyed readiness,
-    * sequential callers. */
-  private[graft] def stageDocsDir(s: SparkSession, dir: String, k: Int): String = {
+  /** Stage a table as K parquet files (batch i = rows with key % K == i)
+    * for the file stream source — the arrival batches of the
+    * continuous-ingest queries (q65 documents, q66 embeddings). Same
+    * publish contract as stageDir: build private, single atomic rename,
+    * marker-keyed readiness, sequential callers. */
+  private[graft] def stageSplitDir(s: SparkSession, dir: String,
+                                   table: String, key: String, k: Int): String = {
     import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     val staged = Paths.get(
-      s"/tmp/graft_stream_docs${k}_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+      s"/tmp/graft_stream_${table}${k}_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
     val marker = staged.resolve(s"b${k - 1}.parquet")
     def deleteTree(p: Path): Unit = if (Files.exists(p)) {
       val walk = Files.walk(p)
@@ -124,10 +125,10 @@ object StreamingQueries extends QueryModule {
       val build = staged.resolveSibling(
         s"${staged.getFileName}_build_${java.util.UUID.randomUUID().toString.take(8)}")
       Files.createDirectories(build)
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = s.read.parquet(s"$dir/$table.parquet")
       for (i <- 0 until k) {
         val tmp = build.resolve(s"tmp$i")
-        docs.where(pmod(col("doc_id"), lit(k)) === i)
+        docs.where(pmod(col(key), lit(k)) === i)
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val listing = Files.list(tmp)
         val part = try listing.filter(_.toString.endsWith(".parquet"))
@@ -354,41 +355,19 @@ object StreamingQueries extends QueryModule {
     // oracle); every pair is discovered exactly once (at its second
     // doc's arrival), so arrival order never changes the result.
     "q65_stream_dedup" -> ((s, dir) => {
-      import java.nio.file.{Files, Paths}
+      import java.nio.file.Files
       import graft.queries.{Dedup => D}
-      val K = 4
-      val staged = stageDocsDir(s, dir, K)
+      val staged = stageSplitDir(s, dir, "documents", "doc_id", 4)
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val src = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(staged)
-      // driver-held incremental state, advanced once per trigger; each
-      // generation is eagerly checkpointed so nothing is recomputed and
-      // the fan-in stays bounded by the trigger count
-      var trace: DataFrame = null   // accumulated (doc_id, band, bh)
-      var store: DataFrame = null   // accumulated (doc_id, g) shingles
-      var result: DataFrame = null
+      // the SAME stepper d14 drives from its deterministic loop, here
+      // advanced once per streaming trigger
+      val st = new D.LshDedupState
       val ck = Files.createTempDirectory("graft_sdedup_ck")
       val q = src.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty) {
-            val sh = D.shingleStore(batch).localCheckpoint(true)
-            store = if (store == null) sh else store.union(sh)
-            val delta = D.bandBuckets(sh).localCheckpoint(true)
-            val sameBatch = delta.as("x").join(delta.as("y"),
-                col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-                  col("x.doc_id") < col("y.doc_id"))
-              .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-            val crossBatch = if (trace == null) null
-              else trace.as("x").join(broadcast(delta.as("y")),
-                  col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
-                .select(least(col("x.doc_id"), col("y.doc_id")).as("d1"),
-                  greatest(col("x.doc_id"), col("y.doc_id")).as("d2"))
-            val cand = (if (crossBatch == null) sameBatch
-              else sameBatch.union(crossBatch)).distinct()
-            val ver = D.verifyCandidates(store, cand).localCheckpoint(true)
-            result = if (result == null) ver else result.union(ver)
-            trace = if (trace == null) delta else trace.union(delta)
-          }
+          if (!batch.isEmpty) st.advance(D.shingleStore(batch))
         }
         .option("checkpointLocation", ck.toString)
         .start()
@@ -398,7 +377,42 @@ object StreamingQueries extends QueryModule {
       try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(Files.deleteIfExists(_))
       finally walk.close()
-      result
+      st.result
+    }),
+
+    // CONTINUOUS-INGEST ANN MAINTENANCE as a REAL streaming query — q65's
+    // twin for the embedding axis: file-source stream of vector batches →
+    // checkpointed foreachBatch driving d15's AnnState stepper (bilinear
+    // delta join against the never-rescanned trace + associative argmax
+    // merge). Final frame ≡ batch d06 bit-for-bit; shares d06's literal
+    // DuckDB mirror.
+    "q66_stream_ann" -> ((s, dir) => {
+      import java.nio.file.Files
+      import graft.queries.{Dedup => D}
+      val v = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      // bucket geometry sized to the full corpus, as d15/d06 (a production
+      // index re-sizes periodically; equality to batch needs the geometry)
+      val np = D.planesFor(D.cachedCount(v, s"$dir/embeddings"))
+      val staged = stageSplitDir(s, dir, "embeddings", "vec_id", 4)
+      val src = s.readStream.schema(v.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+        .select(col("vec_id"), col("embedding"))
+      val st = new D.AnnState(np)
+      val ck = Files.createTempDirectory("graft_sann_ck")
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) st.advance(D.annBase(batch, np))
+        }
+        .option("checkpointLocation", ck.toString)
+        .start()
+      q.processAllAvailable(); q.stop()
+      val walk = Files.walk(ck)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(Files.deleteIfExists(_))
+      finally walk.close()
+      st.result
     }),
 
     // REAL stream-stream join (reference: operator/join.rs:87
@@ -462,6 +476,7 @@ object StreamingQueries extends QueryModule {
          WHERE c.event_type = 'click' AND p.event_type = 'purchase'
          GROUP BY 1""",
     "q65_stream_dedup" -> TextAnalysis.oracle("d02_jaccard_pairs"),
+    "q66_stream_ann" -> Dedup.oracle("d06_ann_lsh"),
     "q64_chained_stateful" ->
       """WITH hourly AS (
            SELECT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS wstart, event_type,

@@ -61,6 +61,12 @@ class DedupSpec extends SparkSpec {
       Dedup.queries("d03_minhash_lsh")(spark, sf0001))
   }
 
+  test("q66 streaming ANN ≡ d06 batch ANN — real engine-driven triggers") {
+    assertSameRows(
+      graft.queries.StreamingQueries.queries("q66_stream_ann")(spark, sf0001),
+      Dedup.queries("d06_ann_lsh")(spark, sf0001))
+  }
+
   test("d15 incremental ANN ≡ d06 batch ANN, frame for frame") {
     // maintaining per-query top-1 across arrival batches must converge to
     // the batch answer exactly (same candidates, same tie-break)
