@@ -137,6 +137,38 @@ object StepBench {
     }
   }
 
+  /** Per-step seconds for the incremental corpus-dedup stepper (the
+    * d14/q65 shape): seed an accumulated corpus of `n` synthetic shingle
+    * rows into the LshDedupState, then time fixed-size arriving batches.
+    * Claim under test: per-step NETWORK is O(Δ) (Δ buckets broadcast, the
+    * trace never re-shuffled; per-doc sizes accumulate incrementally) —
+    * the residual growth term is the partition-local in-memory probe of
+    * the checkpointed trace/store blocks, which is memory-bandwidth work
+    * that parallelizes with the fleet at 100 TB. */
+  def runDedup(spark: SparkSession, n: Long, steps: Int): Seq[Double] = {
+    val gramsPerDoc = 40L
+    // synthetic shingle store: doc i owns grams [i*7, i*7+40) over a rolling
+    // gram space — ~17% overlap between adjacent docs, so band buckets
+    // collide and the candidate path does real work without a planted corpus
+    def slice(fromDoc: Long, docs: Long) =
+      spark.range(fromDoc * gramsPerDoc, (fromDoc + docs) * gramsPerDoc)
+        .select((col("id") / gramsPerDoc).cast("long").as("doc_id"),
+          concat(lit("g"), (col("id") % gramsPerDoc * 13L
+            + (col("id") / gramsPerDoc) * 7L)).as("g"))
+    val nDocs = n / gramsPerDoc
+    val st = new graft.queries.Dedup.LshDedupState
+    st.advance(slice(0, nDocs)) // seed: the accumulated corpus
+    val ts = (1 to steps).map { i =>
+      val d = slice(nDocs + (i - 1) * 500L, 500L)
+      val t0 = System.nanoTime()
+      st.advance(d)
+      (System.nanoTime() - t0) / 1e9
+    }
+    System.err.println(
+      f"[stepbench dedup n=$n] " + ts.map(t => f"$t%.2f").mkString(" "))
+    ts
+  }
+
   def json(spark: SparkSession, base: Long, steps: Int): String = {
     val nKeys = base / 50
     // FLOOR (best case), not a median: drop the first post-seed step as
@@ -158,9 +190,11 @@ object StepBench {
     val uL = floor2(() => runUpsert(spark, base * 10, steps))
     val rS = floor2(() => runRolling(spark, base, nKeys, steps, 256))
     val rL = floor2(() => runRolling(spark, base * 10, nKeys * 10, steps, 256))
+    val dS = floor2(() => runDedup(spark, base, steps))
+    val dL = floor2(() => runDedup(spark, base * 10, steps))
     // "stat" labels the *_sec figures: per-step FLOORS over two runs each,
     // not medians — the growth gate compares best-case step costs
-    f"""{"stat":"per_step_floor_of_2_runs","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"keyed_small_sec":$kS%.3f,"keyed_large_sec":$kL%.3f,"naive_small_sec":$nS%.3f,"naive_large_sec":$nL%.3f,"upsert_small_sec":$uS%.3f,"upsert_large_sec":$uL%.3f,"rolling_small_sec":$rS%.3f,"rolling_large_sec":$rL%.3f,"keyed_growth":${kL / kS}%.2f,"naive_growth":${nL / nS}%.2f,"upsert_growth":${uL / uS}%.2f,"rolling_growth":${rL / rS}%.2f}"""
+    f"""{"stat":"per_step_floor_of_2_runs","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"keyed_small_sec":$kS%.3f,"keyed_large_sec":$kL%.3f,"naive_small_sec":$nS%.3f,"naive_large_sec":$nL%.3f,"upsert_small_sec":$uS%.3f,"upsert_large_sec":$uL%.3f,"rolling_small_sec":$rS%.3f,"rolling_large_sec":$rL%.3f,"dedup_small_sec":$dS%.3f,"dedup_large_sec":$dL%.3f,"keyed_growth":${kL / kS}%.2f,"naive_growth":${nL / nS}%.2f,"upsert_growth":${uL / uS}%.2f,"rolling_growth":${rL / rS}%.2f,"dedup_growth":${dL / dS}%.2f}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -175,7 +209,12 @@ object StepBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    println("[stepbench] " + json(spark, base, steps))
+    if (args.length > 2 && args(2) == "dedup") {
+      // diagnostic mode: one dedup run per scale, per-step times on stderr
+      runDedup(spark, base, steps)
+      runDedup(spark, base * 10, steps)
+    } else
+      println("[stepbench] " + json(spark, base, steps))
     spark.stop()
   }
 }

@@ -1,10 +1,16 @@
 package graft.queries
 
+import scala.collection.mutable
+
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.core.Tables
+import graft.incremental.BucketedUpsertState
 
 /** Scale-path near-dup + similarity operators: MinHash+LSH banding, SimHash,
   * and LSH-bucketed approximate nearest neighbors. These avoid the all-pairs
@@ -47,39 +53,164 @@ object Dedup extends QueryModule {
 
   /** Incremental MinHash-LSH dedup stepper — ONE implementation driven by
     * two harnesses: d14's deterministic step loop and q65's checkpointed
-    * streaming foreachBatch. State = the accumulated (doc_id, band, bh)
-    * bucket trace + shingle store; a step broadcasts its Δ-buckets against
-    * the never-re-shuffled trace (delta-vs-trace economics, reference:
-    * crates/dbsp/src/operator/join.rs:180), self-joins the Δ for
-    * same-batch pairs, exact-verifies ONLY the new candidates, and appends
-    * Δ. Every near-dup pair surfaces exactly once (at its later member's
-    * arrival), so the union over steps equals batch d03 regardless of
-    * arrival order. Each generation is eagerly checkpointed; fan-in is
-    * bounded by the step count (an unbounded stream would consolidate
-    * every K steps — the compactEvery pattern of Recursive.fixpoint). */
-  private[queries] final class LshDedupState {
-    private var trace: DataFrame = null // accumulated (doc_id, band, bh)
-    private var store: DataFrame = null // accumulated (doc_id, g) shingles
+    * streaming foreachBatch.
+    *
+    * State lives as two SPINES of pinned, hash-partitioned RDD slices that
+    * are never re-shuffled (reference: crates/dbsp/src/trace/
+    * spine_fueled.rs:1-45 shard-local spine, crates/dbsp/src/operator/
+    * join.rs:180 delta-vs-trace):
+    *   - the bucket trace ((band, bh) → doc_id), partitioned by bucket key;
+    *   - the shingle store (doc_id → gram set), partitioned by doc_id.
+    * A step ships ONLY its Δ (one `partitionBy` of the batch into each
+    * state's partitioner), pins the Δ slice, and reads accumulated state
+    * through a partitioner-aware union of the slices — so a step never
+    * re-caches old state (re-caching would pay an O(corpus) unroll each
+    * step). Candidates come from ONE probe pass: iterate the pinned trace
+    * partitions against a SMALL Δ-side hash map (the `zipPartitions` probe
+    * shape of the keyed/upsert state tracks that step_bench proves flat);
+    * same-batch pairs fall out of the Δ map's own buckets. Only the new
+    * candidates are verified — two partition-local passes attach both
+    * docs' gram sets, and the jaccard arithmetic (set-intersection count,
+    * `inter/(sz1+sz2-inter)`, ≥ 0.5 cut) is bit-identical to
+    * `verifyCandidates`/d02, which is what lets every step share d02's
+    * oracle. Every near-dup pair surfaces exactly once (at its later
+    * member's arrival), so the union over steps equals batch d03
+    * regardless of arrival order. Every
+    * [[graft.incremental.BucketedUpsertState.TruncateEvery]] steps the
+    * slices consolidate into one lineage-truncated generation — the
+    * amortized fueled-spine merge that bounds read fan-in on an unbounded
+    * stream while keeping the per-step floor O(Δ). */
+  private[graft] final class LshDedupState {
+    // State = a SPINE of per-Δ pinned slices, all hash-partitioned by the
+    // same partitioner and read through a partitioner-aware union: a step
+    // caches ONLY its Δ slice (never re-caches accumulated state — the
+    // unroll-time size estimation of string-heavy blocks is itself an
+    // O(corpus) per-step cost, measured 2-6 s/step before this layout).
+    // Every TruncateEvery steps the slices consolidate into one generation
+    // (the amortized merge of the reference's fueled spine,
+    // crates/dbsp/src/trace/spine_fueled.rs:1-45), bounding read fan-in on
+    // an unbounded stream while keeping the PER-STEP floor O(Δ).
+    private var traceSlices: Vector[RDD[((Int, Long), Long)]] = Vector.empty
+    private var storeSlices: Vector[RDD[(Long, Array[String])]] = Vector.empty
     private var res: DataFrame = null
-    /** Advance by one arriving batch's shingle store slice. */
+    private var gens = 0
+
+    private def pinSlice[T](rdd: RDD[T]): RDD[T] = {
+      rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      rdd
+    }
+
+    /** Consolidate a spine into one pinned, lineage-truncated generation
+      * and retire the slices (the BucketedUpsertState.step lifecycle). */
+    private def consolidate[T](sc: org.apache.spark.SparkContext,
+                               slices: Vector[RDD[T]])(
+        implicit ct: scala.reflect.ClassTag[T]): Vector[RDD[T]] = {
+      val merged = sc.union(slices)
+        .mapPartitions(identity, preservesPartitioning = true)
+      merged.persist(StorageLevel.MEMORY_AND_DISK)
+      merged.localCheckpoint()
+      merged.count() // materialize before retiring the superseded slices
+      slices.foreach(_.unpersist(blocking = false))
+      Vector(merged)
+    }
+
+    /** Advance by one arriving batch's shingle store slice (doc_id, g). */
     def advance(shRaw: DataFrame): Unit = {
-      val sh = shRaw.localCheckpoint(true)
-      store = if (store == null) sh else store.union(sh)
-      val delta = bandBuckets(sh).localCheckpoint(true)
-      val sameBatch = delta.as("x").join(delta.as("y"),
-          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      val crossBatch = if (trace == null) null
-        else trace.as("x").join(broadcast(delta.as("y")),
-            col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
-          .select(least(col("x.doc_id"), col("y.doc_id")).as("d1"),
-            greatest(col("x.doc_id"), col("y.doc_id")).as("d2"))
-      val cand = (if (crossBatch == null) sameBatch
-        else sameBatch.union(crossBatch)).distinct()
-      val ver = verifyCandidates(store, cand).localCheckpoint(true)
+      val spark = shRaw.sparkSession
+      import spark.implicits._
+      val sc = spark.sparkContext
+      val nPart = spark.sessionState.conf.numShufflePartitions
+      val docPart = new HashPartitioner(nPart)
+      val bucketPart = new HashPartitioner(nPart)
+      gens += 1
+
+      // Δ store slice: one O(Δ) shuffle groups the batch's grams per doc
+      // (a doc arrives whole in one batch, so its set never needs revisiting)
+      val dStore = pinSlice(
+        shRaw.groupBy("doc_id").agg(collect_list(col("g")).as("gs"))
+          .as[(Long, Seq[String])].rdd.mapValues(_.toArray)
+          .partitionBy(docPart))
+      // Δ band buckets: O(Δ) minhash agg, then partitioned into the trace
+      val dBuckets = pinSlice(
+        bandBuckets(shRaw)
+          .select(col("band"), col("bh"), col("doc_id"))
+          .as[(Int, Long, Long)].rdd
+          .map { case (b, h, d) => ((b, h), d) }
+          .partitionBy(bucketPart))
+
+      // store ∪ Δ first: same-batch candidates verify against Δ's own grams
+      storeSlices = storeSlices :+ dStore
+      val storeView =
+        if (storeSlices.size == 1) storeSlices.head else sc.union(storeSlices)
+
+      // ONE probe pass: build the small Δ-side multimap, enumerate its own
+      // buckets (same-batch pairs), then iterate the pinned trace partitions
+      // probing into it (cross-batch pairs). The trace never moves.
+      val tr = if (traceSlices.isEmpty)
+        sc.emptyRDD[((Int, Long), Long)].partitionBy(bucketPart)
+      else if (traceSlices.size == 1) traceSlices.head
+      else sc.union(traceSlices)
+      val candPairs = tr.zipPartitions(dBuckets) { (si, di) =>
+        val m = new mutable.HashMap[(Int, Long), mutable.ArrayBuffer[Long]]()
+        di.foreach { case (k, d) =>
+          m.getOrElseUpdate(k, new mutable.ArrayBuffer[Long]()) += d }
+        val out = new mutable.ArrayBuffer[(Long, Long)]()
+        m.valuesIterator.foreach { ds =>
+          var i = 0
+          while (i < ds.length) {
+            var j = i + 1
+            while (j < ds.length) {
+              val a = ds(i); val b = ds(j)
+              out += (if (a < b) (a, b) else (b, a)); j += 1
+            }
+            i += 1
+          }
+        }
+        si.foreach { case (k, d) =>
+          m.get(k).foreach(_.foreach { nd =>
+            out += (if (d < nd) (d, nd) else (nd, d)) })
+        }
+        out.iterator
+      }.distinct() // O(candidates) shuffle — the only non-Δ-sized movement
+
+      // exact verify, candidates only: two partition-local passes against
+      // the pinned store (pass 1 keyed by d1 attaches grams1; pass 2 keyed
+      // by d2 attaches grams2 and applies d02's exact-jaccard arithmetic)
+      val withG1 = storeView.zipPartitions(candPairs.partitionBy(docPart)) {
+        (si, ci) =>
+          val need = new mutable.HashMap[Long, mutable.ArrayBuffer[Long]]()
+          ci.foreach { case (d1, d2) =>
+            need.getOrElseUpdate(d1, new mutable.ArrayBuffer[Long]()) += d2 }
+          si.flatMap { case (doc, gs) =>
+            need.get(doc).iterator.flatMap(_.iterator.map(d2 => (d2, (doc, gs))))
+          }
+      }
+      val ver = storeView.zipPartitions(withG1.partitionBy(docPart)) {
+        (si, ci) =>
+          val need =
+            new mutable.HashMap[Long, mutable.ArrayBuffer[(Long, Array[String])]]()
+          ci.foreach { case (d2, p) =>
+            need.getOrElseUpdate(d2,
+              new mutable.ArrayBuffer[(Long, Array[String])]()) += p }
+          si.flatMap { case (doc, gs2) =>
+            need.get(doc).iterator.flatMap(_.iterator.flatMap {
+              case (d1, gs1) =>
+                val set = gs1.toSet
+                var inter = 0
+                gs2.foreach(g => if (set(g)) inter += 1)
+                val jac = inter.toDouble / (gs1.length + gs2.length - inter)
+                if (jac >= 0.5) Iterator.single((d1, doc, jac)) else Iterator.empty
+            })
+          }
+      }.toDF("d1", "d2", "jac").localCheckpoint(true)
       res = if (res == null) ver else res.union(ver)
-      trace = if (trace == null) delta else trace.union(delta)
+
+      traceSlices = traceSlices :+ dBuckets
+      // amortized spine merge: bound read fan-in on an unbounded stream
+      if (gens % BucketedUpsertState.TruncateEvery == 0) {
+        storeSlices = consolidate(sc, storeSlices)
+        traceSlices = consolidate(sc, traceSlices)
+      }
     }
     def result: DataFrame = res
   }
@@ -98,7 +229,9 @@ object Dedup extends QueryModule {
   /** Incremental ANN-maintenance stepper — ONE implementation driven by
     * d15's step loop and q66's streaming foreachBatch. A batch's new
     * queries probe the arrived-vector trace; existing queries probe ONLY
-    * the broadcast Δ (the trace is never re-shuffled or rescanned); the
+    * the broadcast Δ. Per-step NETWORK is O(Δ): the trace never crosses
+    * the wire — it is probed in place by broadcast joins, one
+    * partition-local in-memory pass over checkpointed blocks; the
     * per-query best is an associative struct-max state merged per step
     * (max on (sim, −nid) = sim desc, nid asc — d06's exact tie-break), so
     * the final frame EQUALS batch d06 bit-for-bit and shares its literal
@@ -119,8 +252,11 @@ object Dedup extends QueryModule {
     def advance(deltaRaw: DataFrame): Unit = {
       val delta = deltaRaw.localCheckpoint(true)
       val all = if (trace == null) delta else trace.union(delta)
-      // bilinear delta join: ΔQ ⋈ (N ∪ ΔN)  ∪  Q_prev ⋈ ΔN
-      val newQ = asQueries(delta).join(asCorpus(all), Seq("bucket"))
+      // bilinear delta join: ΔQ ⋈ (N ∪ ΔN)  ∪  Q_prev ⋈ ΔN — the Δ side
+      // is broadcast in BOTH directions (structural asymmetry: Δ is
+      // batch-sized, the trace corpus-sized), so the trace never crosses
+      // the network; it is probed in place, one partition-local pass
+      val newQ = broadcast(asQueries(delta)).join(asCorpus(all), Seq("bucket"))
       val pairs = if (trace == null) newQ
         else newQ.union(
           asQueries(trace).join(broadcast(asCorpus(delta)), Seq("bucket")))
@@ -175,17 +311,20 @@ object Dedup extends QueryModule {
 
     // INCREMENTAL corpus dedup — the continuous-ingestion rendition of d03:
     // documents arrive in K batches (batch = doc_id mod K); the accumulated
-    // band-bucket trace is the operator's state. A batch BROADCASTS its
-    // Δ-buckets against the trace (the trace is never re-shuffled — at
-    // 100 TB the corpus-side state stays put and only the arriving batch
-    // moves, the same delta-vs-trace economics as the reference's
-    // incremental join, reference: crates/dbsp/src/operator/join.rs:180),
-    // self-joins the Δ for same-batch pairs, exact-verifies ONLY the new
-    // candidates, and appends Δ to the trace (consolidated checkpoint per
-    // step). Each near-dup pair surfaces exactly once — in the step its
-    // later-arriving member lands — so the union over steps EQUALS the
-    // batch d03 result and shares the exact-d02 oracle; DedupSpec asserts
-    // the equivalence frame-for-frame at sf0.001.
+    // band-bucket trace + shingle store are the operator's state, held as
+    // spines of pinned hash-partitioned slices (see LshDedupState). A step
+    // ships only its Δ — one partitionBy into each state's partitioner —
+    // and probes the pinned trace partitions in place (the trace is never
+    // re-shuffled and never re-cached: at 100 TB the corpus-side state
+    // stays put and only the arriving batch moves, the delta-vs-trace
+    // economics of the reference's incremental join, reference:
+    // crates/dbsp/src/operator/join.rs:180). Same-batch pairs come from the
+    // Δ's own buckets; ONLY new candidates are exact-verified. Each
+    // near-dup pair surfaces exactly once — in the step its later-arriving
+    // member lands — so the union over steps EQUALS the batch d03 result
+    // and shares the exact-d02 oracle; DedupSpec asserts the equivalence
+    // frame-for-frame at sf0.001; step_bench's dedup track shows the
+    // per-step floor flat across 10× corpus.
     "d14_inc_dedup" -> ((s, dir) => {
       val K = 4
       // the shingle store is built ONCE; each step feeds its slice to the
@@ -276,7 +415,8 @@ object Dedup extends QueryModule {
     // crates/dbsp/src/operator/join.rs:180 delta-vs-trace;
     // crates/nexmark/src/queries/q9.rs argmax maintenance): a batch's new
     // queries probe the arrived-vector trace, existing queries probe ONLY
-    // the broadcast Δ (the trace is never re-shuffled and never rescanned),
+    // the broadcast Δ (per-step network O(Δ): the trace is never
+    // re-shuffled, only probed in place by broadcast joins),
     // and the per-query best is an associative struct-max state merged per
     // step — so the final frame EQUALS batch d06 (same candidates: LSH
     // buckets don't depend on arrival order; same tie-break: max on

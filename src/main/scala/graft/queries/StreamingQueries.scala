@@ -347,11 +347,13 @@ object StreamingQueries extends QueryModule {
     // of the deterministic step loop: file-source stream of document
     // batches → checkpointed foreachBatch maintaining the accumulated
     // (doc_id, band, bh) bucket trace and shingle store across triggers.
-    // Each arriving batch broadcasts its Δ buckets against the trace
-    // (the corpus-side state is never re-shuffled or rescanned), verifies
-    // only the new candidates against the accumulated store, and appends
-    // its Δ — O(Δ) work per trigger, the 100 TB continuous-pipeline
-    // economics. Union over triggers ≡ batch d03 ≡ exact d02 (shared
+    // Each arriving trigger ships only its Δ into the state's partitioners
+    // and probes the pinned trace slices in place (the corpus-side state is
+    // never re-shuffled and never re-cached — see LshDedupState's spine
+    // layout), verifies only the new candidates against the accumulated
+    // store, and pins its Δ slice — per-trigger floor O(Δ), the 100 TB
+    // continuous-pipeline economics (step_bench dedup track: flat across
+    // 10× corpus). Union over triggers ≡ batch d03 ≡ exact d02 (shared
     // oracle); every pair is discovered exactly once (at its second
     // doc's arrival), so arrival order never changes the result.
     "q65_stream_dedup" -> ((s, dir) => {
@@ -383,7 +385,7 @@ object StreamingQueries extends QueryModule {
     // CONTINUOUS-INGEST ANN MAINTENANCE as a REAL streaming query — q65's
     // twin for the embedding axis: file-source stream of vector batches →
     // checkpointed foreachBatch driving d15's AnnState stepper (bilinear
-    // delta join against the never-rescanned trace + associative argmax
+    // delta join against the never-re-shuffled trace + associative argmax
     // merge). Final frame ≡ batch d06 bit-for-bit; shares d06's literal
     // DuckDB mirror.
     "q66_stream_ann" -> ((s, dir) => {
