@@ -29,7 +29,7 @@ object Dedup extends QueryModule {
   /** Exploded (doc_id, shingle) rows — the shingle store every LSH stage
     * (signatures, exact verification) derives from. Materialize it ONCE
     * when several stages reuse it (d14's step loop does). */
-  private[queries] def shingleStore(docs: DataFrame): DataFrame =
+  private[graft] def shingleStore(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(shingles(col("text"))).as("g"))
 
   /** Per-doc MinHash signature columns m0..m31 from the shingle store:

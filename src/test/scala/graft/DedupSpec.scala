@@ -35,6 +35,19 @@ class DedupSpec extends SparkSpec {
       Dedup.queries("d03_minhash_lsh")(spark, sf0001))
   }
 
+  test("d14 spine consolidation: 2×TruncateEvery+1 steps still ≡ batch d03") {
+    // 17 arrival batches cross the TruncateEvery=8 lineage-truncation
+    // boundary twice, so the amortized spine merge (consolidate) runs
+    // under the semantics gate — not only in step_bench timings
+    val K = 2 * graft.incremental.BucketedUpsertState.TruncateEvery + 1
+    val sh = Dedup.shingleStore(
+      graft.core.Tables(spark, sf0001, "documents")).localCheckpoint(true)
+    val st = new Dedup.LshDedupState
+    for (i <- 0 until K)
+      st.advance(sh.where(pmod(col("doc_id"), lit(K)) === i))
+    assertSameRows(st.result, Dedup.queries("d03_minhash_lsh")(spark, sf0001))
+  }
+
   test("d16 decontamination: oriented train×eval, consistent with the exact pairs") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("source"))
