@@ -169,6 +169,39 @@ object StepBench {
     ts
   }
 
+  /** Per-step seconds for the incremental ANN stepper (the d15/q66 shape):
+    * seed an accumulated corpus of `n` synthetic 64-dim vectors (ids 0..99
+    * are the queries) into AnnState, then time fixed-size arriving batches
+    * of corpus-only vectors. Claim under test: a steady-state step — no new
+    * queries in Δ — is O(Δ): the cached ≤100-row query trace joins the
+    * broadcast Δ and the corpus trace is never rescanned (it is touched
+    * only by the amortized consolidation every TruncateEvery steps, whose
+    * spike the per-step FLOOR stat deliberately excludes). */
+  def runAnn(spark: SparkSession, n: Long, steps: Int): Seq[Double] = {
+    import graft.queries.Dedup
+    val np = Dedup.planesFor(n)
+    def vecSlice(from: Long, cnt: Long) = {
+      // deterministic pseudo-random 64-dim embedding from the vector id
+      val e = transform(sequence(lit(0), lit(63)), j =>
+        (pmod((col("id") + 1L) * (j + 1L) * 2654435761L, lit(1000003L))
+          / 500001.5 - 1.0).cast("float"))
+      Dedup.annBase(
+        spark.range(from, from + cnt).select(col("id").as("vec_id"), e.as("embedding")),
+        np)
+    }
+    val st = new Dedup.AnnState(np)
+    st.advance(vecSlice(0, n)) // seed: queries 0..99 meet the corpus once
+    val ts = (1 to steps).map { i =>
+      val d = vecSlice(n + (i - 1) * 2000L, 2000L)
+      val t0 = System.nanoTime()
+      st.advance(d)
+      (System.nanoTime() - t0) / 1e9
+    }
+    System.err.println(
+      f"[stepbench ann n=$n] " + ts.map(t => f"$t%.2f").mkString(" "))
+    ts
+  }
+
   def json(spark: SparkSession, base: Long, steps: Int): String = {
     val nKeys = base / 50
     // FLOOR (best case), not a median: drop the first post-seed step as
@@ -192,9 +225,11 @@ object StepBench {
     val rL = floor2(() => runRolling(spark, base * 10, nKeys * 10, steps, 256))
     val dS = floor2(() => runDedup(spark, base, steps))
     val dL = floor2(() => runDedup(spark, base * 10, steps))
+    val aS = floor2(() => runAnn(spark, base, steps))
+    val aL = floor2(() => runAnn(spark, base * 10, steps))
     // "stat" labels the *_sec figures: per-step FLOORS over two runs each,
     // not medians — the growth gate compares best-case step costs
-    f"""{"stat":"per_step_floor_of_2_runs","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"keyed_small_sec":$kS%.3f,"keyed_large_sec":$kL%.3f,"naive_small_sec":$nS%.3f,"naive_large_sec":$nL%.3f,"upsert_small_sec":$uS%.3f,"upsert_large_sec":$uL%.3f,"rolling_small_sec":$rS%.3f,"rolling_large_sec":$rL%.3f,"dedup_small_sec":$dS%.3f,"dedup_large_sec":$dL%.3f,"keyed_growth":${kL / kS}%.2f,"naive_growth":${nL / nS}%.2f,"upsert_growth":${uL / uS}%.2f,"rolling_growth":${rL / rS}%.2f,"dedup_growth":${dL / dS}%.2f}"""
+    f"""{"stat":"per_step_floor_of_2_runs","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"keyed_small_sec":$kS%.3f,"keyed_large_sec":$kL%.3f,"naive_small_sec":$nS%.3f,"naive_large_sec":$nL%.3f,"upsert_small_sec":$uS%.3f,"upsert_large_sec":$uL%.3f,"rolling_small_sec":$rS%.3f,"rolling_large_sec":$rL%.3f,"dedup_small_sec":$dS%.3f,"dedup_large_sec":$dL%.3f,"ann_small_sec":$aS%.3f,"ann_large_sec":$aL%.3f,"keyed_growth":${kL / kS}%.2f,"naive_growth":${nL / nS}%.2f,"upsert_growth":${uL / uS}%.2f,"rolling_growth":${rL / rS}%.2f,"dedup_growth":${dL / dS}%.2f,"ann_growth":${aL / aS}%.2f}"""
   }
 
   def main(args: Array[String]): Unit = {

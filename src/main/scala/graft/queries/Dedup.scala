@@ -206,10 +206,14 @@ object Dedup extends QueryModule {
       res = if (res == null) ver else res.union(ver)
 
       traceSlices = traceSlices :+ dBuckets
-      // amortized spine merge: bound read fan-in on an unbounded stream
+      // amortized spine merge: bound read fan-in on an unbounded stream.
+      // The result accumulator consolidates too — without it the union
+      // tree over per-step ver frames grows O(steps), the same fan-in
+      // defect the spines exist to prevent.
       if (gens % BucketedUpsertState.TruncateEvery == 0) {
         storeSlices = consolidate(sc, storeSlices)
         traceSlices = consolidate(sc, traceSlices)
+        res = res.localCheckpoint(true)
       }
     }
     def result: DataFrame = res
@@ -219,7 +223,7 @@ object Dedup extends QueryModule {
     * The norm MUST come from the codegen'd FloatDotProduct (same sequential
     * double accumulation as the DuckDB oracle) — the HOF fold accumulates
     * differently in the last bits and would break the literal mirror. */
-  private[queries] def annBase(v: DataFrame, np: Int): DataFrame = {
+  private[graft] def annBase(v: DataFrame, np: Int): DataFrame = {
     val dotN = (x: Column, y: Column) => graft.functions.VectorFunctions.dotF(x, y)
     v.select(col("vec_id"), col("embedding").as("e"),
         lshBucket(col("embedding"), np).as("bucket"))
@@ -236,12 +240,14 @@ object Dedup extends QueryModule {
     * (max on (sim, −nid) = sim desc, nid asc — d06's exact tie-break), so
     * the final frame EQUALS batch d06 bit-for-bit and shares its literal
     * DuckDB oracle. */
-  private[queries] final class AnnState(np: Int) {
+  private[graft] final class AnnState(np: Int) {
     private val dotN =
       (x: Column, y: Column) => graft.functions.VectorFunctions.dotF(x, y)
     private val probes = typedLit(probeMasks(np))
-    private var trace: DataFrame = null // arrived vectors (bounded union)
-    private var best: DataFrame = null  // per-query argmax state
+    private var trace: DataFrame = null  // arrived vectors (consolidated)
+    private var qtrace: DataFrame = null // arrived QUERY vectors (tiny)
+    private var best: DataFrame = null   // per-query argmax state
+    private var gens = 0
     private def asQueries(df: DataFrame): DataFrame = df.where(col("vec_id") < 100)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
         explode(transform(probes, p => col("bucket").bitwiseXOR(p))).as("bucket"))
@@ -250,28 +256,52 @@ object Dedup extends QueryModule {
         col("nrm").as("cn"), col("bucket"))
     /** Advance by one arriving batch of annBase-shaped vectors. */
     def advance(deltaRaw: DataFrame): Unit = {
+      gens += 1
       val delta = deltaRaw.localCheckpoint(true)
+      val dq = delta.where(col("vec_id") < 100).localCheckpoint(true)
+      val hasNewQ = dq.take(1).nonEmpty
       val all = if (trace == null) delta else trace.union(delta)
       // bilinear delta join: ΔQ ⋈ (N ∪ ΔN)  ∪  Q_prev ⋈ ΔN — the Δ side
       // is broadcast in BOTH directions (structural asymmetry: Δ is
       // batch-sized, the trace corpus-sized), so the trace never crosses
-      // the network; it is probed in place, one partition-local pass
-      val newQ = broadcast(asQueries(delta)).join(asCorpus(all), Seq("bucket"))
-      val pairs = if (trace == null) newQ
-        else newQ.union(
-          asQueries(trace).join(broadcast(asCorpus(delta)), Seq("bucket")))
-      val stepBest = pairs.where(col("qid") =!= col("nid"))
-        .select(col("qid"), col("nid"),
-          (dotN(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
-        .distinct()
-        .groupBy("qid")
-        .agg(max(struct(col("sim"), (-col("nid")).as("nn"))).as("w"))
-      val merged = (if (best == null) stepBest
-        else best.union(stepBest).groupBy("qid").agg(max("w").as("w")))
-        .localCheckpoint(true)
-      val prev = best; best = merged
-      if (prev != null) prev.rdd.unpersist(false)
+      // the network. Q_prev is its OWN tiny cached trace (the query rows
+      // identified at arrival), so a steady-state step — one with no new
+      // queries in Δ — touches only Q_prev ⋈ ΔN and never rescans the
+      // corpus; the O(corpus) probe runs exactly when a new query arrives
+      // and must meet the existing vectors (ΔQ ⋈ N is irreducible work).
+      val newQ = if (hasNewQ)
+        broadcast(asQueries(dq)).join(asCorpus(all), Seq("bucket")) else null
+      val oldQ = if (qtrace == null) null
+        else asQueries(qtrace).join(broadcast(asCorpus(delta)), Seq("bucket"))
+      val pairs = (newQ, oldQ) match {
+        case (n, null) => n
+        case (null, o) => o
+        case (n, o) => n.union(o)
+      }
+      if (pairs != null) {
+        val stepBest = pairs.where(col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"),
+            (dotN(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
+          .distinct()
+          .groupBy("qid")
+          .agg(max(struct(col("sim"), (-col("nid")).as("nn"))).as("w"))
+        val merged = (if (best == null) stepBest
+          else best.union(stepBest).groupBy("qid").agg(max("w").as("w")))
+          .localCheckpoint(true)
+        val prev = best; best = merged
+        if (prev != null) prev.rdd.unpersist(false)
+      }
+      qtrace = if (qtrace == null) dq
+        else if (hasNewQ) qtrace.union(dq) else qtrace
       trace = all
+      // amortized consolidation: collapse the union chains into one
+      // checkpointed generation so read fan-in and lineage depth stay
+      // bounded on an unbounded stream (superseded blocks are reclaimed
+      // by the ContextCleaner once unreferenced)
+      if (gens % BucketedUpsertState.TruncateEvery == 0) {
+        trace = trace.localCheckpoint(true)
+        qtrace = qtrace.localCheckpoint(true)
+      }
     }
     def result: DataFrame =
       best.select(col("qid"), (-col("w.nn")).as("nid"), col("w.sim").as("sim"))

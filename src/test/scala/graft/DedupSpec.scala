@@ -80,6 +80,21 @@ class DedupSpec extends SparkSpec {
       Dedup.queries("d06_ann_lsh")(spark, sf0001))
   }
 
+  test("d15 spine consolidation: 2×TruncateEvery+1 batches still ≡ batch d06") {
+    // 17 arrival batches (queries spread across all of them) cross the
+    // TruncateEvery=8 trace/qtrace consolidation boundary twice, so the
+    // amortized collapse runs under the semantics gate
+    val K = 2 * graft.incremental.BucketedUpsertState.TruncateEvery + 1
+    val v = graft.core.Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val np = Dedup.planesFor(v.count())
+    val base = Dedup.annBase(v, np)
+    val st = new Dedup.AnnState(np)
+    for (i <- 0 until K)
+      st.advance(base.where(pmod(col("vec_id"), lit(K)) === i))
+    assertSameRows(st.result, Dedup.queries("d06_ann_lsh")(spark, sf0001))
+  }
+
   test("d15 incremental ANN ≡ d06 batch ANN, frame for frame") {
     // maintaining per-query top-1 across arrival batches must converge to
     // the batch answer exactly (same candidates, same tie-break)
