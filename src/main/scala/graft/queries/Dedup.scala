@@ -383,6 +383,32 @@ object Dedup extends QueryModule {
       t(s, dir, "documents").select(col("doc_id"), sim.as("simhash"))
     }),
 
+    // SimHash near-dup DEDUP end-to-end (d04 is the fingerprint alone):
+    // 4 bands × 12 bits over the 48-bit simhash generate candidates, the
+    // hamming ≤ 3 cut verifies them. Banding is LOSSLESS for this cut by
+    // pigeonhole — 3 differing bits touch at most 3 of the 4 bands, so
+    // every qualifying pair shares at least one intact band (recall 1.0,
+    // not probabilistic like MinHash banding). Candidate generation is
+    // one shuffle on (band, value) with per-bucket fan-out bounded by
+    // bucket occupancy — the same join-on-bucket shape as d03, and the
+    // same 100 TB economics: no all-pairs comparison anywhere.
+    "d18_simhash_dedup" -> ((s, dir) => {
+      val sh = queries("d04_simhash")(s, dir)
+      val bands = sh.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 12).bitwiseAND(lit(4095L)).as("bv"))): _*))
+          .as("bk"))
+        .select(col("doc_id"), col("simhash"),
+          col("bk.band").as("band"), col("bk.bv").as("bv"))
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("ham"))
+        .distinct()
+        .where(col("ham") <= 3)
+    }),
+
     // LSH-bucketed ANN: random-hyperplane sign bits → bucket; queries
     // multi-probe buckets at hamming distance ≤ 2 (d05 is the exact
     // baseline). Plane count scales with log(corpus) so the PROBED FRACTION
@@ -713,6 +739,28 @@ object Dedup extends QueryModule {
          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
          FROM sims) WHERE rn = 1"""
 
+  /** Literal DuckDB mirror of the d04 simhash pipeline: per-token 60-bit
+    * md5 prefix (positional hex decode — DuckDB has no hex→int cast),
+    * per-bit ±1 votes, sign → bit. All integer arithmetic, so the hash
+    * gate is exact. Shared by d04 and the d18 banded dedup on top of it. */
+  private val simhashOracleSql: String =
+    """WITH tok AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       th AS (
+         SELECT doc_id,
+           CAST(list_sum(list_transform(range(15), k ->
+             (strpos('0123456789abcdef', substr(md5(w), CAST(k + 1 AS INT), 1)) - 1)::BIGINT
+               * (1::BIGINT << CAST(4 * (14 - k) AS INT)))) AS BIGINT) AS h
+         FROM tok),
+       bits AS (
+         SELECT doc_id, j,
+           sum(CASE WHEN (h & (1::BIGINT << CAST(j AS INT))) <> 0 THEN 1 ELSE -1 END) AS c
+         FROM th, range(48) t(j) GROUP BY doc_id, j)
+       SELECT doc_id,
+         CAST(sum(CASE WHEN c > 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT)
+           AS simhash
+       FROM bits GROUP BY doc_id"""
+
   override def oracle: Map[String, String] = Map(
     // identical to the exact d02 result (LSH verified-candidates path)
     "d03_minhash_lsh" -> TextAnalysis.oracle("d02_jaccard_pairs"),
@@ -735,26 +783,23 @@ object Dedup extends QueryModule {
          WHERE (a.source IN ('src0','src1','src2'))
             <> (b.source IN ('src0','src1','src2'))""",
 
-    // literal mirror of the simhash pipeline: per-token 60-bit md5 prefix
-    // (positional hex decode — DuckDB has no hex→int cast), per-bit ±1
-    // votes, sign → bit. All integer arithmetic, so the hash gate is exact.
-    "d04_simhash" ->
-      """WITH tok AS (
-           SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-         th AS (
-           SELECT doc_id,
-             CAST(list_sum(list_transform(range(15), k ->
-               (strpos('0123456789abcdef', substr(md5(w), CAST(k + 1 AS INT), 1)) - 1)::BIGINT
-                 * (1::BIGINT << CAST(4 * (14 - k) AS INT)))) AS BIGINT) AS h
-           FROM tok),
-         bits AS (
-           SELECT doc_id, j,
-             sum(CASE WHEN (h & (1::BIGINT << CAST(j AS INT))) <> 0 THEN 1 ELSE -1 END) AS c
-           FROM th, range(48) t(j) GROUP BY doc_id, j)
-         SELECT doc_id,
-           CAST(sum(CASE WHEN c > 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT)
-             AS simhash
-         FROM bits GROUP BY doc_id""",
+    "d04_simhash" -> simhashOracleSql,
+
+    // literal mirror of the banded simhash dedup: same band extraction
+    // ((simhash >> 12b) & 0xFFF), same bucket self-join, same
+    // bit_count(xor) hamming cut — all integer arithmetic on the d04
+    // fingerprints, so the gate is exact.
+    "d18_simhash_dedup" ->
+      s"""WITH sh AS ($simhashOracleSql),
+         bands AS (
+           SELECT doc_id, simhash, t.band,
+             (simhash >> CAST(12 * t.band AS INT)) & 4095 AS bv
+           FROM sh, range(4) t(band))
+         SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+           CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS ham
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+         WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""",
 
     // literal mirror of the LSH multi-probe ANN: integer Lehmer plane
     // coefficients over 2^-20-quantized embeddings (exact in any engine),

@@ -26,6 +26,23 @@ class DedupSpec extends SparkSpec {
       s"near-dup hamming avg $dupAvg not well below random-pair avg $rnd")
   }
 
+  test("d18 banded simhash dedup ≡ brute-force hamming ≤ 3 (lossless banding)") {
+    // pigeonhole: ≤3 differing bits touch ≤3 of the 4 bands, so every
+    // qualifying pair shares an intact band — the banded join must equal
+    // the all-pairs cut EXACTLY, not probabilistically
+    val sims = Dedup.queries("d04_simhash")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = (for {
+      (d1, s1) <- sims; (d2, s2) <- sims if d1 < d2
+      ham = java.lang.Long.bitCount(s1 ^ s2) if ham <= 3
+    } yield (d1, d2, ham)).toSet
+    val got = Dedup.queries("d18_simhash_dedup")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(expect.nonEmpty, "corpus must contain simhash near-dups")
+    assert(got == expect,
+      s"banded=${got.size} brute=${expect.size}; missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+  }
+
   test("d14 incremental dedup ≡ d03 batch LSH, frame for frame") {
     // the union over arrival batches must equal the batch result exactly
     // (same pairs, same jac doubles) — the incremental-view-maintenance
