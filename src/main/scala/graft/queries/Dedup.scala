@@ -400,7 +400,13 @@ object Dedup extends QueryModule {
           .as("bk"))
         .select(col("doc_id"), col("simhash"),
           col("bk.band").as("band"), col("bk.bv").as("bv"))
-      bands.as("x").join(bands.as("y"),
+      // forced shuffle-hash (the d02 discipline): the self-join's sides are
+      // both corpus-sized, so neither may ever be broadcast; with both
+      // sides shuffling on (band, bv) the exchanges are identical and AQE
+      // inserts a ReusedExchange at runtime — a single simhash computation
+      // and parquet scan feeds both sides (verified on the executed
+      // adaptive plan)
+      bands.as("x").join(bands.hint("shuffle_hash").as("y"),
           col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
