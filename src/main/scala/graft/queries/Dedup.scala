@@ -541,6 +541,48 @@ object Dedup extends QueryModule {
         .where(col("sim") >= 0.3)
     }),
 
+    // INT8-QUANTIZED ANN (d20) — the vector-compression pass a 100 TB
+    // embedding store actually ships: per-vector symmetric int8
+    // quantization (scale = max|e|/127, q_j = round(e_j/scale)) cuts the
+    // store 4× and turns every dot product into integer SIMD. Ranking is
+    // the QUANTIZED cosine q·q′ / (‖q‖‖q′‖) — the per-vector scales cancel,
+    // so the whole score is integer dot products (≤ 127²·64 ≈ 2^20 per
+    // term: exact in ANY engine regardless of summation order) plus one
+    // sqrt/division of exact integers — which is what makes an approximate
+    //-by-design operator value-gateable by a DuckDB oracle, bit for bit.
+    // The scan shape is d05's brute-force baseline (top-1 per query);
+    // at scale the quantized store composes with d06's LSH buckets /
+    // d08's IVF cells unchanged — quantization compresses the candidate
+    // stream those paths rerank. DedupSpec asserts ≥90% top-1 agreement
+    // with the exact float path (the quantization-loss gate).
+    "d20_quantized_ann" -> ((s, dir) => {
+      val qdot = (x: Column, y: Column) =>
+        aggregate(zip_with(x, y, (u, v) => u * v), lit(0L), (a, b) => a + b)
+      val maxabs = array_max(transform(col("embedding"),
+        v => abs(v.cast("double"))))
+      val quant = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), maxabs.as("maxabs"))
+        .select(col("vec_id"),
+          when(col("maxabs") === 0.0,
+            transform(col("embedding"), _ => lit(0L)))
+          .otherwise(transform(col("embedding"),
+            v => round(v.cast("double") / (col("maxabs") / 127.0))
+              .cast("long"))).as("qv"))
+      val n = quant.withColumn("qn", sqrt(qdot(col("qv"), col("qv"))
+        .cast("double")))
+      val q = n.where(col("vec_id") < 100)
+        .select(col("vec_id").as("qid"), col("qv").as("qa"), col("qn").as("qan"))
+      val c = n.select(col("vec_id").as("nid"), col("qv").as("qb"),
+        col("qn").as("qbn"))
+      val sims = q.join(c, col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          (qdot(col("qa"), col("qb")).cast("double")
+            / (col("qan") * col("qbn"))).as("qsim"))
+      val w = Window.partitionBy("qid").orderBy(col("qsim").desc, col("nid"))
+      sims.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select("qid", "nid", "qsim")
+    }),
+
     // per-label embedding centroids (the IVF coarse-quantizer build step):
     // positional explode + decimal-exact mean per (label, dim). One shuffle
     // on (label, pos); at 100 TB this is the standard fan-out that AQE
@@ -871,6 +913,33 @@ object Dedup extends QueryModule {
       """SELECT label, i AS pos,
            CAST(SUM(CAST(CAST(embedding[i+1] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
              / COUNT(*) AS cval
-         FROM embeddings, range(64) t(i) GROUP BY 1, 2"""
+         FROM embeddings, range(64) t(i) GROUP BY 1, 2""",
+    // literal mirror of the int8 quantization + quantized-cosine top-1:
+    // same round-ties-away-from-zero, same integer dots (exact ≤ 2^20 per
+    // term in double), same sqrt/division operands.
+    "d20_quantized_ann" ->
+      """WITH m AS (
+           SELECT vec_id, embedding::DOUBLE[] AS e,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS maxabs
+           FROM embeddings),
+         qq AS (
+           SELECT vec_id,
+             CASE WHEN maxabs = 0
+                  THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(e,
+                    x -> CAST(round(x / (maxabs / 127.0)) AS BIGINT)) END AS qv
+           FROM m),
+         n AS (
+           SELECT vec_id, qv,
+             sqrt(CAST(list_inner_product(qv::DOUBLE[], qv::DOUBLE[]) AS DOUBLE)) AS qn
+           FROM qq),
+         sims AS (
+           SELECT a.vec_id AS qid, b.vec_id AS nid,
+             CAST(list_inner_product(a.qv::DOUBLE[], b.qv::DOUBLE[]) AS DOUBLE)
+               / (a.qn * b.qn) AS qsim
+           FROM n a JOIN n b ON a.vec_id < 100 AND b.vec_id <> a.vec_id)
+         SELECT qid, nid, qsim FROM (
+           SELECT *, row_number() OVER (PARTITION BY qid ORDER BY qsim DESC, nid) AS rn
+           FROM sims) WHERE rn = 1"""
   )
 }

@@ -254,6 +254,64 @@ object TextAnalysis extends QueryModule {
           (col("n_boiler") * lit(5) >= col("n_grams")).cast("int").as("is_boiler"))
     }),
 
+    // CORPUS-STATISTICS LM QUALITY SCORE (t08) — the CCNet-style
+    // perplexity-proxy pass: score every document by how "typical" its
+    // tokens are under the corpus's own unigram distribution (gibberish /
+    // rare-token documents score low, natural text high). Kept EXACT by
+    // doing all of it in integers: per-doc sum of corpus-wide token counts,
+    // with ONE double division at the end (same operands in any engine, so
+    // the oracle hash-matches — no log() whose libm rounding could differ
+    // across engines; the score is a monotone transform of mean unigram
+    // probability, which is all a quality filter ranks on). Scale shape:
+    // the vocabulary is corpus-sized at 100 TB, so the count table is NEVER
+    // broadcast — token counts are one shuffle on token, the scoring join
+    // is shuffle-hash on the same key, the re-group is one shuffle on
+    // doc_id, and the corpus total is the only broadcast (a single row).
+    "t08_lm_quality" -> ((s, dir) => {
+      val tokens = t(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      val counts = tokens.groupBy("tok").agg(count(lit(1)).as("c"))
+      // materialized ONCE (localCheckpoint): the corpus total re-reads this
+      // |docs|-row frame, not the token stream — without it Catalyst clones
+      // the whole scan→explode→join→agg subtree into the total branch
+      val scored = tokens.join(counts.hint("shuffle_hash"), "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("c").as("sum_freq"))
+        .localCheckpoint(true)
+      // corpus total = Σ n_tokens over the per-doc frame (a single row)
+      val total = scored.agg(sum("n_tokens").as("total"))
+      scored.crossJoin(broadcast(total))
+        .select(col("doc_id"), col("n_tokens"), col("sum_freq"),
+          (col("sum_freq").cast("double") / col("total").cast("double")
+            / col("n_tokens").cast("double")).as("lm_score"))
+    }),
+
+    // CONTEXT-WINDOW CHUNKING (d19) — the pre-tokenization pass that splits
+    // documents into fixed-size overlapping token windows (size 32, stride
+    // 24 → 8-token overlap, the sliding-window shape long-context training
+    // data is cut with; d13 packs whole docs into budgets, this splits
+    // within docs). Chunk boundaries are pure per-row arithmetic — starts =
+    // every stride-th token index — so the plan is a narrow explode with
+    // ZERO shuffle at any corpus size; each chunk carries its stable id,
+    // token span, and an md5 content fingerprint (the join key for
+    // chunk-level dedup downstream).
+    "d19_chunks" -> ((s, dir) => {
+      val size32 = 32
+      val stride = 24
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .select(col("doc_id"), size(col("tk")).as("n"), col("tk"))
+      d.select(col("doc_id"), col("n"),
+          explode(sequence(lit(0), col("n") - 1, lit(stride))).as("st"),
+          col("tk"))
+        .select(col("doc_id"),
+          (col("st") / stride).cast("long").as("chunk_id"),
+          col("st").cast("long").as("start_tok"),
+          least(lit(size32), col("n") - col("st")).cast("long").as("n_chunk_toks"),
+          md5(array_join(slice(col("tk"), col("st") + 1, lit(size32)), " "))
+            .as("chunk_fp"))
+    }),
+
     // document fingerprint: md5 over normalized text
     "t04_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -407,6 +465,29 @@ object TextAnalysis extends QueryModule {
              CAST(n_boiler AS DOUBLE) / n_grams AS boiler_ratio,
              CAST(n_boiler * 5 >= n_grams AS INT) AS is_boiler
            FROM j""",
+      "t08_lm_quality" ->
+        """WITH tokens AS (
+             SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+           c AS (SELECT tok, count(*) AS c FROM tokens GROUP BY 1),
+           tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM c),
+           sc AS (SELECT doc_id, count(*) AS n_tokens,
+                    CAST(sum(c.c) AS BIGINT) AS sum_freq
+                  FROM tokens JOIN c USING (tok) GROUP BY 1)
+           SELECT doc_id, n_tokens, sum_freq,
+             CAST(sum_freq AS DOUBLE) / CAST(total AS DOUBLE)
+               / CAST(n_tokens AS DOUBLE) AS lm_score
+           FROM sc, tot""",
+      "d19_chunks" ->
+        """WITH d AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+           ch AS (SELECT doc_id, len(tk) AS n, tk,
+                    unnest(range(0, len(tk), 24)) AS st
+                  FROM d)
+           SELECT doc_id,
+             CAST(st // 24 AS BIGINT) AS chunk_id,
+             CAST(st AS BIGINT) AS start_tok,
+             CAST(least(32, n - st) AS BIGINT) AS n_chunk_toks,
+             md5(array_to_string(tk[st+1:st+32], ' ')) AS chunk_fp
+           FROM ch""",
       "t04_fingerprint" ->
         """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
            FROM documents""",

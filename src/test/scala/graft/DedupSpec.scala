@@ -291,6 +291,66 @@ class DedupSpec extends SparkSpec {
     assert(out.where(!col("redacted").contains("<EMAIL>")).isEmpty)
   }
 
+  test("d20 quantized ANN: int8 range respected, ≥90% top-1 agreement with exact") {
+    // the quantization-loss gate: int8 cosine must agree with the exact
+    // float top-1 for ≳90% of queries (symmetric per-vector quantization
+    // at dim 64 loses ~7 bits of mantissa — far inside the top-1 margin
+    // for all but near-ties)
+    val q20 = Dedup.queries("d20_quantized_ann")(spark, sf0001).cache()
+    assert(q20.count() == 100)
+    // exact top-1 from the d05 baseline (rn = 1 rows)
+    val exact = TextAnalysis.queries("d05_cosine_topk")(spark, sf0001)
+      .where(col("rn") === 1).select(col("qid"), col("nid").as("exact_nid"))
+    val agree = q20.join(exact, "qid")
+      .where(col("nid") === col("exact_nid")).count()
+    assert(agree >= 90, s"quantized top-1 agreement $agree/100 below 0.9")
+    // quantized sims are true cosines of int vectors: bounded to [-1, 1]
+    assert(q20.where(col("qsim") < -1.0 || col("qsim") > 1.0).isEmpty)
+  }
+
+  test("t08 lm-quality: scores in (0,1], monotone in corpus-frequency mass") {
+    val out = TextAnalysis.queries("t08_lm_quality")(spark, sf0001).cache()
+    assert(out.count() == 500)
+    // every token occurs at least once corpus-wide, so sum_freq ≥ n_tokens
+    // and the mean unigram probability lies in (0, 1]
+    assert(out.where(col("sum_freq") < col("n_tokens")).isEmpty)
+    assert(out.where(col("lm_score") <= 0.0 || col("lm_score") > 1.0).isEmpty)
+    // a doc made of the corpus's most common tokens must outscore a doc of
+    // singletons: check the extremes are ordered sanely (max > min strictly)
+    val mm = out.agg(min("lm_score"), max("lm_score")).head()
+    assert(mm.getDouble(0) < mm.getDouble(1), "degenerate score distribution")
+  }
+
+  test("d19 chunking: stride/size invariants and exact coverage per doc") {
+    val ch = TextAnalysis.queries("d19_chunks")(spark, sf0001).cache()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+    // chunk count per doc = ceil(n / stride) (starts at every 24th token)
+    val counts = ch.groupBy("doc_id").agg(count(lit(1)).as("k"),
+      max(col("start_tok") + col("n_chunk_toks")).as("covered"),
+      min("start_tok").as("first"))
+    val j = counts.join(docs, "doc_id").cache()
+    assert(j.where(col("k") =!= ceil(col("n") / lit(24.0)).cast("long")).isEmpty,
+      "chunk count must be ceil(n/stride)")
+    // the last chunk reaches exactly the end of the doc; the first starts at 0
+    assert(j.where(col("covered") =!= col("n")).isEmpty)
+    assert(j.where(col("first") =!= 0L).isEmpty)
+    // every chunk spans at least 1 and at most 32 tokens
+    assert(ch.where(col("n_chunk_toks") < 1 || col("n_chunk_toks") > 32).isEmpty)
+    // identical docs (planted near-exact dups aside, EXACT dups share full
+    // fingerprint) produce identical chunk fingerprints — the downstream
+    // chunk-dedup join key: same text ⇒ same chunk_fp sequence
+    val fpOfDoc = spark.read.parquet(s"$sf0001/documents.parquet")
+      .groupBy(md5(col("text")).as("tfp"))
+      .agg(min("doc_id").as("a"), max("doc_id").as("b"), count(lit(1)).as("nn"))
+      .where(col("nn") >= 2)
+    val pairs = fpOfDoc.join(ch.select(col("doc_id").as("a"),
+        col("chunk_id").as("cid"), col("chunk_fp").as("fpa")), "a")
+      .join(ch.select(col("doc_id").as("b"), col("chunk_id").as("cid"),
+        col("chunk_fp").as("fpb")), Seq("b", "cid"))
+    assert(pairs.where(col("fpa") =!= col("fpb")).isEmpty)
+  }
+
   test("d17 boilerplate: near-exact dup pairs carry cross-doc duplicated grams") {
     val boiler = TextAnalysis.queries("d17_boilerplate")(spark, sf0001).cache()
     // sanity: mass bounded by total grams, ratio in [0,1]
