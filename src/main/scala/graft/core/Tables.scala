@@ -21,6 +21,13 @@ object Tables {
       df = df.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+    // µs-unadjusted parquet timestamps arrive as TIMESTAMP_NTZ in Spark 4;
+    // normalize to TimestampType (session tz is pinned UTC — instant-
+    // preserving) so watermarks/window ops downstream see one type
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+      df = df.withColumn("ts",
+        org.apache.spark.sql.functions.col("ts").cast("timestamp"))
     df
   }
 

@@ -29,8 +29,14 @@ object StreamingQueries extends QueryModule {
   private[graft] def stageDir(s: SparkSession, dir: String, tag: String,
                                 sentinel: Boolean): String = {
     import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    // the source file's mtime is part of the staged-dir identity: if the
+    // driver regenerates the testdata (new schema/values), the old staged
+    // dir — including a sentinel written against the OLD schema — must not
+    // satisfy the readiness check
+    val stamp = Files.getLastModifiedTime(
+      Paths.get(s"$dir/events.parquet")).toMillis.toHexString
     val staged = Paths.get(
-      s"/tmp/graft_stream_${tag}_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+      s"/tmp/graft_stream_${tag}_${stamp}_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
     // Readiness is keyed on the LAST artifact staged (the sentinel when one
     // is requested), NOT on the directory: a crash mid-staging leaves no
     // marker, so the half-staged dir self-heals on the next call instead of
@@ -69,10 +75,20 @@ object StreamingQueries extends QueryModule {
       Files.createSymbolicLink(build.resolve("events.parquet"),
         Paths.get(s"$dir/events.parquet"))
       if (sentinel) {
-        val raw = s.read.parquet(s"$dir/events.parquet") // ts = raw int64 nanos
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        // the sentinel's ts literal must match however the driver generated
+        // the column this round: int64 nanos (legacy), TIMESTAMP_NTZ (µs,
+        // unadjusted — Spark 4 infers NTZ), or TIMESTAMP
+        val tsLit = raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => lit(FlushNanos)
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            lit(java.time.LocalDateTime.ofEpochSecond(
+              FlushNanos / 1000000000L, 0, java.time.ZoneOffset.UTC))
+          case _ => timestamp_micros(lit(FlushNanos / 1000L))
+        }
         val one = raw.where(lit(false))
           .unionByName(s.range(1).select(
-            lit(-1L).as("event_id"), lit(FlushNanos).as("ts"),
+            lit(-1L).as("event_id"), tsLit.as("ts"),
             lit(-1L).as("user_id"), lit("flush").as("event_type"),
             lit(0.0).as("value"), lit("").as("props")))
         val tmp = build.resolveSibling(build.getFileName.toString + "_pq")
@@ -112,8 +128,10 @@ object StreamingQueries extends QueryModule {
   private[graft] def stageSplitDir(s: SparkSession, dir: String,
                                    table: String, key: String, k: Int): String = {
     import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    val stamp = Files.getLastModifiedTime(
+      Paths.get(s"$dir/$table.parquet")).toMillis.toHexString
     val staged = Paths.get(
-      s"/tmp/graft_stream_${table}${k}_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+      s"/tmp/graft_stream_${table}${k}_${stamp}_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
     val marker = staged.resolve(s"b${k - 1}.parquet")
     def deleteTree(p: Path): Unit = if (Files.exists(p)) {
       val walk = Files.walk(p)
@@ -161,6 +179,10 @@ object StreamingQueries extends QueryModule {
       .option("maxFilesPerTrigger", "1").parquet(staged)
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df = df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // TIMESTAMP_NTZ (µs, unadjusted) cannot carry a watermark; the session
+    // timezone is pinned to UTC, so the cast is instant-preserving
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+      df = df.withColumn("ts", col("ts").cast("timestamp"))
     df
   }
 

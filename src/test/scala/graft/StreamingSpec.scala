@@ -195,8 +195,10 @@ class StreamingSpec extends SparkSpec {
   test("stageDir self-heals a half-staged dir and keys readiness on the sentinel") {
     import java.nio.file.{Files, Paths}
     val tag = "healtest"
+    val stamp = Files.getLastModifiedTime(
+      Paths.get(s"$sf0001/events.parquet")).toMillis.toHexString
     val staged = Paths.get(
-      s"/tmp/graft_stream_${tag}_${sf0001.replaceAll("[^A-Za-z0-9]", "_")}")
+      s"/tmp/graft_stream_${tag}_${stamp}_${sf0001.replaceAll("[^A-Za-z0-9]", "_")}")
     // simulate a crash between createDirectories and the sentinel publish:
     // dir exists, events symlink exists, but no zz_flush.parquet marker
     if (Files.exists(staged)) {
