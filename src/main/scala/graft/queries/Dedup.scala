@@ -415,6 +415,50 @@ object Dedup extends QueryModule {
         .where(col("ham") <= 3)
     }),
 
+    // WINNOWING FINGERPRINT DEDUP (d22) — the MOSS-style local-fingerprint
+    // scheme that completes the dedup family: unlike MinHash (d03, whole-doc
+    // set resemblance) or SimHash (d18, global bit-vote distance), winnowing
+    // GUARANTEES any shared token run of ≥ 8 tokens (window w=4 over 5-gram
+    // hashes) contributes a shared fingerprint — the detection unit is the
+    // local duplicated PASSAGE, which is what plagiarism/citation-style
+    // dedup needs. Per doc: 5-gram md5 hashes, min per 4-window (classic
+    // winnowing selection; the selected set is DISTINCT over the per-window
+    // mins), short docs fall back to one whole-doc window. Docs sharing
+    // ≥ 50% of the smaller side's fingerprints pair up. Plan shape: one
+    // shuffle on doc_id (window), one shuffle-hash self-join on fingerprint
+    // with per-fingerprint fan-out bounded by bucket occupancy — the same
+    // no-all-pairs economics as d03/d18, and the fingerprint density is
+    // 2/(w+1) of grams by the winnowing density bound, so the join input is
+    // ~0.4× the gram stream however large the corpus.
+    "d22_winnowing" -> ((s, dir) => {
+      val tk = split(col("text"), " ")
+      val grams = when(size(tk) >= 5,
+        transform(sequence(lit(0), size(tk) - 5),
+          i => array_join(slice(tk, i + 1, lit(5)), " ")))
+        .otherwise(array().cast("array<string>"))
+      val g = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(grams).as(Seq("pos", "g")))
+        .select(col("doc_id"), col("pos"), substring(md5(col("g")), 1, 12).as("h"))
+      val wMin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+      val wDoc = Window.partitionBy("doc_id")
+      val fps = g.select(col("doc_id"), col("pos"),
+          min(col("h")).over(wMin).as("fp"), max(col("pos")).over(wDoc).as("mp"))
+        .where(col("pos") >= 3 || col("pos") === col("mp"))
+        .select("doc_id", "fp").distinct()
+      val sized = fps.withColumn("sz",
+        count(lit(1)).over(Window.partitionBy("doc_id")))
+      // shuffle-hash, never broadcast: both sides are corpus-sized (the d02
+      // discipline); identical exchanges → AQE reuses one scan
+      val pairs = sized.as("x").join(sized.hint("shuffle_hash").as("y"),
+          col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          col("x.sz").as("sz1"), col("y.sz").as("sz2"))
+        .agg(count(lit(1)).as("inter"))
+      val ovl = col("inter").cast("double") / least(col("sz1"), col("sz2"))
+      pairs.where(ovl >= 0.5)
+        .select(col("d1"), col("d2"), col("inter"), ovl.as("ovl"))
+    }),
+
     // LSH-bucketed ANN: random-hyperplane sign bits → bucket; queries
     // multi-probe buckets at hamming distance ≤ 2 (d05 is the exact
     // baseline). Plane count scales with log(corpus) so the PROBED FRACTION
@@ -848,6 +892,32 @@ object Dedup extends QueryModule {
          FROM bands x JOIN bands y
            ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
          WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""",
+
+    // literal mirror of the winnowing pipeline: same 5-gram md5-prefix
+    // hashes, same 4-window min selection (plus the short-doc whole-window
+    // fallback), same distinct-fingerprint overlap ≥ 0.5 of the smaller
+    // side — string mins and one double divide, exact in both engines.
+    "d22_winnowing" ->
+      """WITH d AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+         gr AS (SELECT doc_id, unnest(range(len(tk)-4)) AS pos, tk
+                FROM d WHERE len(tk) >= 5),
+         h AS (SELECT doc_id, pos,
+                 substring(md5(array_to_string(tk[pos+1:pos+5], ' ')), 1, 12) AS h
+               FROM gr),
+         mw AS (SELECT doc_id, pos,
+                  min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp,
+                  max(pos) OVER (PARTITION BY doc_id) AS mp
+                FROM h),
+         fps AS (SELECT DISTINCT doc_id, fp FROM mw WHERE pos >= 3 OR pos = mp),
+         sz AS (SELECT doc_id, count(*) AS sz FROM fps GROUP BY 1),
+         p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+               FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+         SELECT d1, d2, CAST(inter AS BIGINT) AS inter,
+           CAST(inter AS DOUBLE) / least(s1.sz, s2.sz) AS ovl
+         FROM p JOIN sz s1 ON p.d1 = s1.doc_id JOIN sz s2 ON p.d2 = s2.doc_id
+         WHERE CAST(inter AS DOUBLE) / least(s1.sz, s2.sz) >= 0.5""",
 
     // literal mirror of the LSH multi-probe ANN: integer Lehmer plane
     // coefficients over 2^-20-quantized embeddings (exact in any engine),

@@ -312,6 +312,68 @@ object TextAnalysis extends QueryModule {
             .as("chunk_fp"))
     }),
 
+    // RULE-BASED QUALITY FILTER (t09) — the Gopher/Dolma-style hard-rule
+    // pass that precedes any learned quality model: per-doc structural
+    // checks (length bounds, mean word length, symbol density, stopword
+    // presence, duplicate-token mass) each emitted as an auditable flag
+    // plus the conjunction. Every rule is EXACT INTEGER arithmetic
+    // (ratios compared via cross-multiplication, never a float division),
+    // so the oracle hash-matches bit-for-bit. Pure column expressions:
+    // zero shuffle at any corpus size.
+    "t09_rule_filter" -> ((s, dir) => {
+      val tk = toks(col("text"))
+      val n = size(tk).cast("long")
+      val sumLen = aggregate(transform(tk, w => length(w).cast("long")),
+        lit(0L), (a, b) => a + b)
+      val nSym = size(filter(tk, w => w.rlike("[^a-z0-9]"))).cast("long")
+      val nStop = markerCount(tk, langMarkers.head._2).cast("long")
+      val nUniq = size(array_distinct(tk)).cast("long")
+      val okLen = n >= 50L && n <= 100000L
+      val okWordLen = sumLen >= n * 3L && sumLen <= n * 10L
+      val okSymbols = nSym * 10L < n
+      val okStop = nStop >= 2L
+      val okUniq = nUniq * 2L >= n
+      t(s, dir, "documents").select(
+        col("doc_id"), n.as("n_tokens"),
+        okLen.cast("int").as("ok_len"),
+        okWordLen.cast("int").as("ok_word_len"),
+        okSymbols.cast("int").as("ok_symbols"),
+        okStop.cast("int").as("ok_stopwords"),
+        okUniq.cast("int").as("ok_uniq"),
+        (okLen && okWordLen && okSymbols && okStop && okUniq)
+          .cast("int").as("pass"))
+    }),
+
+    // TEMPERATURE-BASED SOURCE MIXING (d21) — the multi-source rebalancing
+    // pass (α = 0.5): per-source keep-rate ∝ sqrt(w_min / w_src) over the
+    // source's total char mass, so the smallest source keeps everything and
+    // larger sources are deterministically down-sampled toward the
+    // temperature-smoothed mix (resulting mass ∝ sqrt(w_min · w_src)).
+    // The keep decision reuses d12's engine-neutral scheme — md5(doc_id |
+    // source) hex prefix compared against the per-source threshold rendered
+    // as a 6-hex-digit string — so the sample is a pure function of the row
+    // (layout/retry/cluster-size invariant) and the oracle mirrors it
+    // literally. sqrt / floor / the one double divide are IEEE-identical in
+    // both engines. Plan shape: one tiny per-source aggregate (broadcast
+    // both ways), then a narrow filter — no corpus-sized shuffle at 100 TB.
+    "d21_temperature_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val stats = docs.groupBy("source").agg(sum("n_chars").as("w_src"))
+      val mn = stats.agg(min("w_src").as("w_min"))
+      val wst = stats.crossJoin(broadcast(mn)).select(
+        col("source"), col("w_src"),
+        floor(lit(16777216.0) *
+          sqrt(col("w_min").cast("double") / col("w_src").cast("double")))
+          .cast("long").as("thr"))
+      val skey = substring(
+        md5(concat(col("doc_id").cast("string"), lit("|"), col("source"))), 1, 6)
+      docs.select(col("doc_id"), col("source"), skey.as("skey"))
+        .join(broadcast(wst), "source")
+        .where(col("thr") >= lit(16777216L) ||
+          col("skey") < lower(lpad(hex(col("thr")), 6, "0")))
+        .select(col("doc_id"), col("source"), col("w_src"), col("thr"))
+    }),
+
     // document fingerprint: md5 over normalized text
     "t04_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -488,6 +550,39 @@ object TextAnalysis extends QueryModule {
              CAST(least(32, n - st) AS BIGINT) AS n_chunk_toks,
              md5(array_to_string(tk[st+1:st+32], ' ')) AS chunk_fp
            FROM ch""",
+      "t09_rule_filter" ->
+        s"""WITH f AS (
+             SELECT doc_id,
+               CAST(len(string_split(text,' ')) AS BIGINT) AS n,
+               CAST(list_sum(list_transform(string_split(text,' '),
+                 w -> length(w))) AS BIGINT) AS sum_len,
+               CAST(len(list_filter(string_split(text,' '),
+                 w -> regexp_matches(w, '[^a-z0-9]'))) AS BIGINT) AS n_sym,
+               CAST(${oMarker("string_split(text,' ')", "'the','and','of','to','in'")} AS BIGINT) AS n_stop,
+               CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_uniq
+             FROM documents)
+           SELECT doc_id, n AS n_tokens,
+             CAST(n >= 50 AND n <= 100000 AS INT) AS ok_len,
+             CAST(sum_len >= n * 3 AND sum_len <= n * 10 AS INT) AS ok_word_len,
+             CAST(n_sym * 10 < n AS INT) AS ok_symbols,
+             CAST(n_stop >= 2 AS INT) AS ok_stopwords,
+             CAST(n_uniq * 2 >= n AS INT) AS ok_uniq,
+             CAST((n >= 50 AND n <= 100000) AND (sum_len >= n * 3 AND sum_len <= n * 10)
+               AND (n_sym * 10 < n) AND (n_stop >= 2) AND (n_uniq * 2 >= n) AS INT) AS pass
+           FROM f""",
+      "d21_temperature_mix" ->
+        """WITH st AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS w_src
+                       FROM documents GROUP BY 1),
+             mn AS (SELECT min(w_src) AS w_min FROM st),
+             w AS (SELECT source, w_src,
+                     CAST(floor(16777216.0 * sqrt(CAST(w_min AS DOUBLE)
+                       / CAST(w_src AS DOUBLE))) AS BIGINT) AS thr
+                   FROM st, mn)
+           SELECT d.doc_id, d.source, w.w_src, w.thr
+           FROM documents d JOIN w USING (source)
+           WHERE w.thr >= 16777216
+              OR substring(md5(CAST(d.doc_id AS VARCHAR) || '|' || d.source), 1, 6)
+                 < lower(lpad(to_hex(w.thr), 6, '0'))""",
       "t04_fingerprint" ->
         """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
            FROM documents""",

@@ -371,4 +371,105 @@ class DedupSpec extends SparkSpec {
     val clean = boiler.where(col("n_boiler") === 0).count()
     assert(clean > 400, s"expected mostly-clean corpus, got $clean clean docs")
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("d22 winnowing ≡ brute-force winnowing reimplementation") {
+    // classic winnowing, re-derived independently in plain Scala: 5-gram
+    // md5-prefix hashes, min per 4-window for positions ≥ 3 plus the
+    // whole-doc fallback window for short docs, distinct fingerprints,
+    // pairs sharing ≥ 50% of the smaller side's set — must match EXACTLY
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val fps: Map[Long, Set[String]] = docs.flatMap { case (id, text) =>
+      val tk = text.split(" ", -1)
+      val hs = (0 to tk.length - 5)
+        .map(i => md5hex(tk.slice(i, i + 5).mkString(" ")).take(12))
+      if (hs.isEmpty) None
+      else Some(id -> hs.indices
+        .filter(p => p >= 3 || p == hs.length - 1)
+        .map(p => hs.slice(math.max(0, p - 3), p + 1).min).toSet)
+    }.toMap
+    val expect = (for {
+      (d1, f1) <- fps.toSeq; (d2, f2) <- fps.toSeq if d1 < d2
+      inter = (f1 & f2).size
+      if inter.toDouble / math.min(f1.size, f2.size) >= 0.5
+    } yield (d1, d2, inter.toLong)).toSet
+    val got = Dedup.queries("d22_winnowing")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expect.nonEmpty, "corpus must contain winnowing near-dups")
+    assert(got == expect,
+      s"got=${got.size} expect=${expect.size}; missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+  }
+
+  test("d21 temperature mix: exact replay of the keep rule; smallest source kept whole") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val w = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val wMin = w.values.min
+    def thr(src: String): Long =
+      math.floor(16777216.0 * math.sqrt(wMin.toDouble / w(src).toDouble)).toLong
+    val expect = docs.filter { case (id, src, _) =>
+      thr(src) >= 16777216L || md5hex(s"$id|$src").take(6) < f"${thr(src)}%06x"
+    }.map(d => (d._1, d._2)).toSet
+    val got = TextAnalysis.queries("d21_temperature_mix")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == expect, s"got=${got.size} expect=${expect.size}")
+    val smallest = w.minBy(_._2)._1
+    assert(got.count(_._2 == smallest) == docs.count(_._2 == smallest),
+      "smallest-mass source must be kept in full (keep-rate 1.0)")
+  }
+
+  test("d21 temperature mix: planted 10:5:1 skew rebalances toward sqrt mass") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_d21_").toString
+    val rows = (0 until 1600).map { i =>
+      val src = if (i < 1000) "big" else if (i < 1500) "mid" else "small"
+      (i.toLong, "word soup text", "en", src, 100L)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = TextAnalysis.queries("d21_temperature_mix")(spark, dir)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("small") == 100L, "smallest source keeps everything")
+    // keep fraction sqrt(w_small/w_src): big ≈ 316 of 1000, mid ≈ 224 of 500
+    val expBig = 1000 * math.sqrt(100.0 / 1000.0)
+    val expMid = 500 * math.sqrt(100.0 / 500.0)
+    assert(math.abs(kept("big") - expBig) < 4 * math.sqrt(expBig),
+      s"big kept ${kept("big")} vs expected ~$expBig")
+    assert(math.abs(kept("mid") - expMid) < 4 * math.sqrt(expMid),
+      s"mid kept ${kept("mid")} vs expected ~$expMid")
+  }
+
+  test("t09 rule filter: every flag replays exactly in plain Scala") {
+    val stop = Set("the", "and", "of", "to", "in")
+    val out = TextAnalysis.queries("t09_rule_filter")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val tk = text.split(" ", -1)
+      val n = tk.length.toLong
+      val sumLen = tk.map(_.length.toLong).sum
+      val nSym = tk.count(_.exists(c => !(c.isDigit || (c >= 'a' && c <= 'z')))).toLong
+      val nStop = tk.count(stop).toLong
+      val nUniq = tk.distinct.length.toLong
+      val exp = Seq(n >= 50 && n <= 100000, sumLen >= 3 * n && sumLen <= 10 * n,
+        nSym * 10 < n, nStop >= 2, nUniq * 2 >= n)
+      val r = out(id)
+      val gotFlags = (2 to 6).map(i => r.getInt(i) == 1)
+      assert(gotFlags == exp, s"doc $id: flags $gotFlags vs $exp")
+      assert((r.getInt(7) == 1) == exp.forall(identity), s"doc $id: pass flag")
+    }
+    // the filter must be doing real work on this corpus: some docs fail
+    val nPass = out.values.count(_.getInt(7) == 1)
+    assert(nPass > 0 && nPass < out.size, s"degenerate filter: $nPass/${out.size}")
+  }
 }
