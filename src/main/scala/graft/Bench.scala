@@ -104,14 +104,35 @@ object Bench {
       .map { case (k, ts) =>
         s""""$k":${num(ts.max / math.max(ts.min, 1e-9), 2)}""" }
       .mkString("{", ",", "}")
+    // floor gating for sub-second queries (the step_bench lesson applied to
+    // the query bench): when a query's median is < 1 s, one GC/scheduling
+    // outlier rep can blow the spread past 3× without saying anything about
+    // the query — its representative figure is the FLOOR of its runs, and
+    // `floor_gated` names every query judged that way so a spread > 3 in the
+    // artifact is always annotated
+    val floorGated = runs.collect { case (n, ts)
+      if ts.size > 1 && ts.max / math.max(ts.min, 1e-9) > 3.0 &&
+         median(ts) < 1.0 => n }.sorted
+    val reprJson = runs.sortBy(_._1).map { case (k, ts) =>
+      val v = if (floorGated.contains(k)) ts.min else median(ts)
+      s""""$k":${num(v)}""" }.mkString("{", ",", "}")
+    val floorGatedJson = floorGated.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,""" +
       s""""queries":${qJson(3)},"query_runs":$runsJson,""" +
       s""""query_floors":$floorsJson,"query_spread":$spreadJson,""" +
+      s""""query_repr":$reprJson,"floor_gated":$floorGatedJson,""" +
       s""""errors":$errJson,""" +
       s""""step_bench":$stepBench,"throughput":$throughput,"sf":"$sfDir"}"""
+    // A run with ANY errored query / step_bench / throughput section must
+    // never clobber the committed healthy snapshot (ADVICE r7: a crashed
+    // run's 0.001 s error stubs read as a bogus 5× speedup to anyone diffing
+    // totals) — quarantine it under a .failed name instead.
+    val healthy = errors.isEmpty &&
+      !stepBench.startsWith("{\"error\"") && !throughput.startsWith("{\"error\"")
+    val outName = if (healthy) "BENCH_LOCAL.json" else "BENCH_LOCAL.failed.json"
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      java.nio.file.Files.write(java.nio.file.Paths.get(outName),
         full.getBytes("UTF-8"))
     } catch { case _: Throwable => () } // read-only cwd must not kill the run
     // compact line budget ~2 KB (the driver's stdout capture is size-
@@ -120,7 +141,7 @@ object Bench {
     val compact =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,""" +
       s""""n_queries":${results.size},"errors":$errJson,"step_bench":$stepBench,""" +
-      s""""throughput":${Throughput.compact},"detail":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+      s""""throughput":${Throughput.compact},"detail":"$outName","sf":"$sfDir"}"""
     // The driver extracts this JSON from stdout: silence logging BEFORE
     // stop() so no shutdown-hook chatter can print after (or interleave
     // with) the line, and make it the process's very last output.

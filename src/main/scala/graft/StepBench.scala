@@ -189,7 +189,7 @@ object StepBench {
         spark.range(from, from + cnt).select(col("id").as("vec_id"), e.as("embedding")),
         np)
     }
-    val st = new Dedup.AnnState(np)
+    val st = new Dedup.AnnState(np, col("vec_id") < 100)
     st.advance(vecSlice(0, n)) // seed: queries 0..99 meet the corpus once
     val ts = (1 to steps).map { i =>
       val d = vecSlice(n + (i - 1) * 2000L, 2000L)

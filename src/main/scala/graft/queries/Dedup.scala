@@ -239,8 +239,11 @@ object Dedup extends QueryModule {
     * per-query best is an associative struct-max state merged per step
     * (max on (sim, −nid) = sim desc, nid asc — d06's exact tie-break), so
     * the final frame EQUALS batch d06 bit-for-bit and shares its literal
-    * DuckDB oracle. */
-  private[graft] final class AnnState(np: Int) {
+    * DuckDB oracle. Which rows are queries is the caller's `isQuery`
+    * predicate (a deployment decision, not a stepper invariant — VERDICT
+    * r7 #5; the d15/q66/step_bench drivers pass their fixture's
+    * `vec_id < 100`). */
+  private[graft] final class AnnState(np: Int, isQuery: Column) {
     private val dotN =
       (x: Column, y: Column) => graft.functions.VectorFunctions.dotF(x, y)
     private val probes = typedLit(probeMasks(np))
@@ -248,7 +251,7 @@ object Dedup extends QueryModule {
     private var qtrace: DataFrame = null // arrived QUERY vectors (tiny)
     private var best: DataFrame = null   // per-query argmax state
     private var gens = 0
-    private def asQueries(df: DataFrame): DataFrame = df.where(col("vec_id") < 100)
+    private def asQueries(df: DataFrame): DataFrame = df.where(isQuery)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
         explode(transform(probes, p => col("bucket").bitwiseXOR(p))).as("bucket"))
     private def asCorpus(df: DataFrame): DataFrame =
@@ -258,7 +261,7 @@ object Dedup extends QueryModule {
     def advance(deltaRaw: DataFrame): Unit = {
       gens += 1
       val delta = deltaRaw.localCheckpoint(true)
-      val dq = delta.where(col("vec_id") < 100).localCheckpoint(true)
+      val dq = delta.where(isQuery).localCheckpoint(true)
       val hasNewQ = dq.take(1).nonEmpty
       val all = if (trace == null) delta else trace.union(delta)
       // bilinear delta join: ΔQ ⋈ (N ∪ ΔN)  ∪  Q_prev ⋈ ΔN — the Δ side
@@ -538,7 +541,7 @@ object Dedup extends QueryModule {
       // each step feeds its slice to the shared AnnState stepper (the same
       // object q66 drives from a real streaming query)
       val K = 4
-      val st = new AnnState(np)
+      val st = new AnnState(np, col("vec_id") < 100)
       for (i <- 0 until K)
         st.advance(base.where(pmod(col("vec_id"), lit(K)) === i))
       st.result
@@ -627,6 +630,21 @@ object Dedup extends QueryModule {
         .select("qid", "nid", "qsim")
     }),
 
+    // BUCKET-COMPOSED QUANTIZED ANN (d23) — the scale path d20's all-pairs
+    // baseline compresses INTO (VERDICT r7 #4): candidates from d06's
+    // multi-probed LSH buckets, scored with the int8-quantized integer
+    // cosine (the bucket scan touches only the 4×-compressed store), top-4
+    // shortlist per query, then an EXACT float rerank of the shortlist —
+    // equi-joins end to end, no corpus×queries stage anywhere in the plan
+    // (DedupSpec asserts no cartesian/nested-loop join, and ≥90% top-1
+    // agreement with d06 — the exact-ranked version of the SAME candidate
+    // set, which isolates quantization loss from LSH recall).
+    "d23_quantized_ann_lsh" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      Dedup.annQuantizedLshTop1(v, col("vec_id") < 100,
+        Dedup.planesFor(Dedup.cachedCount(v, s"$dir/embeddings")))
+    }),
+
     // per-label embedding centroids (the IVF coarse-quantizer build step):
     // positional explode + decimal-exact mean per (label, dim). One shuffle
     // on (label, pos); at 100 TB this is the standard fan-out that AQE
@@ -646,13 +664,36 @@ object Dedup extends QueryModule {
   /** Corpus row count memoized per table path (VERDICT r6 minor #3): the
     * plane count is control-plane sizing, so it must not cost a corpus scan
     * per invocation — at 100 TB this comes from catalog statistics; here a
-    * once-per-session count per path. The cache key is the PATH, not the
-    * DataFrame, so repeated bench/verify invocations over the same table
-    * reuse the first count. */
+    * once-per-session count per path. The cache key is (PATH, MTIME), not
+    * the path alone (VERDICT r7 #5): an in-session regeneration of the
+    * testdata rewrites the table files, bumping the stamp, so a stale count
+    * can never silently change the plane geometry. */
   private val countCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private[queries] def cachedCount(df: DataFrame, key: String): Long =
-    countCache.computeIfAbsent(key, _ => df.count()).longValue()
+  /** Latest modification time under a table path — the path itself, a
+    * sibling `<path>.parquet` file/dir, and (for directories) its direct
+    * children, so both a single-file rewrite and a part-file rewrite inside
+    * an unchanged directory bump the stamp. */
+  private[graft] def tableStamp(key: String): Long = {
+    import java.nio.file.{Files, Paths, Path}
+    def mt(p: Path): Long =
+      try Files.getLastModifiedTime(p).toMillis catch { case _: Exception => 0L }
+    Seq(Paths.get(key), Paths.get(key + ".parquet"))
+      .filter(p => try Files.exists(p) catch { case _: Exception => false })
+      .map { p =>
+        if (Files.isDirectory(p)) {
+          val st = Files.list(p)
+          try {
+            var m = mt(p)
+            st.forEach(c => m = math.max(m, mt(c)))
+            m
+          } finally st.close()
+        } else mt(p)
+      }.foldLeft(0L)(math.max)
+  }
+  private[graft] def cachedCount(df: DataFrame, key: String): Long =
+    countCache.computeIfAbsent(s"$key@${tableStamp(key)}",
+      _ => df.count()).longValue()
 
   /** planes ∝ log(corpus): bucket count tracks corpus size so per-bucket
     * occupancy (≈ n / 2^planes) stays constant as n grows. */
@@ -737,6 +778,61 @@ object Dedup extends QueryModule {
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     annLshCandidates(v, isQuery, nPlanes)
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("qid", "nid", "sim")
+  }
+
+  /** Bucket-composed quantized ANN (the composition d20's scaladoc
+    * promises): candidates from d06's multi-probed LSH buckets, SCORED with
+    * d20's int8-quantized integer cosine (the 4×-compressed store is all
+    * the bucket scan touches), then the top-`preK` shortlist per query is
+    * reranked EXACTLY against the float vectors — an equi-join of the tiny
+    * shortlist against the corpus, so no stage is corpus×queries. Every
+    * stage is deterministic exact arithmetic (integer bucket dots, integer
+    * quantized dots ≤ 2^20/term, the codegen'd sequential float dot), so
+    * the full pipeline is value-gated by a literal DuckDB mirror. */
+  def annQuantizedLshTop1(v: DataFrame, isQuery: Column, nPlanes: Int,
+                          preK: Int = 4): DataFrame = {
+    val dotN = (x: Column, y: Column) => graft.functions.VectorFunctions.dotF(x, y)
+    val qdotL = (x: Column, y: Column) =>
+      aggregate(zip_with(x, y, (u, w) => u * w), lit(0L), (a, b) => a + b)
+    // int8 store: scale = max|e|/127, q_j = round(e_j / scale) — d20's math
+    val base = v.select(col("vec_id"), col("embedding").as("e"),
+        lshBucket(col("embedding"), nPlanes).as("bucket"), isQuery.as("is_q"))
+      .withColumn("maxabs",
+        array_max(transform(col("e"), x => abs(x.cast("double")))))
+      .withColumn("qv",
+        when(col("maxabs") === 0.0, transform(col("e"), _ => lit(0L)))
+          .otherwise(transform(col("e"),
+            x => round(x.cast("double") / (col("maxabs") / 127.0)).cast("long"))))
+      .withColumn("qn", sqrt(qdotL(col("qv"), col("qv")).cast("double")))
+    val probes = typedLit(probeMasks(nPlanes))
+    val q = base.where(col("is_q"))
+      .select(col("vec_id").as("qid"), col("qv").as("qa"), col("qn").as("qan"),
+        explode(transform(probes, p => col("bucket").bitwiseXOR(p))).as("bucket"))
+    val c = base.select(col("vec_id").as("nid"), col("qv").as("qb"),
+      col("qn").as("qbn"), col("bucket"))
+    val cand = q.join(c, Seq("bucket")).where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (qdotL(col("qa"), col("qb")).cast("double")
+          / (col("qan") * col("qbn"))).as("qsim"))
+      .distinct() // a pair reached via several probe masks scores once
+    val wq = Window.partitionBy("qid").orderBy(col("qsim").desc, col("nid"))
+    val shortlist = cand.withColumn("rn", row_number().over(wq))
+      .where(col("rn") <= preK).select("qid", "nid")
+    // exact rerank: ≤ preK rows per query — broadcast equi-joins against
+    // the float store (shortlist is queries×preK however large the corpus)
+    val nv = v.select(col("vec_id"), col("embedding").as("fe"))
+      .withColumn("nrm", sqrt(dotN(col("fe"), col("fe"))))
+    val withQ = broadcast(shortlist)
+      .join(nv.select(col("vec_id").as("qid"), col("fe").as("qe"),
+        col("nrm").as("qnrm")), Seq("qid"))
+    val rer = nv.select(col("vec_id").as("nid"), col("fe").as("ce"),
+        col("nrm").as("cnrm"))
+      .join(broadcast(withQ), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        (dotN(col("qe"), col("ce")) / (col("qnrm") * col("cnrm"))).as("sim"))
+    val w1 = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    rer.withColumn("rn", row_number().over(w1)).where(col("rn") === 1)
       .select("qid", "nid", "sim")
   }
 
@@ -1010,6 +1106,83 @@ object Dedup extends QueryModule {
            FROM n a JOIN n b ON a.vec_id < 100 AND b.vec_id <> a.vec_id)
          SELECT qid, nid, qsim FROM (
            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY qsim DESC, nid) AS rn
-           FROM sims) WHERE rn = 1"""
+           FROM sims) WHERE rn = 1""",
+    // literal mirror of the bucket-composed quantized ANN: d06's bucket
+    // geometry (params/eq/terms/dots/buckets/masks, same integer Lehmer
+    // planes), d20's int8 quantization scoring the bucket candidates,
+    // top-4 shortlist per query by (qsim DESC, nid), exact float rerank.
+    "d23_quantized_ann_lsh" ->
+      """WITH params AS (
+           SELECT greatest(4, CAST(ceil(ln(count(*) / 64.0) / ln(2.0)) AS INT)) AS np
+           FROM embeddings),
+         eq AS (
+           SELECT vec_id, list_transform(embedding,
+             v -> CAST(floor(CAST(v AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+           FROM embeddings),
+         terms AS (
+           SELECT e.vec_id, p.p,
+             e.q[CAST(j.j + 1 AS INT)] *
+               ((((p.p * 64 + j.j + 1) * 2654435761) % 2147483647) * 48271 % 2147483647
+                 - 1073741823) AS t
+           FROM eq e, range(64) p(p), range(64) j(j)
+           WHERE p.p < (SELECT np FROM params)),
+         dots AS (SELECT vec_id, p, sum(t) AS dot FROM terms GROUP BY 1, 2),
+         buckets AS (
+           SELECT vec_id,
+             CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END)
+               AS BIGINT) AS bucket
+           FROM dots GROUP BY 1),
+         masks AS (
+           SELECT 0::BIGINT AS m
+           UNION ALL
+           SELECT (1::BIGINT << CAST(i AS INT)) FROM range(64) t(i)
+           WHERE i < (SELECT np FROM params)
+           UNION ALL
+           SELECT (1::BIGINT << CAST(a.i AS INT)) | (1::BIGINT << CAST(b.j AS INT))
+           FROM range(64) a(i), range(64) b(j)
+           WHERE a.i < b.j AND b.j < (SELECT np FROM params)),
+         mm AS (
+           SELECT vec_id, embedding::DOUBLE[] AS e,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS maxabs
+           FROM embeddings),
+         qq AS (
+           SELECT vec_id,
+             CASE WHEN maxabs = 0
+                  THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(e,
+                    x -> CAST(round(x / (maxabs / 127.0)) AS BIGINT)) END AS qv
+           FROM mm),
+         n8 AS (
+           SELECT vec_id, qv,
+             sqrt(CAST(list_inner_product(qv::DOUBLE[], qv::DOUBLE[]) AS DOUBLE)) AS qn
+           FROM qq),
+         nv AS (
+           SELECT vec_id, embedding::DOUBLE[] AS e,
+             sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+           FROM embeddings),
+         qprobe AS (
+           SELECT b.vec_id AS qid, xor(b.bucket, m.m) AS bucket
+           FROM buckets b, masks m WHERE b.vec_id < 100),
+         cand AS (
+           SELECT DISTINCT q.qid, c.vec_id AS nid,
+             CAST(list_inner_product(a.qv::DOUBLE[], b.qv::DOUBLE[]) AS DOUBLE)
+               / (a.qn * b.qn) AS qsim
+           FROM qprobe q
+           JOIN buckets c ON q.bucket = c.bucket AND c.vec_id <> q.qid
+           JOIN n8 a ON a.vec_id = q.qid
+           JOIN n8 b ON b.vec_id = c.vec_id),
+         short AS (
+           SELECT qid, nid FROM (
+             SELECT *, row_number() OVER (PARTITION BY qid ORDER BY qsim DESC, nid) AS rn
+             FROM cand) WHERE rn <= 4),
+         rer AS (
+           SELECT s.qid, s.nid,
+             list_inner_product(nq.e, nc.e) / (nq.nrm * nc.nrm) AS sim
+           FROM short s
+           JOIN nv nq ON nq.vec_id = s.qid
+           JOIN nv nc ON nc.vec_id = s.nid)
+         SELECT qid, nid, sim FROM (
+           SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+           FROM rer) WHERE rn = 1"""
   )
 }

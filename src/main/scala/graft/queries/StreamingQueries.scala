@@ -18,6 +18,35 @@ object StreamingQueries extends QueryModule {
     * the flush sentinel's event time. */
   private val FlushNanos = 1717200000L * 1000000000L
 
+  /** Delete superseded staged generations (ADVICE r7): staged dirs are
+    * keyed on the source file's mtime, so a testdata regeneration strands
+    * every prior generation — same tag/dir prefix+suffix, different stamp —
+    * with real parquet copies inside. Swept when the new generation stages;
+    * also sweeps old-stamp `_build_`/`_pq` crash debris past the age guard
+    * (same-stamp debris is handled by the publish path's own sweep). */
+  private def gcStaleStaged(staged: java.nio.file.Path, pre: String,
+                            suf: String): Unit = {
+    import java.nio.file.{Files, Path}
+    def deleteTree(p: Path): Unit = if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+    val cur = staged.getFileName.toString
+    val cutoff = System.currentTimeMillis() - 60000L
+    val sibs = Files.list(staged.getParent)
+    try sibs.filter { p =>
+      val n = p.getFileName.toString
+      n != cur && n.startsWith(pre) && !n.startsWith(cur) && (
+        n.endsWith(suf) || // a published superseded generation
+        ((n.contains("_build_") || n.endsWith("_pq")) && // old crash debris
+          (try Files.getLastModifiedTime(p).toMillis < cutoff
+           catch { case _: java.io.IOException => false })))
+    }.forEach(p => deleteTree(p))
+    finally sibs.close()
+  }
+
   /** Stage a directory for the file stream source (it requires a directory):
     * symlink the events parquet, then optionally write a single 'flush'
     * sentinel row with a far-future timestamp AFTER the symlink (the source
@@ -50,6 +79,8 @@ object StreamingQueries extends QueryModule {
       finally walk.close()
     }
     if (!Files.exists(marker)) {
+      gcStaleStaged(staged, s"graft_stream_${tag}_",
+        "_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
       // crash debris first: a previous run killed mid-publish can leave
       // `_build_<uuid>` / `_pq` siblings with this staged dir's prefix.
       // Readiness is keyed on the marker, so on the self-heal path anything
@@ -83,7 +114,8 @@ object StreamingQueries extends QueryModule {
           case org.apache.spark.sql.types.LongType => lit(FlushNanos)
           case org.apache.spark.sql.types.TimestampNTZType =>
             lit(java.time.LocalDateTime.ofEpochSecond(
-              FlushNanos / 1000000000L, 0, java.time.ZoneOffset.UTC))
+              FlushNanos / 1000000000L, (FlushNanos % 1000000000L).toInt,
+              java.time.ZoneOffset.UTC))
           case _ => timestamp_micros(lit(FlushNanos / 1000L))
         }
         val one = raw.where(lit(false))
@@ -140,6 +172,8 @@ object StreamingQueries extends QueryModule {
       finally walk.close()
     }
     if (!Files.exists(marker)) {
+      gcStaleStaged(staged, s"graft_stream_${table}${k}_",
+        "_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
       val build = staged.resolveSibling(
         s"${staged.getFileName}_build_${java.util.UUID.randomUUID().toString.take(8)}")
       Files.createDirectories(build)
@@ -423,7 +457,7 @@ object StreamingQueries extends QueryModule {
         .option("maxFilesPerTrigger", "1")
         .parquet(staged)
         .select(col("vec_id"), col("embedding"))
-      val st = new D.AnnState(np)
+      val st = new D.AnnState(np, col("vec_id") < 100)
       val ck = Files.createTempDirectory("graft_sann_ck")
       val q = src.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>

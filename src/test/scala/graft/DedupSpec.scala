@@ -106,7 +106,7 @@ class DedupSpec extends SparkSpec {
       .select(col("vec_id"), col("embedding"))
     val np = Dedup.planesFor(v.count())
     val base = Dedup.annBase(v, np)
-    val st = new Dedup.AnnState(np)
+    val st = new Dedup.AnnState(np, col("vec_id") < 100)
     for (i <- 0 until K)
       st.advance(base.where(pmod(col("vec_id"), lit(K)) === i))
     assertSameRows(st.result, Dedup.queries("d06_ann_lsh")(spark, sf0001))
@@ -308,6 +308,50 @@ class DedupSpec extends SparkSpec {
     assert(q20.where(col("qsim") < -1.0 || col("qsim") > 1.0).isEmpty)
   }
 
+  test("d23 bucket-composed quantized ANN: no cartesian stage, ≥90% agreement") {
+    val q23 = Dedup.queries("d23_quantized_ann_lsh")(spark, sf0001).cache()
+    assert(q23.count() == 100)
+    // the whole point of the composition (VERDICT r7 #4): candidate
+    // generation is an equi-join on LSH buckets and the rerank is an
+    // equi-join of the shortlist — NO stage may be corpus×queries
+    val plan = q23.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "d23 plan must not contain a cartesian product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "d23 plan must not contain a nested-loop join")
+    // quantization-loss gate (the d20 ≥90% gate, measured against the path
+    // that ISOLATES quantization): d06 ranks the identical bucket-candidate
+    // set with exact float cosines, so any d23/d06 disagreement is purely
+    // the int8 prefilter narrowing to the top-4 shortlist — LSH recall loss
+    // (shared with d06, gated separately by the d06-vs-d05 recall test)
+    // cannot leak into this number
+    val exact = Dedup.queries("d06_ann_lsh")(spark, sf0001)
+      .select(col("qid"), col("nid").as("exact_nid"))
+    val agree = q23.join(exact, "qid")
+      .where(col("nid") === col("exact_nid")).count()
+    assert(agree >= 90, s"composed quantized top-1 agreement $agree/100 below 0.9")
+    // reranked sims are exact float cosines: bounded to [-1, 1]
+    assert(q23.where(col("sim") < -1.0 || col("sim") > 1.0).isEmpty)
+  }
+
+  test("cachedCount: an in-session table rewrite invalidates the cache") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_cc").toString
+    val p = s"$dir/tbl.parquet"
+    spark.range(10).toDF("id").coalesce(1).write.mode("overwrite").parquet(p)
+    val df1 = spark.read.parquet(p)
+    assert(Dedup.cachedCount(df1, s"$dir/tbl") == 10)
+    // regenerate with a different row count; force a strictly later mtime
+    // (same-millisecond rewrites are below the stamp's resolution)
+    spark.range(25).toDF("id").coalesce(1).write.mode("overwrite").parquet(p)
+    val later = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() + 2000)
+    Files.setLastModifiedTime(Paths.get(p), later)
+    val df2 = spark.read.parquet(p)
+    assert(Dedup.cachedCount(df2, s"$dir/tbl") == 25,
+      "stale count served after the table was rewritten (VERDICT r7 #5)")
+  }
+
   test("t08 lm-quality: scores in (0,1], monotone in corpus-frequency mass") {
     val out = TextAnalysis.queries("t08_lm_quality")(spark, sf0001).cache()
     assert(out.count() == 500)
@@ -458,7 +502,10 @@ class DedupSpec extends SparkSpec {
       val tk = text.split(" ", -1)
       val n = tk.length.toLong
       val sumLen = tk.map(_.length.toLong).sum
-      val nSym = tk.count(_.exists(c => !(c.isDigit || (c >= 'a' && c <= 'z')))).toLong
+      // ASCII digits only — Char.isDigit accepts all Unicode digits, but
+      // the query/oracle regex class is [^a-z0-9] (ADVICE r7)
+      val nSym = tk.count(_.exists(c =>
+        !((c >= '0' && c <= '9') || (c >= 'a' && c <= 'z')))).toLong
       val nStop = tk.count(stop).toLong
       val nUniq = tk.distinct.length.toLong
       val exp = Seq(n >= 50 && n <= 100000, sumLen >= 3 * n && sumLen <= 10 * n,
