@@ -266,7 +266,13 @@ object Throughput {
     * one bad rep from the 2× gate (VERDICT r7 #1). */
   private def incQ6(spark: SparkSession): Unit = {
     val sc = spark.sparkContext
-    val part = new org.apache.spark.HashPartitioner(32)
+    // 8 partitions, not 32: the map-side combiners collapse each partition
+    // to ≤10 longs × 10007 bidders BEFORE the shuffle, so partition count
+    // multiplies the shuffled record count (p × bidders) AND the task
+    // floor — at ~190k generated rows/task the job is pure scheduling;
+    // 8×750k-row tasks still saturate nothing and ship 4× fewer combiner
+    // outputs (the per-job sizing lesson of bidSlice/slicePartitions)
+    val part = new org.apache.spark.HashPartitioner(8)
     val per = incRowsN / incSteps
     // packed = ts_ms<<24 | price<<10 | auction (ts<2^19, price<2^14,
     // auction<2^10): long comparison == (ts, price, auction) lexicographic,
@@ -288,12 +294,11 @@ object Throughput {
     // merges — materializing the state materializes the emission, so each
     // step runs ONE job instead of merge-then-emit.
     var state: org.apache.spark.rdd.RDD[(Long, (Array[Long], Double))] = null
-    for (i <- 0 until incSteps) stepTimed {
-      val (start, nParts) = (i * per, 32)
-      val slicePairs = sc.parallelize(0 until nParts, nParts)
+    def slicePairs(start: Long, rows: Long, nParts: Int) =
+      sc.parallelize(0 until nParts, nParts)
         .mapPartitions(_.flatMap { p =>
-          val lo = start + p * per / nParts
-          val hi = start + (p + 1) * per / nParts
+          val lo = start + p * rows / nParts
+          val hi = start + (p + 1) * rows / nParts
           (lo until hi).iterator.map { id =>
             val auction = id % 1000L
             val bidder = (id * 2654435761L) % 10007L
@@ -303,9 +308,10 @@ object Throughput {
             (bidder, ((id / 100L) << 24) | (price << 10) | auction)
           }
         })
+    def step(slice: org.apache.spark.rdd.RDD[(Long, Long)]): Unit = {
       val statePairs = if (state == null)
         sc.emptyRDD[(Long, (Array[Long], Double))] else state
-      val merged = slicePairs
+      val merged = slice
         .aggregateByKey(Array.empty[Long], part)(seqOp, combOp)
         .cogroup(statePairs, part)
         .mapValues { case (news, olds) =>
@@ -315,11 +321,23 @@ object Throughput {
           while (j < arr.length) { s += (arr(j) >> 10) & 0x3FFFL; j += 1 }
           (arr, s.toDouble / math.max(arr.length, 1))
         }
+      // no localCheckpoint: each generation is persisted and the previous
+      // one retired, so reads never recompute; lineage depth is bounded by
+      // the 8-step run and the final state is discarded at close
       merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      if (i == incSteps - 1) merged.localCheckpoint() // bound lineage
       merged.count() // ONE action: merges the state AND emits the averages
       val prev = state; state = merged
       if (prev != null) prev.unpersist(false)
+    }
+    // untimed JIT warmup of the merge-with-state path (two 10k-row steps on
+    // a scratch state): the first cogroup-against-state job otherwise pays
+    // ~1 s of C2 compilation measured as step-1 time — warmup cost is
+    // negligible (20k rows) and the measured loop starts from steady state
+    step(slicePairs(-20000L, 10000L, 2))
+    step(slicePairs(-10000L, 10000L, 2))
+    if (state != null) { state.unpersist(false); state = null }
+    for (i <- 0 until incSteps) stepTimed {
+      step(slicePairs(i * per, per, 8))
     }
     if (state != null) state.unpersist(false)
   }
