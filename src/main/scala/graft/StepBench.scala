@@ -101,18 +101,26 @@ object StepBench {
   /** Per-step seconds for incremental ROLLING-aggregate maintenance (the
     * q36 shape — corrections to a per-key rolling window under deltas):
     * state is the key-partitioned trace; each step's delta touches 2 keys,
-    * and aggStep recomputes ONLY the touched keys' buckets
-    * (partition-pruned), so the per-step floor tracks the touched horizon
-    * (rows per bucket), never |DB|. Reference yardstick: radix-tree partial
-    * aggregates recompute the affected time range only (reference:
-    * crates/dbsp/src/operator/time_series/radix_tree/mod.rs:1-60). */
+    * and aggStep recomputes ONLY those keys' AFFECTED TIME RANGE — the
+    * `restrictTo` predicate narrows the partition-pruned bucket view to
+    * (touched keys) × (delta ts span ± the window horizon), the radix-tree
+    * economics of the reference's rolling aggregate (reference:
+    * crates/dbsp/src/operator/time_series/radix_tree/mod.rs:1-60,
+    * rolling_aggregate.rs:235: recompute the affected range, not the
+    * bucket). The residual per-step term is the touched buckets' merge
+    * (consolidate over touched data — the keyed track's own cost), no
+    * longer a window sort over the whole bucket. A CDC source knows its
+    * delta's keys and time span driver-side, as here; IncrementalSpec
+    * gates the restricted path's emitted delta against the unrestricted
+    * one, and q36 runs the same path under its DuckDB oracle. */
   def runRolling(spark: SparkSession, n: Long, nKeys: Long, steps: Int,
                  nBuckets: Int): Seq[Double] = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    val horizon = 1000L
     def aggFn(z: ZSetFrame): ZSetFrame = {
       val w = Window.partitionBy("k").orderBy(col("ts"))
-        .rangeBetween(-1000L, 0L)
+        .rangeBetween(-horizon, 0L)
       ZSetFrame.fromTable(z.toDF
         .withColumn("n_1k", count(lit(1)).over(w))
         .select("k", "ts", "n_1k"))
@@ -131,8 +139,11 @@ object StepBench {
         Seq((k, n + i * 1000L + j, 1L), (k, n + (i - 1) * 1000L + j, -1L))
       }
       val d = ZSetFrame.fromDelta(rows.toDF("k", "ts", ZSetFrame.W))
+      val ks = rows.map(_._1).distinct
+      val (loTs, hiTs) = (rows.map(_._2).min - horizon, rows.map(_._2).max + horizon)
       val t0 = System.nanoTime()
-      st.aggStep(d)(aggFn)
+      st.aggStep(d, restrictTo =
+        Some(col("k").isin(ks: _*) && col("ts").between(loTs, hiTs)))(aggFn)
       (System.nanoTime() - t0) / 1e9
     }
   }

@@ -225,12 +225,36 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
     *
     * `knownTouched`: any SUPERSET of the buckets the delta's keys hash
     * into (see `merge` — an under-inclusive set silently drops rows; the
-    * delta's keys must hash with the state's exact column types). */
+    * delta's keys must hash with the state's exact column types).
+    *
+    * `restrictTo` — TOUCHED-RANGE recompute for windowed aggregates (the
+    * radix-tree economics of the reference's rolling aggregate, reference:
+    * crates/dbsp/src/operator/time_series/radix_tree/mod.rs:1-60,
+    * rolling_aggregate.rs:235): a predicate applied IDENTICALLY to the old
+    * and new touched views before `agg`, narrowing the recompute from the
+    * whole touched bucket to the touched keys' affected time range.
+    * CONTRACT (what makes the emitted delta exact): the predicate must
+    * include (a) every output row whose aggregate value the delta can
+    * change — for a window with lookback H and delta event times in
+    * [lo, hi], that is rows with ts ∈ [lo, hi + H] — and (b) every input
+    * row those outputs' frames read (ts ≥ lo − H), and `agg` must be a
+    * deterministic function of its input rows. Rows near the lower cut
+    * whose frames are truncated by the restriction compute the same
+    * (possibly wrong) value on BOTH sides — their outputs cancel in the
+    * Z-set minus exactly like co-bucketed untouched keys; rows outside the
+    * restriction are unaffected by construction. An under-inclusive
+    * predicate silently corrupts the emitted delta (IncrementalSpec gates
+    * the equivalence against the unrestricted path). */
   def aggStep(delta: ZSetFrame, checkpointDelta: Boolean = true,
-              knownTouched: Option[Seq[Int]] = None)
+              knownTouched: Option[Seq[Int]] = None,
+              restrictTo: Option[Column] = None)
              (agg: ZSetFrame => ZSetFrame): ZSetFrame = {
     val (oldTouched, newTouched) = merge(delta, checkpointDelta, knownTouched)
-    (agg(newTouched) - agg(oldTouched)).localCheckpoint(eager = true)
+    val (o, n) = restrictTo match {
+      case Some(p) => (oldTouched.where(p), newTouched.where(p))
+      case None => (oldTouched, newTouched)
+    }
+    (agg(n) - agg(o)).localCheckpoint(eager = true)
   }
 }
 

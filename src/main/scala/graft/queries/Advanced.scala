@@ -313,11 +313,22 @@ object Advanced extends QueryModule {
           .select("event_id", "user_id", "n_1h", "sum_1h"))
       }
       // key-partitioned trace: the out-of-order correction recomputes only
-      // the touched users' buckets, not the whole accumulated state; the
-      // output is a delta log consolidated once at read-out (aggStep already
+      // the touched users' AFFECTED TIME RANGE — restrictTo narrows the
+      // bucket view to the delta's ts span ± the 1 h horizon (the
+      // radix-tree recompute economics; on these dense whole-table deltas
+      // the span covers everything, but the oracle then certifies the
+      // restricted code path end-to-end, and step_bench's rolling track
+      // measures its O(range) cost under narrow deltas); the output is a
+      // delta log consolidated once at read-out (aggStep already
       // materializes each emitted delta, so no per-step O(output) work)
       val in = new KeyedState(Seq("user_id"), 32, Incremental.emptyLike(ds.head))
-      val outDeltas = ds.map(d => in.aggStep(d)(aggFn))
+      val outDeltas = ds.map { d =>
+        val mm = d.toDF.agg(min("ts_ms"), max("ts_ms")).head()
+        val restrict = if (mm.isNullAt(0)) None
+          else Some(col("ts_ms").between(mm.getLong(0) - 3600000L,
+            mm.getLong(1) + 3600000L))
+        in.aggStep(d, restrictTo = restrict)(aggFn)
+      }
       ZSetFrame.sumAll(outDeltas).consolidate
         .toDF.select("event_id", "user_id", "n_1h", "sum_1h")
     }),

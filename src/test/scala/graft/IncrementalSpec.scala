@@ -106,6 +106,67 @@ class IncrementalSpec extends SparkSpec {
     }
   }
 
+  test("touched-range aggStep (restrictTo) ≡ unrestricted aggStep ≡ batch OVER") {
+    // The radix-tree-economics gate (VERDICT r7 #3): restricting the
+    // recompute to (touched keys) × (delta ts span ± horizon) must emit
+    // the EXACT same delta as recomputing the whole touched bucket — rows
+    // whose frames the restriction truncates compute identically on both
+    // sides and cancel. State spans ts 0..999 while each delta sits in a
+    // narrow band mid-range, so the lower-cut cancellation is exercised
+    // (rows in [lo, lo+horizon) have frames reaching below the cut), and
+    // retractions of in-band seed rows run through the restricted path.
+    import org.apache.spark.sql.expressions.Window
+    import graft.incremental.KeyedState
+    val horizon = 100L
+    def aggFn(zf: ZSetFrame): ZSetFrame = {
+      val w = Window.partitionBy("k").orderBy(col("ts")).rangeBetween(-horizon, 0L)
+      ZSetFrame.fromTable(zf.toDF
+        .withColumn("s", sum("v").over(w)).withColumn("c", count(lit(1)).over(w))
+        .select("id", "k", "s", "c"))
+    }
+    val rnd = new scala.util.Random(7400)
+    val seedRows = Seq.tabulate(300) { i =>
+      (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong,
+        rnd.nextInt(50).toLong)
+    } // (id, k, ts, v)
+    def z(rows: Seq[(Long, Long, Long, Long, Long)]) =
+      ZSetFrame.fromDelta(rows.toDF("id", "k", "ts", "v", ZSetFrame.W))
+    val seed = z(seedRows.map { case (i, k, t, v) => (i, k, t, v, 1L) })
+    val stR = new KeyedState(Seq("k"), 8, Incremental.emptyLike(seed))
+    val stU = new KeyedState(Seq("k"), 8, Incremental.emptyLike(seed))
+    val accIn = new Incremental.State(Incremental.emptyLike(seed))
+    val accOut = new Incremental.State(Incremental.emptyLike(aggFn(seed)))
+    def step(d: ZSetFrame, restrict: Option[org.apache.spark.sql.Column]): Unit = {
+      val dR = stR.aggStep(d, restrictTo = restrict)(aggFn)
+      val dU = stU.aggStep(d)(aggFn)
+      assertSameRows(dR.consolidate.df, dU.consolidate.df)
+      accIn.update(d); accOut.update(dR)
+    }
+    step(seed, None)
+    var nextId = 300L
+    for (s <- 0 until 3) {
+      val band0 = 300L + s * 120L // narrow mid-range time band per step
+      val ks = Seq((s * 2L) % 5L, (s * 2L + 1) % 5L)
+      val inserts = Seq.tabulate(6) { j =>
+        val r = (nextId + j, ks(j % 2), band0 + rnd.nextInt(50).toLong,
+          rnd.nextInt(50).toLong, 1L)
+        r
+      }
+      nextId += 6
+      // retract seed rows of the touched keys inside the band (in-band
+      // retraction through the restricted path)
+      val retracts = seedRows.collect {
+        case (i, k, t, v) if ks.contains(k) && t >= band0 && t < band0 + 50 =>
+          (i, k, t, v, -1L)
+      }.take(3)
+      val rows = inserts ++ retracts
+      val lo = rows.map(_._3).min - horizon
+      val hi = rows.map(_._3).max + horizon
+      step(z(rows), Some(col("k").isin(ks: _*) && col("ts").between(lo, hi)))
+    }
+    assertSameRows(accOut.acc.consolidate.df, aggFn(accIn.acc.consolidate).df)
+  }
+
   test("incremental general agg (max) ≡ batch max under retraction") {
     for (seed <- 1 to 3) {
       val rnd = new scala.util.Random(seed + 300)
