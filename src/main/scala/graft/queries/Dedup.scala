@@ -604,7 +604,7 @@ object Dedup extends QueryModule {
     // with the exact float path (the quantization-loss gate).
     "d20_quantized_ann" -> ((s, dir) => {
       val qdot = (x: Column, y: Column) =>
-        aggregate(zip_with(x, y, (u, v) => u * v), lit(0L), (a, b) => a + b)
+        graft.functions.VectorFunctions.dotL(x, y)
       val maxabs = array_max(transform(col("embedding"),
         v => abs(v.cast("double"))))
       val quant = t(s, dir, "embeddings")
@@ -701,8 +701,11 @@ object Dedup extends QueryModule {
     math.max(4, math.ceil(math.log(corpusRows.toDouble / targetBucket)
       / math.log(2.0)).toInt)
 
+  // codegen'd sequential double dot (DoubleDotProduct) — identical
+  // accumulation order to the HOF fold it replaced and to the oracle's
+  // list_inner_product over DOUBLE[]
   private def dotd(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.dotD(x, y)
 
   /** First 60 bits of md5 as a long — an engine-neutral string hash (any
     * SQL engine with md5 can positionally hex-decode the same value; the
@@ -732,8 +735,17 @@ object Dedup extends QueryModule {
 
   /** Sign-bit bucket id of an embedding column under nPlanes hyperplanes —
     * an exact-integer dot per plane (overflow-safe: |coef| < 2^31, |q| ≤
-    * 2^20 ⇒ 64-term sum < 2^58). */
-  def lshBucket(e: Column, nPlanes: Int, dim: Int = 64): Column = {
+    * 2^20 ⇒ 64-term sum < 2^58). Computed by the codegen'd
+    * [[graft.functions.LshBucket]] expression — one fused loop per row;
+    * the identical-arithmetic HOF rendition it replaced (nPlanes
+    * interpreted aggregate(zip_with) folds per row) is kept below as
+    * `lshBucketHof`, which DedupSpec pins bit-for-bit against this one. */
+  def lshBucket(e: Column, nPlanes: Int, dim: Int = 64): Column =
+    graft.functions.VectorFunctions.lshBucketNative(e, nPlanes)
+
+  /** The composed-HOF rendition of `lshBucket` (pre-r8 implementation):
+    * engine-neutral reference arithmetic for the equivalence spec. */
+  private[graft] def lshBucketHof(e: Column, nPlanes: Int, dim: Int = 64): Column = {
     val eq = quantized(e)
     (0 until nPlanes).map { p =>
       val coefs = transform(sequence(lit(0), lit(dim - 1)), j => planeCoef(p, j))
@@ -793,8 +805,9 @@ object Dedup extends QueryModule {
   def annQuantizedLshTop1(v: DataFrame, isQuery: Column, nPlanes: Int,
                           preK: Int = 4): DataFrame = {
     val dotN = (x: Column, y: Column) => graft.functions.VectorFunctions.dotF(x, y)
-    val qdotL = (x: Column, y: Column) =>
-      aggregate(zip_with(x, y, (u, w) => u * w), lit(0L), (a, b) => a + b)
+    // codegen'd integer dot (LongDotProduct): same exact arithmetic as the
+    // aggregate(zip_with) fold, no per-element lambda eval in the hot loop
+    val qdotL = (x: Column, y: Column) => graft.functions.VectorFunctions.dotL(x, y)
     // int8 store: scale = max|e|/127, q_j = round(e_j / scale) — d20's math
     val base = v.select(col("vec_id"), col("embedding").as("e"),
         lshBucket(col("embedding"), nPlanes).as("bucket"), isQuery.as("is_q"))

@@ -334,6 +334,20 @@ class DedupSpec extends SparkSpec {
     assert(q23.where(col("sim") < -1.0 || col("sim") > 1.0).isEmpty)
   }
 
+  test("native LshBucket expression ≡ composed-HOF rendition, bit for bit") {
+    // the codegen'd one-pass bucket must reproduce the engine-neutral HOF
+    // arithmetic exactly — this is what keeps the DuckDB mirrors literal
+    val v = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    for (np <- Seq(4, 13, 23)) {
+      val diff = v.select(col("vec_id"),
+          Dedup.lshBucket(col("embedding"), np).as("native"),
+          Dedup.lshBucketHof(col("embedding"), np).as("hof"))
+        .where(col("native") =!= col("hof"))
+      assert(diff.isEmpty, s"np=$np: native and HOF buckets diverge")
+    }
+  }
+
   test("cachedCount: an in-session table rewrite invalidates the cache") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("graft_cc").toString
