@@ -630,6 +630,32 @@ object Dedup extends QueryModule {
         .select("qid", "nid", "qsim")
     }),
 
+    // TOKEN-LEVEL N-GRAM DECONTAMINATION (d24) — the exact-overlap rule
+    // the big LLM training runs publish (13-token collision with any
+    // benchmark document ⇒ flag), complementing d16's Jaccard rule: d16
+    // catches near-duplicate DOCUMENTS, this catches verbatim PASSAGES
+    // quoted inside otherwise-unrelated training docs. Same scale-honest
+    // asymmetry as d16: eval grams are benchmark-sized → DISTINCT +
+    // broadcast; train grams stream through the broadcast-hash join
+    // (narrow — the corpus never shuffles), and only the hits reach the
+    // per-doc count aggregation.
+    "d24_ngram_decontam" -> ((s, dir) => {
+      val isEval = col("source").isin("src0", "src1", "src2")
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      def grams(df: DataFrame): DataFrame = {
+        val tk = split(col("text"), " ")
+        df.where(size(tk) >= 13)
+          .select(col("doc_id"),
+            explode(array_distinct(transform(sequence(lit(0), size(tk) - 13),
+              i => array_join(slice(tk, i + 1, lit(13)), " ")))).as("g"))
+      }
+      val ev = grams(docs.where(isEval)).select("g").distinct()
+      grams(docs.where(!isEval))
+        .join(broadcast(ev), Seq("g"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared_13grams"))
+    }),
+
     // BUCKET-COMPOSED QUANTIZED ANN (d23) — the scale path d20's all-pairs
     // baseline compresses INTO (VERDICT r7 #4): candidates from d06's
     // multi-probed LSH buckets, scored with the int8-quantized integer
@@ -1120,6 +1146,19 @@ object Dedup extends QueryModule {
          SELECT qid, nid, qsim FROM (
            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY qsim DESC, nid) AS rn
            FROM sims) WHERE rn = 1""",
+    "d24_ngram_decontam" ->
+      """WITH tok AS (
+           SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+         g AS (
+           SELECT doc_id, source,
+             array_to_string(t[CAST(u.i+1 AS INT):CAST(u.i+13 AS INT)], ' ') AS g
+           FROM tok, unnest(range(greatest(len(t) - 12, 0))) u(i)
+           WHERE len(t) >= 13),
+         ev AS (SELECT DISTINCT g FROM g WHERE source IN ('src0','src1','src2')),
+         hit AS (
+           SELECT DISTINCT x.doc_id, x.g FROM g x JOIN ev ON x.g = ev.g
+           WHERE x.source NOT IN ('src0','src1','src2'))
+         SELECT doc_id, count(*) AS n_shared_13grams FROM hit GROUP BY 1""",
     // literal mirror of the bucket-composed quantized ANN: d06's bucket
     // geometry (params/eq/terms/dots/buckets/masks, same integer Lehmer
     // planes), d20's int8 quantization scoring the bucket candidates,

@@ -597,6 +597,26 @@ object StreamingQueries extends QueryModule {
       res
     }),
 
+    // STREAMING SESSION WINDOWS — q52's native session_window run under
+    // the real streaming engine: gap-based sessions are the one window
+    // kind whose EXTENT is data-dependent (a late event can merge two open
+    // sessions), so the streaming engine must maintain mergeable session
+    // state per user and only emit a session once the watermark passes its
+    // (data-dependent) close. Flush sentinel (user_id −1, far future)
+    // closes every tail session; final append-mode output == batch
+    // session_window (q52's oracle verbatim).
+    "q68_stream_session" -> ((s, dir) => {
+      val agg = eventStream(s, dir, "ssession", sentinel = true)
+        .withWatermark("ts", "1 second")
+        .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(epochMs(col("session_window.start")).as("session_start_ms"),
+          col("user_id"), col("n_events"), col("sum_value"))
+      StreamOps.runToMemory(s, agg, s"stream_session_${System.nanoTime()}",
+        OutputMode.Append)
+        .where(col("user_id") =!= -1L)
+    }),
+
     // REAL stream-stream join (reference: operator/join.rs:87
     // monotonic_stream_join): two watermarked streams, event-time range
     // condition bounding state on both sides; inner matches emit in append
@@ -669,6 +689,8 @@ object StreamingQueries extends QueryModule {
          FROM hourly GROUP BY 1, 2""",
     "q67_update_chain" ->
       """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
-         SELECT n // 8 AS bucket, count(*) AS n_users FROM c GROUP BY 1"""
+         SELECT n // 8 AS bucket, count(*) AS n_users FROM c GROUP BY 1""",
+    // the streaming session run must equal the batch session_window exactly
+    "q68_stream_session" -> Analytics.oracle("q52_session_window")
   )
 }

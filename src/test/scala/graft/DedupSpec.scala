@@ -334,6 +334,26 @@ class DedupSpec extends SparkSpec {
     assert(q23.where(col("sim") < -1.0 || col("sim") > 1.0).isEmpty)
   }
 
+  test("d24 13-gram decontamination: flagged docs are train-side with real verbatim overlap") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val evalSrc = Set("src0", "src1", "src2")
+    def grams13(text: String): Set[String] = {
+      val t = text.split(" ")
+      if (t.length < 13) Set.empty
+      else t.sliding(13).map(_.mkString(" ")).toSet
+    }
+    val evalGrams = docs.filter(d => evalSrc(d._2)).flatMap(d => grams13(d._3)).toSet
+    val expected = docs.filterNot(d => evalSrc(d._2))
+      .map(d => d._1 -> grams13(d._3).count(evalGrams)).filter(_._2 > 0).toMap
+    val got = Dedup.queries("d24_ngram_decontam")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty, "planted cross-source passages must be flagged")
+    assert(got == expected.map { case (k, v) => k -> v.toLong },
+      s"replay mismatch: got=${got.toSeq.sorted} expected=${expected.toSeq.sorted}")
+  }
+
   test("native LshBucket expression ≡ composed-HOF rendition, bit for bit") {
     // the codegen'd one-pass bucket must reproduce the engine-neutral HOF
     // arithmetic exactly — this is what keeps the DuckDB mirrors literal

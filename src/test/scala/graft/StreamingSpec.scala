@@ -244,6 +244,25 @@ class StreamingSpec extends SparkSpec {
     assert(leftovers.isEmpty, s"staging leftovers: $leftovers")
   }
 
+  test("q68 streaming session windows ≡ q52 batch session_window, frame for frame") {
+    // gap-based sessions have data-dependent extents (late events merge
+    // open sessions) — the streaming engine's mergeable session state must
+    // converge to exactly the batch result once the sentinel closes tails
+    assertSameRows(
+      graft.queries.StreamingQueries.queries("q68_stream_session")(spark, sf0001),
+      graft.queries.Analytics.queries("q52_session_window")(spark, sf0001))
+  }
+
+  test("q67 update-mode chain ≡ batch count-bucket histogram") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.StreamingQueries.queries("q67_update_chain")(spark, sf0001)
+    val batch = spark.read.parquet(s"$sf0001/events.parquet")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .select(expr("n div 8").as("bucket"), col("user_id"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_users"))
+    assertSameRows(got, batch)
+  }
+
   test("running fold emits updated accumulator per step") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Double)]
