@@ -333,6 +333,34 @@ object Advanced extends QueryModule {
         .toDF.select("event_id", "user_id", "n_1h", "sum_1h")
     }),
 
+    // incremental HOLISTIC aggregate (exact percentiles) under retraction —
+    // beyond the reference engine twice over: its aggregates are Folds
+    // (crates/nexmark/src/queries/q6.rs:97) and a percentile is not a fold,
+    // and q62's exact single-pass percentile has no incremental DBSP
+    // rendition at all. Here the touched-bucket recompute handles ANY
+    // deterministic aggregate: retracting a slice of lineitem re-derives
+    // only the touched l_returnflag groups' percentiles, and the emitted
+    // −old/+new deltas consolidate to the batch answer (oracle = q62's SQL
+    // restricted to the surviving rows).
+    "q69_inc_percentiles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+      val ds = Seq(
+        ZSetFrame.fromTable(li),
+        ZSetFrame.fromDelta(li.where(pmod(col("l_orderkey"), lit(7L)) === 0)
+          .withColumn(ZSetFrame.W, lit(-1L))))
+      def aggFn(z: ZSetFrame): ZSetFrame =
+        ZSetFrame.fromTable(z.toDF.groupBy("l_returnflag")
+          .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+            expr("percentile(l_extendedprice, 0.95)").as("p95"),
+            expr("percentile(l_extendedprice, 0.99)").as("p99"),
+            count(lit(1)).as("n")))
+      val in = new KeyedState(Seq("l_returnflag"), 8, Incremental.emptyLike(ds.head))
+      val outDeltas = ds.map(d => in.aggStep(d)(aggFn))
+      ZSetFrame.sumAll(outDeltas).consolidate
+        .toDF.select("l_returnflag", "p50", "p95", "p99", "n")
+    }),
+
     // incremental TOP-N per key under retraction — beyond the reference
     // engine (it can only keep rank 1 via Fold, q18.rs:47); our touched-key
     // recompute handles arbitrary ranks: retracting a top row promotes the
@@ -534,6 +562,13 @@ object Advanced extends QueryModule {
 
   override def oracle: Map[String, String] = Map(
     "q53_pagerank" -> pageRankOracle(10),
+    "q69_inc_percentiles" ->
+      """SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.95) AS p95,
+           quantile_cont(l_extendedprice, 0.99) AS p99,
+           count(*) AS n
+         FROM lineitem WHERE l_orderkey % 7 <> 0 GROUP BY l_returnflag""",
     "q27_closure" ->
       """WITH RECURSIVE e AS (SELECT c_custkey AS src, c_custkey // 2 AS dst
                               FROM customer WHERE c_custkey >= 2),

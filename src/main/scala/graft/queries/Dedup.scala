@@ -630,6 +630,27 @@ object Dedup extends QueryModule {
         .select("qid", "nid", "qsim")
     }),
 
+    // CANONICAL-DOCUMENT SELECTION (d25) — the "which duplicate do we
+    // keep" decision every dedup pipeline must ship after clustering:
+    // per d09 cluster, keep the HIGHEST-QUALITY member (t02's quality
+    // blend; doc_id ascending breaks ties), and emit every clustered doc
+    // with its cluster's keeper — `doc_id != keep_doc_id` is the delete
+    // list. Quality values are cross-engine bit-identical (t02's own
+    // oracle hash-gates the quality column), so the float argmax is
+    // oracle-safe. One struct-max groupBy per cluster plus one keyed
+    // join-back — clusters are near-dup-sized, never corpus-wide.
+    "d25_canonical_keep" -> ((s, dir) => {
+      val cl = queries("d09_dup_clusters")(s, dir) // (doc_id, cluster)
+      val q = TextAnalysis.queries("t02_quality")(s, dir)
+        .select(col("doc_id"), col("quality"))
+      val joined = cl.join(q, Seq("doc_id"))
+      val keep = joined.groupBy("cluster")
+        .agg(max(struct(col("quality"), (-col("doc_id")).as("nd"))).as("w"))
+        .select(col("cluster"), (-col("w.nd")).as("keep_doc_id"))
+      joined.join(keep, Seq("cluster"))
+        .select("doc_id", "cluster", "keep_doc_id")
+    }),
+
     // TOKEN-LEVEL N-GRAM DECONTAMINATION (d24) — the exact-overlap rule
     // the big LLM training runs publish (13-token collision with any
     // benchmark document ⇒ flag), complementing d16's Jaccard rule: d16
@@ -1146,6 +1167,26 @@ object Dedup extends QueryModule {
          SELECT qid, nid, qsim FROM (
            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY qsim DESC, nid) AS rn
            FROM sims) WHERE rn = 1""",
+    "d25_canonical_keep" ->
+      s"""WITH RECURSIVE pairs AS (${TextAnalysis.oracle("d02_jaccard_pairs")}),
+         e AS (SELECT d1 AS src, d2 AS dst FROM pairs
+               UNION SELECT d2, d1 FROM pairs
+               UNION SELECT d1, d1 FROM pairs
+               UNION SELECT d2, d2 FROM pairs),
+         r AS (SELECT src, dst FROM e
+               UNION
+               SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src),
+         cc AS (SELECT src AS doc_id, min(dst) AS cluster FROM r GROUP BY src),
+         q AS (SELECT doc_id, quality FROM (${TextAnalysis.oracle("t02_quality")})),
+         j AS (SELECT cc.doc_id, cc.cluster, q.quality
+               FROM cc JOIN q ON cc.doc_id = q.doc_id),
+         k AS (SELECT cluster, doc_id AS keep_doc_id FROM (
+                 SELECT cluster, doc_id,
+                   row_number() OVER (PARTITION BY cluster
+                     ORDER BY quality DESC, doc_id) AS rn FROM j)
+               WHERE rn = 1)
+         SELECT j.doc_id, j.cluster, k.keep_doc_id
+         FROM j JOIN k ON j.cluster = k.cluster""",
     "d24_ngram_decontam" ->
       """WITH tok AS (
            SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),

@@ -334,6 +334,24 @@ class DedupSpec extends SparkSpec {
     assert(q23.where(col("sim") < -1.0 || col("sim") > 1.0).isEmpty)
   }
 
+  test("d25 canonical keep: keeper is a cluster member with max (quality, -doc_id)") {
+    val out = Dedup.queries("d25_canonical_keep")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty, "clusters must exist on the planted corpus")
+    val quality = TextAnalysis.queries("t02_quality")(spark, sf0001)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.groupBy(_._2).foreach { case (cluster, rows) =>
+      val keepers = rows.map(_._3).distinct
+      assert(keepers.size == 1, s"cluster $cluster names several keepers")
+      val members = rows.map(_._1)
+      assert(members.contains(keepers.head), "keeper must be a member")
+      val best = members.minBy(d => (-quality(d), d))
+      assert(keepers.head == best,
+        s"cluster $cluster kept ${keepers.head}, best is $best")
+    }
+  }
+
   test("d24 13-gram decontamination: flagged docs are train-side with real verbatim overlap") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("source"), col("text")).collect()

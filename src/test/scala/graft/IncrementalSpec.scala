@@ -167,6 +167,37 @@ class IncrementalSpec extends SparkSpec {
     assertSameRows(accOut.acc.consolidate.df, aggFn(accIn.acc.consolidate).df)
   }
 
+  test("incremental holistic agg (percentile) ≡ batch under random retractions") {
+    // percentiles are not folds — the reference cannot maintain them at
+    // all; the touched-bucket recompute must, for any delta sequence
+    import graft.incremental.KeyedState
+    val rnd = new scala.util.Random(8100)
+    val all = Seq.tabulate(120) { i =>
+      (i.toLong, rnd.nextInt(3).toLong, rnd.nextInt(1000) / 10.0)
+    } // (id, k, v)
+    def z(rows: Seq[(Long, Long, Double, Long)]) =
+      ZSetFrame.fromDelta(rows.toDF("id", "k", "v", ZSetFrame.W))
+    def aggFn(zf: ZSetFrame): ZSetFrame =
+      ZSetFrame.fromTable(zf.toDF.groupBy("k")
+        .agg(expr("percentile(v, 0.5)").as("p50"),
+          expr("percentile(v, 0.9)").as("p90"),
+          count(lit(1)).as("n")))
+    val seed = z(all.map { case (i, k, v) => (i, k, v, 1L) })
+    val st = new KeyedState(Seq("k"), 4, Incremental.emptyLike(seed))
+    val accOut = new Incremental.State(Incremental.emptyLike(aggFn(seed)))
+    accOut.update(st.aggStep(seed)(aggFn))
+    var live = all
+    for (_ <- 0 until 3) {
+      val (dead, keep) = live.partition(_ => rnd.nextInt(4) == 0)
+      live = keep
+      if (dead.nonEmpty)
+        accOut.update(st.aggStep(
+          z(dead.map { case (i, k, v) => (i, k, v, -1L) }))(aggFn))
+    }
+    val batch = aggFn(z(live.map { case (i, k, v) => (i, k, v, 1L) }))
+    assertSameRows(accOut.acc.consolidate.df, batch.df)
+  }
+
   test("incremental general agg (max) ≡ batch max under retraction") {
     for (seed <- 1 to 3) {
       val rnd = new scala.util.Random(seed + 300)
