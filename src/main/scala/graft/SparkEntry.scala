@@ -15,6 +15,7 @@ object SparkEntry {
     TextAnalysis,
     Advanced,
     Dedup,
+    Sketches,
     Multimodal,
     StreamingQueries,
     SqlQueries

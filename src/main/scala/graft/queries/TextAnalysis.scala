@@ -20,7 +20,7 @@ object TextAnalysis extends QueryModule {
   /** Distinct word 5-gram shingles; empty array for short docs.
     * 5-gram diversity keeps the shingle self-join groups small at scale
     * (char trigrams would make hot-key skew catastrophic at 100 TB). */
-  private[queries] def shingles(text: Column): Column = {
+  private[graft] def shingles(text: Column): Column = {
     val t = toks(text)
     when(size(t) >= 5,
       array_distinct(transform(sequence(lit(0), size(t) - 5),
