@@ -21,6 +21,41 @@ object Advanced extends QueryModule {
 
   /** Three delta batches with a retraction in the middle; net = whole table.
     * step0 = {m0, m1}+, step1 = {m1}−, step2 = {m1, m2}+. */
+  /** One trilinear maintenance step-sequence for triangle counting: given
+    * a weighted id-canonical edge state `empty` (u < v, wt) and delta
+    * batches, returns the per-step 1-row count-delta frames (Σ over the
+    * three telescoping terms Δa·b'·c' + a·Δb·c' + a·b·Δc with edge roles
+    * a=(u,v), b=(u,w), c=(v,w), v < w). Prefix sums equal the batch count
+    * on the integrated edge set after each step — RecursiveSpec gates this
+    * step by step on a controlled graph. */
+  private[graft] def incTriangleSteps(empty: DataFrame,
+                                      deltas: Seq[DataFrame]): Seq[DataFrame] = {
+    def triSum(ea: DataFrame, eb: DataFrame, ec: DataFrame): DataFrame =
+      ea.select(col("u"), col("v"), col("wt").as("wa"))
+        .join(eb.select(col("u"), col("v").as("w"), col("wt").as("wb")), Seq("u"))
+        .where(col("w") > col("v"))
+        .join(ec.select(col("u").as("v"), col("v").as("w"), col("wt").as("wc")),
+          Seq("v", "w"))
+        .agg(coalesce(sum(col("wa") * col("wb") * col("wc")), lit(0L)).as("dt"))
+    val (_, stepCounts) = deltas.foldLeft((empty, Seq.empty[DataFrame])) {
+      case ((eOld, acc), d) =>
+        // fresh Aliases after the checkpoint: the groupBy output carries
+        // eOld's attribute ids through the union, and the dT terms join
+        // eOld/d against eNew — distinct attribute sets keep those
+        // self-join-shaped plans out of analyzer deduplication entirely
+        val eNew = eOld.unionByName(d)
+          .groupBy("u", "v").agg(sum(col("wt")).as("wt"))
+          .where(col("wt") =!= 0)
+          .localCheckpoint(true)
+          .select(col("u").as("u"), col("v").as("v"), col("wt").as("wt"))
+        val dT = triSum(d, eNew, eNew)
+          .unionByName(triSum(eOld, d, eNew))
+          .unionByName(triSum(eOld, eOld, d))
+        (eNew, acc :+ dT)
+    }
+    stepCounts
+  }
+
   private def deltas3(df: DataFrame, modCol: String): Seq[ZSetFrame] = {
     val m = pmod(col(modCol), lit(3L))
     Seq(
@@ -361,6 +396,81 @@ object Advanced extends QueryModule {
         .toDF.select("l_returnflag", "p50", "p95", "p99", "n")
     }),
 
+    // TRIANGLE COUNTING (q71) — the classic degree-orientation algorithm
+    // on the q53 synthetic graph taken as UNDIRECTED: orient every edge
+    // from its (degree, id)-smaller endpoint to the larger, enumerate
+    // wedges at the orientation-minimal corner, close each with one more
+    // equi-join. Orientation bounds oriented out-degree by O(√m), so the
+    // wedge table — the only super-linear intermediate — is O(m^{3/2})
+    // worst case instead of Σdeg² (hub nodes never fan out their full
+    // neighborhood). Equi-joins on node ids end to end: shuffle-hash
+    // partitionable, no broadcast of graph-sized sides, no cartesian —
+    // the shape that survives a 100 TB edge list. Each triangle is
+    // counted exactly once (at its minimal corner), ties impossible (the
+    // order key is deg·2^32 + id with distinct ids).
+    "q71_triangles" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select("c_custkey")
+      val raw = c.where(col("c_custkey") >= 2)
+        .select(col("c_custkey").as("a"), expr("c_custkey div 2").as("b"))
+        .union(c.where(col("c_custkey") >= 9)
+          .select(col("c_custkey").as("a"), (col("c_custkey") - 7).as("b")))
+      val und = raw.where(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .distinct()
+      val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val nk = deg.select(col("n"),
+        (col("deg") * lit(4294967296L) + col("n")).as("k"))
+      val oriented = und
+        .join(nk.select(col("n").as("u"), col("k").as("ku")), "u")
+        .join(nk.select(col("n").as("v"), col("k").as("kv")), "v")
+        .select(
+          when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("src"),
+          when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("dst"),
+          greatest(col("ku"), col("kv")).as("kdst"))
+      val wedges = oriented.select(col("src"), col("dst").as("x"), col("kdst").as("kx"))
+        .join(oriented.select(col("src"), col("dst").as("y"), col("kdst").as("ky")),
+          Seq("src"))
+        .where(col("kx") < col("ky"))
+      wedges.join(oriented.hint("shuffle_hash")
+          .select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
+        .agg(count(lit(1)).as("n_triangles"))
+    }),
+
+    // INCREMENTAL TRIANGLE COUNTING (q73) — a TRILINEAR delta rule,
+    // one multilinearity degree beyond the reference's bilinear join
+    // formula (operator/join.rs:180 Δ(A⋈B) = ΔA⋈B + A⋈ΔB + ΔA⋈ΔB):
+    // with id-canonical triangles (u<v<w; edge roles a=(u,v), b=(u,w),
+    // c=(v,w)) the count is Σ wtA·wtB·wtC, and the exact telescoping
+    //   Δ(abc) = Δa·b'·c' + a·Δb·c' + a·b·Δc   (x = old, x' = new)
+    // makes each step cost |Δ| × adjacency joins — the corpus-wide edge
+    // trace is probed, never rescanned. Steps: full insert, a retraction
+    // wave (u % 5 = 0), partial re-insert (u % 10 = 0), with weights ±1
+    // through every term; the summed deltas equal the batch count on the
+    // surviving edges (oracle). Orientation-by-id here (orientation-by-
+    // degree, q71's batch trick, is unstable under deltas — a degree
+    // change would reorient edges and force non-Δ recompute).
+    "q73_inc_triangles" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select("c_custkey")
+      val und = c.where(col("c_custkey") >= 2)
+        .select(col("c_custkey").as("a"), expr("c_custkey div 2").as("b"))
+        .union(c.where(col("c_custkey") >= 9)
+          .select(col("c_custkey").as("a"), (col("c_custkey") - 7).as("b")))
+        .where(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      val deltas = Seq(
+        und.withColumn("wt", lit(1L)),
+        und.where(pmod(col("u"), lit(5L)) === 0).withColumn("wt", lit(-1L)),
+        und.where(pmod(col("u"), lit(10L)) === 0).withColumn("wt", lit(1L)))
+      incTriangleSteps(und.where(lit(false)).withColumn("wt", lit(1L)), deltas)
+        .reduce(_ unionByName _)
+        .agg(sum(col("dt")).as("n_triangles"))
+    }),
+
     // incremental TOP-N per key under retraction — beyond the reference
     // engine (it can only keep rank 1 via Fold, q18.rs:47); our touched-key
     // recompute handles arbitrary ranks: retracting a top row promotes the
@@ -569,6 +679,36 @@ object Advanced extends QueryModule {
            quantile_cont(l_extendedprice, 0.99) AS p99,
            count(*) AS n
          FROM lineitem WHERE l_orderkey % 7 <> 0 GROUP BY l_returnflag""",
+    "q71_triangles" ->
+      """WITH raw AS (
+           SELECT c_custkey AS a, c_custkey // 2 AS b FROM customer WHERE c_custkey >= 2
+           UNION ALL
+           SELECT c_custkey, c_custkey - 7 FROM customer WHERE c_custkey >= 9),
+         und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+                 FROM raw WHERE a <> b),
+         deg AS (SELECT n, count(*) AS deg FROM (
+                   SELECT u AS n FROM und UNION ALL SELECT v FROM und) GROUP BY 1),
+         nk AS (SELECT n, deg * 4294967296 + n AS k FROM deg),
+         ori AS (SELECT CASE WHEN ku.k < kv.k THEN und.u ELSE und.v END AS src,
+                        CASE WHEN ku.k < kv.k THEN und.v ELSE und.u END AS dst,
+                        greatest(ku.k, kv.k) AS kdst
+                 FROM und JOIN nk ku ON ku.n = und.u JOIN nk kv ON kv.n = und.v),
+         w AS (SELECT a.src, a.dst AS x, b.dst AS y
+               FROM ori a JOIN ori b ON a.src = b.src AND a.kdst < b.kdst)
+         SELECT CAST(count(*) AS BIGINT) AS n_triangles
+         FROM w JOIN ori e ON e.src = w.x AND e.dst = w.y""",
+    "q73_inc_triangles" ->
+      """WITH raw AS (
+           SELECT c_custkey AS a, c_custkey // 2 AS b FROM customer WHERE c_custkey >= 2
+           UNION ALL
+           SELECT c_custkey, c_custkey - 7 FROM customer WHERE c_custkey >= 9),
+         und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+                 FROM raw WHERE a <> b),
+         surv AS (SELECT u, v FROM und WHERE u % 5 <> 0 OR u % 10 = 0)
+         SELECT CAST(count(*) AS BIGINT) AS n_triangles
+         FROM surv a
+         JOIN surv b ON b.u = a.u AND b.v > a.v
+         JOIN surv c ON c.u = a.v AND c.v = b.v""",
     "q27_closure" ->
       """WITH RECURSIVE e AS (SELECT c_custkey AS src, c_custkey // 2 AS dst
                               FROM customer WHERE c_custkey >= 2),

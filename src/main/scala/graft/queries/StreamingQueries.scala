@@ -253,6 +253,27 @@ object StreamingQueries extends QueryModule {
         s"stream_distinct_${System.nanoTime()}", OutputMode.Append)
     }),
 
+    // streaming DISTINCT with BOUNDED state (q72) — the watermark-TTL'd
+    // variant of q61: dropDuplicatesWithinWatermark keys state on
+    // (user_id, minute) and GC's an entry once the watermark passes its
+    // event time — at unbounded stream history the dedup state is the
+    // lateness horizon, not the full key universe (the
+    // trace_with_bound/q58 economics applied to stream_distinct;
+    // reference: operator/distinct.rs + trace bound). Duplicate
+    // occurrences of a key are < 60 s apart by construction (same minute
+    // bucket), far inside the 1 h delay, so the bounded dedup provably
+    // equals the unbounded DISTINCT the oracle runs.
+    "q72_stream_distinct_ttl" -> ((s, dir) => {
+      val ded = eventStream(s, dir, "sdttl")
+        .withColumn("minute", date_trunc("minute", col("ts")))
+        .withWatermark("minute", "1 hour")
+        .select(col("user_id"), col("minute"))
+        .dropDuplicatesWithinWatermark("user_id", "minute")
+      StreamOps.runToMemory(s, ded,
+        s"stream_distinct_ttl_${System.nanoTime()}", OutputMode.Append)
+        .select(col("user_id"), epochMs(col("minute")).as("minute_ms"))
+    }),
+
     // streaming upsert (flatMapGroupsWithState −old/+new deltas) consolidated
     // to the final snapshot == batch last-write-wins oracle
     "q34_stream_upsert" -> ((s, dir) => {
@@ -650,6 +671,9 @@ object StreamingQueries extends QueryModule {
           FROM events GROUP BY 1, 2""",
     "q61_stream_distinct" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "q72_stream_distinct_ttl" ->
+      """SELECT DISTINCT user_id,
+           epoch_ms(ts) - epoch_ms(ts) % 60000 AS minute_ms FROM events""",
     "q34_stream_upsert" ->
       """SELECT user_id, value FROM events
          QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1

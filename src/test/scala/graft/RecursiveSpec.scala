@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.core.ZSetFrame
+import graft.core.{Tables, ZSetFrame}
 import graft.operators.Recursive
 
 /** Recursion operators: incremental closure law, BFS distances, deep-chain
@@ -151,5 +151,47 @@ class RecursiveSpec extends SparkSpec {
         .select(col("a").as("src"), edges("dst").as("dst"))
     }
     assert(tc.count() == n * (n - 1) / 2)
+  }
+
+  test("q71 degree-oriented triangle count == brute-force enumeration") {
+    val got = graft.queries.Advanced.queries("q71_triangles")(spark, sf0001)
+      .head().getLong(0)
+    // brute force: materialize the same undirected edge set, count triples
+    val ids = Tables(spark, sf0001, "customer")
+      .select("c_custkey").collect().map(_.getLong(0))
+    val und = scala.collection.mutable.Set[(Long, Long)]()
+    def add(a: Long, b: Long): Unit =
+      if (a != b) und += ((math.min(a, b), math.max(a, b)))
+    ids.foreach { c =>
+      if (c >= 2) add(c, c / 2)
+      if (c >= 9) add(c, c - 7)
+    }
+    val adj = und.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val brute = und.toSeq.map { case (u, v) =>
+      (adj(u) & adj(v)).count(w => w > v) // w strictly above both: once per triangle
+    }.sum
+    assert(brute >= 1, "fixture graph must contain triangles")
+    assert(got == brute, s"query=$got brute=$brute")
+  }
+
+  test("q73 trilinear delta rule: every step prefix == batch count on integrated edges") {
+    // controlled graph where each delta provably changes the count:
+    // K4 on {1,2,3,4} (4 triangles) + pendant edge (4,5)
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val all = k4 :+ (4L, 5L)
+    def df(es: Seq[(Long, Long)], wt: Long) =
+      es.toDF("u", "v").withColumn("wt", lit(wt))
+    val deltas = Seq(
+      df(all, 1L),                    // insert everything → 4 triangles
+      df(Seq((1L, 2L)), -1L),         // retract (1,2): kills 2 → 2
+      df(Seq((1L, 5L), (1L, 2L)), 1L) // re-add (1,2), add (1,5): → 5
+    )
+    val expected = Seq(4L, 2L, 5L)
+    val steps = graft.queries.Advanced.incTriangleSteps(
+      df(Nil, 1L).where(lit(false)), deltas)
+    // each step frame carries one row per telescoping term — sum them
+    val cum = steps.map(_.collect().map(_.getLong(0)).sum).scanLeft(0L)(_ + _).drop(1)
+    assert(cum == expected, s"per-step cumulative $cum != $expected")
   }
 }
