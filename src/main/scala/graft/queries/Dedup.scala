@@ -692,6 +692,21 @@ object Dedup extends QueryModule {
         Dedup.planesFor(Dedup.cachedCount(v, s"$dir/embeddings")))
     }),
 
+    // SPHERICAL K-MEANS (d29) — iterative ML ON the engine: 2 Lloyd rounds
+    // over the embedding corpus from d07's per-label centroid init (the
+    // IVF coarse-build composition — this is how the d08 index's coarse
+    // quantizer would actually be trained). Assignment by exact cosine
+    // argmax, update by decimal-exact mean; the DuckDB oracle unrolls both
+    // rounds as CTEs and value-gates the final assignment bit-for-bit —
+    // possible only because every stage reuses the proven cross-engine
+    // arithmetic (sequential dots, decimal means, deterministic
+    // tie-breaks). See kmeansAssign for the 100 TB shape.
+    "d29_kmeans" -> ((s, dir) => {
+      val v = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"))
+      Dedup.kmeansAssign(v, rounds = 2)
+    }),
+
     // per-label embedding centroids (the IVF coarse-quantizer build step):
     // positional explode + decimal-exact mean per (label, dim). One shuffle
     // on (label, pos); at 100 TB this is the standard fan-out that AQE
@@ -937,6 +952,78 @@ object Dedup extends QueryModule {
       .select("qid", "nid", "sim")
   }
 
+  /** Spherical k-means assignment after `rounds` Lloyd updates from the
+    * per-label centroid init (d07's IVF coarse-build step): assign every
+    * vector to its max-cosine centroid (deterministic tie-break: lowest
+    * cell), recompute decimal-exact means, repeat. Scale shape: centroids
+    * are broadcast (k ∝ √corpus); each assignment is one crossJoin against
+    * the k-row broadcast plus a map-side-combined argmax (≤ 1 row per
+    * vector reaches the reduce side — the embedding rides inside the max
+    * struct, so the corpus is never self-joined back); each update is the
+    * d07 posexplode mean. The corpus is scanned once per round and never
+    * re-partitioned. All arithmetic is the proven bit-exact kit (d08):
+    * sequential double dots, decimal-exact means — so the unrolled DuckDB
+    * mirror value-gates every round, not just the final labels. */
+  def kmeansAssign(v: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ed = (e: Column) => transform(e, _.cast("double"))
+    def centroidsOf(df: DataFrame, cl: Column): DataFrame = df
+      .select(cl.as("cell"), posexplode(col("embedding")).as(Seq("pos", "cv")))
+      .groupBy("cell", "pos")
+      .agg((sum(col("cv").cast("double").cast(DecimalType(18, 9))).cast("double")
+        / count(lit(1))).as("cval"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("cval")))).as("srt"))
+      .select(col("cell"), transform(col("srt"), _.getField("cval")).as("cvec"))
+    def assign(cent: DataFrame): DataFrame =
+      v.crossJoin(broadcast(cent))
+        .withColumn("csim", dotd(ed(col("embedding")), col("cvec"))
+          / (sqrt(dotd(ed(col("embedding")), ed(col("embedding")))) *
+             sqrt(dotd(col("cvec"), col("cvec")))))
+        // argmax via struct-max: csim first, then -cell (== csim DESC,
+        // cell ASC); the embedding rides as payload, never compared
+        // (csim ties collapse to the same cell, cell is unique)
+        .groupBy("vec_id")
+        .agg(max(struct(col("csim"), (-col("cell")).as("nc"),
+          col("embedding").as("e"))).as("b"))
+        .select(col("vec_id"), col("b.e").as("embedding"), (-col("b.nc")).as("cell"))
+    val init = centroidsOf(v, col("label"))
+    val fin = (1 to rounds).foldLeft(init) { (c, _) =>
+      centroidsOf(assign(c), col("cell")) }
+    assign(fin).select(col("vec_id"), col("cell").as("cluster"))
+  }
+
+  /** Literal mirror of the d29 spherical k-means: both Lloyd rounds
+    * unrolled as CTEs with the d08 arithmetic idioms (list_inner_product
+    * sequential dots, DECIMAL(18,9) means, row_number tie-breaks). */
+  private val kmeansOracleSql: String = {
+    def centSql(src: String, clCol: String, out: String) =
+      s"""$out AS (
+           SELECT $clCol AS cell, list(cv ORDER BY pos) AS cvec FROM (
+             SELECT $clCol, i AS pos,
+               CAST(SUM(CAST(e[CAST(i + 1 AS INT)] AS DECIMAL(18,9))) AS DOUBLE)
+                 / COUNT(*) AS cv
+             FROM $src, range(64) t(i) GROUP BY 1, 2) GROUP BY 1)"""
+    def asgSql(cent: String, out: String) =
+      s"""$out AS (
+           SELECT vec_id, e, cell FROM (
+             SELECT v.vec_id, v.e, c.cell,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_inner_product(v.e, c.cvec) /
+                   (sqrt(list_inner_product(v.e, v.e))
+                     * sqrt(list_inner_product(c.cvec, c.cvec))) DESC,
+                 c.cell) AS rn
+             FROM emb v CROSS JOIN $cent c) WHERE rn = 1)"""
+    s"""WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+       ${centSql("emb", "label", "cent0")},
+       ${asgSql("cent0", "a1")},
+       ${centSql("a1", "cell", "cent1")},
+       ${asgSql("cent1", "a2")},
+       ${centSql("a2", "cell", "cent2")},
+       ${asgSql("cent2", "a3")}
+       SELECT vec_id, cell AS cluster FROM a3"""
+  }
+
   /** The d06 LSH-ANN mirror, shared verbatim by d15 (the incrementally
     * maintained top-1 equals the batch result — see the d15 scaladoc). */
   private val annLshOracleSql =
@@ -1087,6 +1174,7 @@ object Dedup extends QueryModule {
     // literal mirror of the IVF pipeline: decimal-exact per-label centroids
     // (d07), nearest-cell assignment by exact cosine, top-2 probe cells per
     // query, exact rerank inside probed cells, top-1.
+    "d29_kmeans" -> kmeansOracleSql,
     "d08_ann_ivf" ->
       """WITH cent AS (
            SELECT label AS cell, list(cv ORDER BY pos) AS cvec FROM (

@@ -571,4 +571,22 @@ class DedupSpec extends SparkSpec {
     val nPass = out.values.count(_.getInt(7) == 1)
     assert(nPass > 0 && nPass < out.size, s"degenerate filter: $nPass/${out.size}")
   }
+
+  test("d29 k-means: deterministic, partitions the corpus, and Lloyd actually moves points") {
+    val v = graft.core.Tables(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val r2 = Dedup.kmeansAssign(v, rounds = 2).cache()
+    // partition: every vector assigned exactly once
+    assert(r2.count() == v.count())
+    assert(r2.select("vec_id").distinct().count() == v.count())
+    // deterministic across evaluations
+    assertSameRows(r2, Dedup.kmeansAssign(v, rounds = 2))
+    // the iteration is not vacuous: the 2-round assignment differs from
+    // the init (label-centroid) assignment for at least one vector
+    val r0 = Dedup.kmeansAssign(v, rounds = 0)
+      .withColumnRenamed("cluster", "c0")
+    val moved = r2.join(r0, "vec_id").where(col("cluster") =!= col("c0")).count()
+    assert(moved > 0, "2 Lloyd rounds changed no assignment — iteration vacuous")
+    r2.unpersist()
+  }
 }
