@@ -213,6 +213,40 @@ object StepBench {
     ts
   }
 
+  /** Per-step seconds for the incremental triangle-count cascade (the q73
+    * shape, operators/TriangleCount.scala): seed a bounded-degree graph of
+    * `n` edges (out-degree 8 ⇒ ~3.5 wedges per edge), then time small
+    * edge-delta steps (2 inserts + the previous step's 2 retractions, so
+    * state size stays put). Claim under test: a step's cost is
+    * O(|Δ|·deg + touched buckets) — the wedge trace (the O(Σdeg²)
+    * intermediate) and both edge traces sit in place, partition-pruned;
+    * nothing rescans the graph. The residual growth term is per-bucket
+    * slice size, same as the keyed track. */
+  def runTri(spark: SparkSession, n: Long, steps: Int): Seq[Double] = {
+    import graft.operators.TriangleCountState
+    val k = 8L
+    val nNodes = n / k
+    val seed = spark.range(n).select(
+        expr(s"id div $k").as("u"),
+        (expr(s"id div $k") + col("id") % k + 1L).as("v"),
+        lit(1L).as(ZSetFrame.W))
+      .where(col("v") < nNodes)
+    val st = new TriangleCountState(spark, 256)
+    st.advance(ZSetFrame.fromDelta(seed))
+    import spark.implicits._
+    def deltaRows(i: Int, w: Long): Seq[(Long, Long, Long)] = {
+      val u1 = (i * 7919L) % (nNodes - 100)
+      Seq((u1, u1 + k + 7L, w), (u1, u1 + k + 21L, w))
+    }
+    (1 to steps).map { i =>
+      val d = ZSetFrame.fromDelta(
+        (deltaRows(i, 1L) ++ deltaRows(i - 1, -1L)).toDF("u", "v", ZSetFrame.W))
+      val t0 = System.nanoTime()
+      st.advance(d)
+      (System.nanoTime() - t0) / 1e9
+    }
+  }
+
   def json(spark: SparkSession, base: Long, steps: Int): String = {
     val nKeys = base / 50
     // FLOOR (best case), not a median: drop the first post-seed step as
@@ -238,9 +272,12 @@ object StepBench {
     val dL = floor2(() => runDedup(spark, base * 10, steps))
     val aS = floor2(() => runAnn(spark, base, steps))
     val aL = floor2(() => runAnn(spark, base * 10, steps))
+    // tri: n edges = base/5 (the wedge trace is ~3.5× the edge count)
+    val tS = floor2(() => runTri(spark, base / 5, steps))
+    val tL = floor2(() => runTri(spark, base * 2, steps))
     // "stat" labels the *_sec figures: per-step FLOORS over two runs each,
     // not medians — the growth gate compares best-case step costs
-    f"""{"stat":"per_step_floor_of_2_runs","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"keyed_small_sec":$kS%.3f,"keyed_large_sec":$kL%.3f,"naive_small_sec":$nS%.3f,"naive_large_sec":$nL%.3f,"upsert_small_sec":$uS%.3f,"upsert_large_sec":$uL%.3f,"rolling_small_sec":$rS%.3f,"rolling_large_sec":$rL%.3f,"dedup_small_sec":$dS%.3f,"dedup_large_sec":$dL%.3f,"ann_small_sec":$aS%.3f,"ann_large_sec":$aL%.3f,"keyed_growth":${kL / kS}%.2f,"naive_growth":${nL / nS}%.2f,"upsert_growth":${uL / uS}%.2f,"rolling_growth":${rL / rS}%.2f,"dedup_growth":${dL / dS}%.2f,"ann_growth":${aL / aS}%.2f}"""
+    f"""{"stat":"per_step_floor_of_2_runs","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"keyed_small_sec":$kS%.3f,"keyed_large_sec":$kL%.3f,"naive_small_sec":$nS%.3f,"naive_large_sec":$nL%.3f,"upsert_small_sec":$uS%.3f,"upsert_large_sec":$uL%.3f,"rolling_small_sec":$rS%.3f,"rolling_large_sec":$rL%.3f,"dedup_small_sec":$dS%.3f,"dedup_large_sec":$dL%.3f,"ann_small_sec":$aS%.3f,"ann_large_sec":$aL%.3f,"tri_small_sec":$tS%.3f,"tri_large_sec":$tL%.3f,"keyed_growth":${kL / kS}%.2f,"naive_growth":${nL / nS}%.2f,"upsert_growth":${uL / uS}%.2f,"rolling_growth":${rL / rS}%.2f,"dedup_growth":${dL / dS}%.2f,"ann_growth":${aL / aS}%.2f,"tri_growth":${tL / tS}%.2f}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -259,6 +296,13 @@ object StepBench {
       // diagnostic mode: one dedup run per scale, per-step times on stderr
       runDedup(spark, base, steps)
       runDedup(spark, base * 10, steps)
+    } else if (args.length > 2 && args(2) == "tri") {
+      // diagnostic mode: one tri run per scale, per-step times on stderr
+      Seq(base / 5, base * 2).foreach { n =>
+        val ts = runTri(spark, n, steps)
+        System.err.println(
+          f"[stepbench tri n=$n] " + ts.map(t => f"$t%.2f").mkString(" "))
+      }
     } else
       println("[stepbench] " + json(spark, base, steps))
     spark.stop()

@@ -438,19 +438,19 @@ object Advanced extends QueryModule {
         .agg(count(lit(1)).as("n_triangles"))
     }),
 
-    // INCREMENTAL TRIANGLE COUNTING (q73) — a TRILINEAR delta rule,
-    // one multilinearity degree beyond the reference's bilinear join
-    // formula (operator/join.rs:180 Δ(A⋈B) = ΔA⋈B + A⋈ΔB + ΔA⋈ΔB):
-    // with id-canonical triangles (u<v<w; edge roles a=(u,v), b=(u,w),
-    // c=(v,w)) the count is Σ wtA·wtB·wtC, and the exact telescoping
-    //   Δ(abc) = Δa·b'·c' + a·Δb·c' + a·b·Δc   (x = old, x' = new)
-    // makes each step cost |Δ| × adjacency joins — the corpus-wide edge
-    // trace is probed, never rescanned. Steps: full insert, a retraction
-    // wave (u % 5 = 0), partial re-insert (u % 10 = 0), with weights ±1
-    // through every term; the summed deltas equal the batch count on the
-    // surviving edges (oracle). Orientation-by-id here (orientation-by-
-    // degree, q71's batch trick, is unstable under deltas — a degree
-    // change would reorient edges and force non-Δ recompute).
+    // INCREMENTAL TRIANGLE COUNTING (q73) — maintenance one multilinearity
+    // degree beyond the reference's bilinear join formula, run as the
+    // trace-cascade operator (operators/TriangleCount.scala): wedge join +
+    // closing join, each a bilinear incremental join over key-partitioned
+    // traces, every probe partition-pruned by its delta's keys. Steps:
+    // full insert, a retraction wave (u % 5 = 0) that kills a triangle,
+    // partial re-insert (u % 10 = 0) that restores it, with ±1 weights
+    // through both joins; the summed triangle-delta weights equal the
+    // batch count on the surviving edges (oracle). RecursiveSpec gates
+    // every step prefix against the direct trilinear telescoping AND
+    // brute-force enumeration; step_bench's tri track gates per-step
+    // flatness across a 10× graph. Orientation-by-id (orientation-by-
+    // degree, q71's batch trick, is unstable under deltas).
     "q73_inc_triangles" -> ((s, dir) => {
       val c = t(s, dir, "customer").select("c_custkey")
       val und = c.where(col("c_custkey") >= 2)
@@ -462,13 +462,14 @@ object Advanced extends QueryModule {
           greatest(col("a"), col("b")).as("v"))
         .distinct()
         .localCheckpoint(true)
+      val st = new graft.operators.TriangleCountState(s)
       val deltas = Seq(
-        und.withColumn("wt", lit(1L)),
-        und.where(pmod(col("u"), lit(5L)) === 0).withColumn("wt", lit(-1L)),
-        und.where(pmod(col("u"), lit(10L)) === 0).withColumn("wt", lit(1L)))
-      incTriangleSteps(und.where(lit(false)).withColumn("wt", lit(1L)), deltas)
-        .reduce(_ unionByName _)
-        .agg(sum(col("dt")).as("n_triangles"))
+        ZSetFrame.fromTable(und),
+        ZSetFrame.fromDelta(und.where(pmod(col("u"), lit(5L)) === 0)
+          .withColumn(ZSetFrame.W, lit(-1L))),
+        ZSetFrame.fromTable(und.where(pmod(col("u"), lit(10L)) === 0)))
+      ZSetFrame.sumAll(deltas.map(st.advance)).df
+        .agg(coalesce(sum(col(ZSetFrame.W)), lit(0L)).as("n_triangles"))
     }),
 
     // incremental TOP-N per key under retraction — beyond the reference

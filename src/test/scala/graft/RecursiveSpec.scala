@@ -188,10 +188,19 @@ class RecursiveSpec extends SparkSpec {
       df(Seq((1L, 5L), (1L, 2L)), 1L) // re-add (1,2), add (1,5): → 5
     )
     val expected = Seq(4L, 2L, 5L)
+    // (a) the direct trilinear telescoping (the algebraic reference)
     val steps = graft.queries.Advanced.incTriangleSteps(
       df(Nil, 1L).where(lit(false)), deltas)
     // each step frame carries one row per telescoping term — sum them
     val cum = steps.map(_.collect().map(_.getLong(0)).sum).scanLeft(0L)(_ + _).drop(1)
-    assert(cum == expected, s"per-step cumulative $cum != $expected")
+    assert(cum == expected, s"telescoping per-step cumulative $cum != $expected")
+    // (b) the trace-cascade operator (what q73 actually runs): same prefixes
+    val st = new graft.operators.TriangleCountState(spark, nBuckets = 8)
+    val zDeltas = deltas.map(d => ZSetFrame.fromDelta(
+      d.withColumnRenamed("wt", ZSetFrame.W)))
+    val cum2 = zDeltas.map(d =>
+        st.advance(d).df.select(col(ZSetFrame.W)).collect().map(_.getLong(0)).sum)
+      .scanLeft(0L)(_ + _).drop(1)
+    assert(cum2 == expected, s"cascade per-step cumulative $cum2 != $expected")
   }
 }
