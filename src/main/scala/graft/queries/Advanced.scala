@@ -472,6 +472,54 @@ object Advanced extends QueryModule {
         .agg(coalesce(sum(col(ZSetFrame.W)), lit(0L)).as("n_triangles"))
     }),
 
+    // INCREMENTAL AS-OF JOIN (q74) — q23's temporal join (latest click
+    // before each error, per user; reference stream_join_range,
+    // operator/join_range.rs:39) MAINTAINED under deltas on BOTH sides
+    // through the keyed trace: the state is the tagged union of error and
+    // click events bucketed by user_id, and the touched-bucket recompute
+    // re-derives only the affected users' as-of pairs. Retracting a click
+    // PROMOTES the next-latest click for every error it was matched to;
+    // retracting an error retracts its output row; re-inserts restore
+    // both — the non-monotone match semantics no watermarked streaming
+    // join can express (q45/q57 are append-only). Consolidated output ==
+    // the batch as-of on surviving rows (oracle).
+    "q74_inc_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("event_type").isin("error", "click"))
+        .select(col("user_id"),
+          when(col("event_type") === "error", "e").otherwise("c").as("side"),
+          col("event_id"), epochMs(col("ts")).as("ts_ms"))
+        .localCheckpoint(true)
+      val retractClicks = col("side") === "c" && pmod(col("event_id"), lit(9L)) === 0
+      val retractErrors = col("side") === "e" && pmod(col("event_id"), lit(7L)) === 0
+      val reinsert = col("side") === "c" && pmod(col("event_id"), lit(18L)) === 0
+      val ds = Seq(
+        ZSetFrame.fromTable(ev),
+        ZSetFrame.fromDelta(ev.where(retractClicks).withColumn(ZSetFrame.W, lit(-1L))),
+        ZSetFrame.fromDelta(ev.where(retractErrors).withColumn(ZSetFrame.W, lit(-1L))),
+        ZSetFrame.fromTable(ev.where(reinsert)))
+      def aggFn(z: ZSetFrame): ZSetFrame = {
+        import org.apache.spark.sql.expressions.Window
+        val df = z.toDF
+        val e = df.where(col("side") === "e")
+          .select(col("user_id"), col("event_id"), col("ts_ms"))
+        val c = df.where(col("side") === "c")
+          .select(col("user_id").as("cu"), col("event_id").as("click_event_id"),
+            col("ts_ms").as("c_ts"))
+        val j = e.join(c, col("cu") === col("user_id") && col("c_ts") < col("ts_ms"))
+        val w = Window.partitionBy("event_id")
+          .orderBy(col("c_ts").desc, col("click_event_id").desc)
+        ZSetFrame.fromTable(j.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("event_id"), col("user_id"), col("click_event_id"),
+            (col("ts_ms") - col("c_ts")).as("gap_ms")))
+      }
+      val in = new KeyedState(Seq("user_id"), 32, Incremental.emptyLike(ds.head))
+      val outDeltas = ds.map(d => in.aggStep(d)(aggFn))
+      ZSetFrame.sumAll(outDeltas).consolidate
+        .toDF.select("event_id", "user_id", "click_event_id", "gap_ms")
+    }),
+
     // incremental TOP-N per key under retraction — beyond the reference
     // engine (it can only keep rank 1 via Fold, q18.rs:47); our touched-key
     // recompute handles arbitrary ranks: retracting a top row promotes the
@@ -680,6 +728,17 @@ object Advanced extends QueryModule {
            quantile_cont(l_extendedprice, 0.99) AS p99,
            count(*) AS n
          FROM lineitem WHERE l_orderkey % 7 <> 0 GROUP BY l_returnflag""",
+    "q74_inc_asof" ->
+      """SELECT e.event_id, e.user_id, c.event_id AS click_event_id,
+           epoch_ms(e.ts) - epoch_ms(c.ts) AS gap_ms
+         FROM (SELECT * FROM events
+               WHERE event_type = 'error' AND event_id % 7 <> 0) e
+         JOIN (SELECT * FROM events
+               WHERE event_type = 'click'
+                 AND (event_id % 9 <> 0 OR event_id % 18 = 0)) c
+           ON c.user_id = e.user_id AND c.ts < e.ts
+         QUALIFY row_number() OVER (PARTITION BY e.event_id
+           ORDER BY c.ts DESC, c.event_id DESC) = 1""",
     "q71_triangles" ->
       """WITH raw AS (
            SELECT c_custkey AS a, c_custkey // 2 AS b FROM customer WHERE c_custkey >= 2
