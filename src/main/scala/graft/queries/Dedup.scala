@@ -708,16 +708,22 @@ object Dedup extends QueryModule {
     }),
 
     // per-label embedding centroids (the IVF coarse-quantizer build step):
-    // positional explode + decimal-exact mean per (label, dim). One shuffle
-    // on (label, pos); at 100 TB this is the standard fan-out that AQE
-    // coalesces — no driver-side vectors.
+    // positional explode + exact integer-quantized mean per (label, dim) —
+    // floor(v·1e9) per value (v·1e9 is one correctly-rounded IEEE multiply,
+    // identical in every engine; floor is exact), summed as BIGINT (exact,
+    // order-free), one double division at the end. NOT a decimal cast: a
+    // double→DECIMAL(18,9) cast hits rounding-MODE divergence on exact
+    // dyadic ties (Spark rounds half-up, DuckDB half-even — a float like
+    // t/1024 expands to exactly ...5 at the 10th decimal and the two
+    // engines disagree; observed as one mismatched cell at sf0.1). One
+    // shuffle on (label, pos); at 100 TB this is the standard fan-out that
+    // AQE coalesces — no driver-side vectors.
     "d07_label_centroids" -> ((s, dir) => {
-      import org.apache.spark.sql.types.DecimalType
       t(s, dir, "embeddings")
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("label", "pos")
-        .agg((sum(col("v").cast("double").cast(DecimalType(18, 9))).cast("double")
-          / count(lit(1))).as("cval"))
+        .agg((sum(floor(col("v").cast("double") * lit(1e9)).cast("long"))
+          .cast("double") / lit(1e9) / count(lit(1))).as("cval"))
     })
   )
 
@@ -1225,8 +1231,8 @@ object Dedup extends QueryModule {
          WHERE list_inner_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.3""",
     "d07_label_centroids" ->
       """SELECT label, i AS pos,
-           CAST(SUM(CAST(CAST(embedding[i+1] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
-             / COUNT(*) AS cval
+           CAST(SUM(CAST(FLOOR(CAST(embedding[i+1] AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
+             / 1e9 / COUNT(*) AS cval
          FROM embeddings, range(64) t(i) GROUP BY 1, 2""",
     // literal mirror of the int8 quantization + quantized-cosine top-1:
     // same round-ties-away-from-zero, same integer dots (exact ≤ 2^20 per

@@ -327,14 +327,22 @@ object StreamingQueries extends QueryModule {
     // carries the left side's event-time column; late-record filtering
     // uses the previous batch's watermark, so join matches emitted in
     // batch N are not dropped by the downstream agg). The flush sentinel
-    // on BOTH sources pushes the global watermark past every real window;
-    // the flush×flush self-match is filtered between the stages (a
-    // stateless filter between stateful operators is legal anywhere).
+    // on BOTH sources pushes the global watermark past every real window.
+    // CAUTION — the sentinel must NOT be filtered anywhere inside the
+    // streaming plan: a predicate like `c_type != 'flush'`, even placed
+    // between the join and the agg, references only left-side columns, so
+    // Catalyst pushes it through the join AND through the left
+    // EventTimeWatermark node into the parquet scan — the left watermark
+    // then never advances past the real data and the LAST window never
+    // closes (observed as exactly one missing tail window at sf0.1). The
+    // flush×flush self-match instead flows into its own far-future window,
+    // which append mode never emits (the watermark never passes it); the
+    // post-materialization wstart guard is belt-and-braces on a BATCH
+    // plan, where pushdown cannot reach back into the finished stream.
     "q63_stream_join_agg" -> ((s, dir) => {
       val clicks = eventStream(s, dir, "sjagg_l", sentinel = true)
         .where(col("event_type") === "click" || col("event_type") === "flush")
-        .select(col("user_id"), col("ts").as("c_ts"),
-          col("event_type").as("c_type"))
+        .select(col("user_id"), col("ts").as("c_ts"))
         .withWatermark("c_ts", "1 second")
       val buys = eventStream(s, dir, "sjagg_r", sentinel = true)
         .where(col("event_type") === "purchase" || col("event_type") === "flush")
@@ -345,13 +353,14 @@ object StreamingQueries extends QueryModule {
         col("user_id") === col("p_user") &&
           col("p_ts") >= col("c_ts") &&
           col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
-      val agg = joined.where(col("c_type") =!= "flush")
+      val agg = joined
         .groupBy(window(col("c_ts"), "1 hour"))
         .agg(count(lit(1)).as("n_pairs"), dsum(col("p_value")).as("sum_value"))
         .select(epochMs(col("window.start")).as("wstart"),
           col("n_pairs"), col("sum_value"))
       StreamOps.runToMemory(s, agg, s"stream_join_agg_${System.nanoTime()}",
         OutputMode.Append)
+        .where(col("wstart") < lit(FlushNanos / 1000000L))
     }),
 
     // CHAINED stateful→stateful across TWO checkpointed streaming queries —

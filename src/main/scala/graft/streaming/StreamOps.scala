@@ -200,6 +200,21 @@ object StreamOps {
       try df.writeStream.outputMode(mode).format("memory").queryName(name).start()
       finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.processAllAvailable()
+    // processAllAvailable waits for source OFFSETS only — the watermark-
+    // driven no-data batches that flush the final windows (through chained
+    // stateful operators they may need several rounds) can still be in
+    // flight. Wait until the batch id quiesces before stopping, or the
+    // tail window of the run is silently lost (observed as exactly one
+    // missing window at sf0.1 on q63).
+    var last = -2L
+    var stable = 0
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (stable < 2 && System.nanoTime() < deadline) {
+      val cur = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+      if (cur == last) stable += 1 else { stable = 0; last = cur }
+      Thread.sleep(200)
+      q.processAllAvailable()
+    }
     q.stop()
     spark.table(name)
   }
