@@ -38,6 +38,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // ~1.5 h of bench in ONE JVM creates thousands of shuffles whose
+      // files are only reclaimed when the ContextCleaner sees their
+      // dependencies GC'd — the default 30 min periodic-GC interval lets
+      // shuffle debris pile up across sections (BENCH r8: q15's later runs
+      // 2-3× slower on identical code); clean every minute instead
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb JVM/session warmup (codegen per expression family, parquet
@@ -51,6 +57,7 @@ object Bench {
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
     }
+    graft.incremental.Pinned.sweepSession(spark.sparkContext)
     val errors = scala.collection.mutable.Map[String, String]()
     val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = scala.collection.mutable.Buffer[Double]()
@@ -62,6 +69,12 @@ object Bench {
             .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
         }
         times += (System.nanoTime() - t0) / 1e9
+        // OUTSIDE the timed region: release the pinned state this rep's
+        // stateful queries (KeyedState traces, spines, …) leave behind —
+        // leaked generations from 115 queries × reps were the session
+        // debris that degraded the later RDD-state throughput families
+        // (BENCH r8 q15 red; see Pinned.sweepSession)
+        graft.incremental.Pinned.sweepSession(spark.sparkContext)
       }
       var more = reps
       while (more > 0 && !errors.contains(name)) { rep(); more -= 1 }

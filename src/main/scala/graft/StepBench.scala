@@ -45,11 +45,13 @@ object StepBench {
     // checkpoints them (OutputHandle pattern); the consumer integrates
     // them, so no O(|out|) accumulator scan here
     st.aggStep(ZSetFrame.fromTable(seedRows(spark, n, nKeys)))(aggFn)
-    (1 to steps).map { i =>
+    val ts = (1 to steps).map { i =>
       val t0 = System.nanoTime()
       st.aggStep(smallDelta(spark, i, 2, nKeys))(aggFn)
       (System.nanoTime() - t0) / 1e9
     }
+    st.close()
+    ts
   }
 
   def runNaive(spark: SparkSession, n: Long, nKeys: Long, steps: Int): Seq[Double] = {
@@ -131,7 +133,7 @@ object StepBench {
     val seed = spark.range(n).select(
       pmod(col("id"), lit(nKeys)).as("k"), col("id").as("ts"))
     st.aggStep(ZSetFrame.fromTable(seed))(aggFn)
-    (1 to steps).map { i =>
+    val ts = (1 to steps).map { i =>
       // 2 touched keys: insert one late row, retract the previous step's
       // (same delta shape as smallDelta — timing track, not an oracle)
       val rows = (0 until 2).flatMap { j =>
@@ -146,6 +148,8 @@ object StepBench {
         Some(col("k").isin(ks: _*) && col("ts").between(loTs, hiTs)))(aggFn)
       (System.nanoTime() - t0) / 1e9
     }
+    st.close()
+    ts
   }
 
   /** Per-step seconds for the incremental corpus-dedup stepper (the
@@ -175,6 +179,7 @@ object StepBench {
       st.advance(d)
       (System.nanoTime() - t0) / 1e9
     }
+    st.close()
     System.err.println(
       f"[stepbench dedup n=$n] " + ts.map(t => f"$t%.2f").mkString(" "))
     ts
@@ -208,6 +213,7 @@ object StepBench {
       st.advance(d)
       (System.nanoTime() - t0) / 1e9
     }
+    st.close()
     System.err.println(
       f"[stepbench ann n=$n] " + ts.map(t => f"$t%.2f").mkString(" "))
     ts
@@ -226,6 +232,9 @@ object StepBench {
     import graft.operators.TriangleCountState
     val k = 8L
     val nNodes = n / k
+    // deltaRows' modulo needs nNodes - 100 > 0; smaller diagnostic runs
+    // would wrap negative and retract never-inserted edges
+    require(nNodes > 100, s"runTri needs n > ${100 * k} edges (got $n)")
     val seed = spark.range(n).select(
         expr(s"id div $k").as("u"),
         (expr(s"id div $k") + col("id") % k + 1L).as("v"),
@@ -238,13 +247,19 @@ object StepBench {
       val u1 = (i * 7919L) % (nNodes - 100)
       Seq((u1, u1 + k + 7L, w), (u1, u1 + k + 21L, w))
     }
-    (1 to steps).map { i =>
+    val ts = (1 to steps).map { i =>
+      // step 1 has nothing to retract: deltaRows(0) was never inserted (the
+      // seed only holds v in [u+1, u+k]) — retracting it would leave two
+      // permanent weight -1 edges in the trace
+      val retr = if (i > 1) deltaRows(i - 1, -1L) else Nil
       val d = ZSetFrame.fromDelta(
-        (deltaRows(i, 1L) ++ deltaRows(i - 1, -1L)).toDF("u", "v", ZSetFrame.W))
+        (deltaRows(i, 1L) ++ retr).toDF("u", "v", ZSetFrame.W))
       val t0 = System.nanoTime()
       st.advance(d)
       (System.nanoTime() - t0) / 1e9
     }
+    st.close()
+    ts
   }
 
   def json(spark: SparkSession, base: Long, steps: Int): String = {
@@ -256,8 +271,17 @@ object StepBench {
       (if (xs0.size > 2) xs0.drop(1) else xs0).min
     // each configuration runs TWICE and the floor spans both runs: the
     // growth gate is a ratio of floors, and a single run's floor still
-    // carries driver-scheduling noise of ±20% on this box
-    def floor2(run: () => Seq[Double]): Double = math.min(floorOf(run()), floorOf(run()))
+    // carries driver-scheduling noise of ±20% on this box. Sweep leftover
+    // pinned blocks between runs (runNaive's generations, emitted aggStep
+    // deltas) so one track's debris never taxes the next — the q15 lesson.
+    def floor2(run: () => Seq[Double]): Double = {
+      def once(): Double = {
+        val f = floorOf(run())
+        graft.incremental.Pinned.sweepSession(spark.sparkContext)
+        f
+      }
+      math.min(once(), once())
+    }
     // 256 buckets: bucket size (not bucket count) is what a step pays for,
     // so more buckets = flatter growth; the extra empty tasks are noise
     val kS = floor2(() => runKeyed(spark, base, nKeys, steps, 256))

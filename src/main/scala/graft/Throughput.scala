@@ -146,8 +146,11 @@ object Throughput {
   // localCheckpoint'ed per step (the step-loop trace pattern); superseded
   // checkpoints are unpersisted so the run measures steady-state cost.
 
+  // release the persisted ANCESTOR too: a checkpointed DataFrame's `.rdd`
+  // is a row-conversion child of the RDD that actually holds the blocks,
+  // so unpersisting only `.rdd` leaks every superseded generation
   private def unpersistLater(old: DataFrame): Unit =
-    if (old != null) old.rdd.unpersist(false)
+    if (old != null) graft.incremental.Pinned.unpersistTree(old.rdd)
 
   /** Per-step wall times of the CURRENT incremental run — `timeRun` clears
     * the buffer before each measured run and captures it into that run's
@@ -734,6 +737,7 @@ object Throughput {
       val rps = rowsN / sec
       results += FamResult(name, rps.toLong, base, "batch_upper_bound",
         rps * 2 >= base, rowsN, att)
+      graft.incremental.Pinned.sweepSession(spark.sparkContext)
     }
     // size shuffle parallelism to the micro-batch state, not the core
     // count: the per-step merges move tiny state/partials, and 32-way
@@ -748,8 +752,15 @@ object Throughput {
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try incFamilies(spark).filter(f => wanted(f._1)).foreach { case (name, base, run) =>
-      run() // warmup: codegen for the merge/emit plans
-      val (sec, att) = measureAdaptive(reps, base, incRowsN)(run)
+      // each measured run is self-contained (builds and closes its own
+      // state), but superseded generations and emitted deltas linger —
+      // sweep BETWEEN runs (never inside: a run's live state would die)
+      def sweptRun(): Unit = {
+        run()
+        graft.incremental.Pinned.sweepSession(spark.sparkContext)
+      }
+      sweptRun() // warmup: codegen for the merge/emit plans
+      val (sec, att) = measureAdaptive(reps, base, incRowsN)(() => sweptRun())
       val rps = incRowsN / sec
       results += FamResult(name + "_inc", rps.toLong, base,
         "incremental_microbatch", rps * 2 >= base, incRowsN, att)
@@ -789,6 +800,7 @@ object Throughput {
       // RDD-shuffle serializer (SQL exchanges use UnsafeRow regardless):
       // the q18 state path ships (Long,Long) pairs — Kryo, not Java ser
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -22,6 +22,9 @@ object Incremental {
     var acc: ZSetFrame = init.consolidate.localCheckpoint()
     def update(delta: ZSetFrame): Unit =
       acc = (acc + delta).consolidate.localCheckpoint()
+    // no close(): callers (generalAggDelta's delta rule) hold PREVIOUS
+    // generations after update, so the state cannot know which are dead —
+    // harness-level cleanup is Pinned.sweepSession between measured units
   }
 
   /** Step-loop state with an EVENT-TIME BOUND — the reference's

@@ -109,9 +109,19 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
   /** The RDD handle we keep (`df.rdd`) is a row-conversion CHILD of the
     * internally persisted checkpoint RDD — unpersist the persisted ancestor,
     * wherever it sits in the (short) dependency chain. */
-  private def unpersistTree(rdd: RDD[_]): Unit = {
-    if (rdd.getStorageLevel != StorageLevel.NONE) rdd.unpersist(false)
-    rdd.dependencies.foreach(d => unpersistTree(d.rdd))
+  private def unpersistTree(rdd: RDD[_]): Unit = Pinned.unpersistTree(rdd)
+
+  /** Release ALL pinned storage — live segments, retired segments awaiting
+    * reclaim — once the state is done. The state is unusable afterwards
+    * (views handed out earlier become unreadable too; callers materialize
+    * outputs they need first — aggStep already does). A state that is not
+    * closed leaks its pinned trace for the session's lifetime. */
+  def close(): Unit = {
+    (0 until nBuckets).map(bucketSeg).filter(_ != null).distinct
+      .foreach(seg => unpersistTree(seg.rdd))
+    retiredSegs.foreach { case (_, seg) => unpersistTree(seg.rdd) }
+    retiredSegs.clear()
+    java.util.Arrays.fill(bucketSeg.asInstanceOf[Array[AnyRef]], null)
   }
 
   /** One job: shuffle into nBuckets partitions by key hash and pin in memory. */

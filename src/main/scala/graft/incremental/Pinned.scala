@@ -1,0 +1,46 @@
+package graft.incremental
+
+import org.apache.spark.SparkContext
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Pinned-block lifecycle helpers. Every stateful operator in this library
+  * pins its trace (localCheckpoint / persist) so steps cost O(Δ); the flip
+  * side is that a state that is DONE must release those blocks, or a long
+  * session (the bench runs 115 queries × reps in one JVM) accumulates dead
+  * pinned storage whose eviction churn taxes every later RDD-state job —
+  * observed as BENCH r8's q15 cross-run degradation (first run 0.3 s/step,
+  * later runs ~2.5 s/step on identical code; standalone q15 repeated 6×
+  * shows no drift, so the cost was session debris, not the query). */
+object Pinned {
+
+  /** Unpersist `rdd` and every persisted ancestor: a DataFrame's `.rdd` is
+    * a row-conversion CHILD of the internally persisted checkpoint RDD, so
+    * releasing a checkpointed frame means walking the (short) dependency
+    * chain to whichever ancestor actually holds the blocks. */
+  def unpersistTree(rdd: RDD[_]): Unit = {
+    if (rdd.getStorageLevel != StorageLevel.NONE) rdd.unpersist(false)
+    rdd.dependencies.foreach(d => unpersistTree(d.rdd))
+  }
+
+  /** Release a (possibly null) pinned DataFrame. */
+  def release(df: DataFrame): Unit =
+    if (df != null) unpersistTree(df.rdd)
+
+  /** Release a (possibly null) pinned RDD. */
+  def release(rdd: RDD[_]): Unit =
+    if (rdd != null) unpersistTree(rdd)
+
+  /** BENCH/TEST-HARNESS ONLY: unpersist every RDD still registered with the
+    * context. Safe between self-contained measured units (each query/run
+    * builds its own state and has fully emitted its output); NEVER call
+    * while any incremental state is still live — its pinned trace would be
+    * dropped and, being checkpointed (lineage truncated), could not be
+    * recomputed. Returns the number of RDDs released. */
+  def sweepSession(sc: SparkContext): Int = {
+    val live = sc.getPersistentRDDs.values.toSeq
+    live.foreach(_.unpersist(blocking = false))
+    live.size
+  }
+}

@@ -192,6 +192,95 @@ object Recursive {
     }
   }
 
+  /** Strongly-connected components by trim + forward/backward peeling —
+    * NESTED RECURSION: three inner fixpoints run INSIDE an outer
+    * iterate-until-empty loop, the reference's fixpoint-within-fixpoint
+    * scope nesting (reference: crates/dbsp/src/operator/recursive.rs nested
+    * scopes; time/nested_ts32.rs `NestedTimestamp32` — an outer epoch clock
+    * over an inner iteration clock).
+    *
+    * Outer round: (a) TRIM fixpoint — nodes lacking an in- or out-edge in
+    * the remaining subgraph are singleton SCCs; removing them exposes more,
+    * iterate until none (dissolves the acyclic fringe in bulk, the standard
+    * FW-BW-Trim step); (b) pick the minimum remaining node as pivot;
+    * (c) FORWARD-reachability fixpoint from the pivot; (d) BACKWARD-
+    * reachability fixpoint; fw ∩ bw is the pivot's SCC (labeled by the
+    * pivot = its minimum member, since the pivot is the global minimum of
+    * the remaining subgraph); peel it and repeat. Both reachability loops
+    * run over the DOUBLED edge set (E ∪ E∘E — 2 hops per barrier), the
+    * closureFrom lesson: driver-synchronized barriers are the scarce
+    * resource, so halve them. Determinism: the pivot choice is a min, so
+    * component labels are data-determined, not schedule-determined.
+    *
+    * Scale shape: everything is equi-joins and set ops over (src, dst)
+    * frames — shuffle-partitionable; only the pivot scalar and per-loop
+    * emptiness flags cross the driver. Outer rounds = number of
+    * non-trivial SCCs not removed by trim — FW-BW's inherent sequential
+    * dependency (each peel changes the subgraph the next round sees),
+    * which is exactly what makes it genuinely nested. Returns
+    * (node, scc = min member of the node's component). */
+  def scc(edges: DataFrame, maxRounds: Int = 256): DataFrame =
+    sccWithRounds(edges, maxRounds)._1
+
+  /** `scc` plus the outer-round count (RecursiveSpec gates that the nested
+    * loop genuinely iterates on chained-component graphs). */
+  private[graft] def sccWithRounds(edges: DataFrame,
+                                   maxRounds: Int = 256): (DataFrame, Int) = {
+    var e = materialize(edges.distinct())
+    var nodes = materialize(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    var out = List.empty[DataFrame]
+    // NOTE the trailing select: a using-column join moves the join column
+    // to the FRONT of the output, and a later positional `union` against a
+    // (src, dst)-ordered frame would silently flip every edge — normalize
+    // the order on every rewrite
+    def restrictEdges(): Unit =
+      e = materialize(e
+        .join(nodes.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(nodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst"))
+    var rounds = 0
+    while (rounds < maxRounds && !nodes.isEmpty) {
+      // inner fixpoint A: trim the acyclic fringe
+      var trimming = true
+      while (trimming) {
+        val both = materialize(nodes
+          .join(e.select(col("src").as("node")).distinct(), Seq("node"), "left_semi")
+          .join(e.select(col("dst").as("node")).distinct(), Seq("node"), "left_semi"))
+        val trivial = materialize(nodes.except(both))
+        if (trivial.isEmpty) trimming = false
+        else {
+          // trivial is already materialized; the labeling select stays lazy
+          out ::= trivial.select(col("node"), col("node").as("scc"))
+          nodes = both
+          restrictEdges()
+        }
+      }
+      if (!nodes.isEmpty) {
+        val pivot = nodes.agg(min(col("node"))).head().getLong(0)
+        val seed = nodes.where(col("node") === pivot)
+        // inner fixpoint B: reachability over the REMAINING subgraph by
+        // path doubling (log-barrier — driver rounds are the scarce
+        // resource; see closureDoubling). The trim phase has already
+        // dissolved the acyclic fringe, so this closure runs on the
+        // cyclic core only — the small residue of a real graph. (On a
+        // core too big to close all-pairs, swap in per-pivot frontier
+        // fixpoints: fewer rows, more barriers — same nesting.)
+        val r = closureDoubling(e)
+        val fw = r.where(col("src") === pivot).select(col("dst").as("node"))
+          .unionByName(seed).distinct()
+        val bw = r.where(col("dst") === pivot).select(col("src").as("node"))
+          .unionByName(seed).distinct()
+        val comp = materialize(fw.intersect(bw))
+        out ::= comp.select(col("node"), lit(pivot).as("scc"))
+        nodes = materialize(nodes.except(comp))
+        restrictEdges()
+      }
+      rounds += 1
+    }
+    (out.reduce(_ union _), rounds)
+  }
+
   /** PageRank — ITERATED WEIGHTED SUMS inside the recursion (reference:
     * crates/dbsp/benches/ldbc-graphalytics/pagerank.rs). Fixed iteration
     * count (the LDBC formulation); per-iteration contribution sums go

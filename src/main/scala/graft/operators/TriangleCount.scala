@@ -69,4 +69,9 @@ final class TriangleCountState(spark: SparkSession, nBuckets: Int = 32) {
     Incremental.joinDeltaKeyed(wedges, dW, edgeVW, dEvw, Seq("v", "w"),
       checkpointDeltas = false)
   }
+
+  /** Release all three traces' pinned storage (state unusable afterwards;
+    * emitted triangle deltas are already eagerly materialized — consumers
+    * holding them must have consolidated before close). */
+  def close(): Unit = { edgeU.close(); edgeVW.close(); wedges.close() }
 }

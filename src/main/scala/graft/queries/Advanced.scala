@@ -407,7 +407,9 @@ object Advanced extends QueryModule {
     // partitionable, no broadcast of graph-sized sides, no cartesian —
     // the shape that survives a 100 TB edge list. Each triangle is
     // counted exactly once (at its minimal corner), ties impossible (the
-    // order key is deg·2^32 + id with distinct ids).
+    // order key is the STRUCT (deg, id) — lexicographic, injective for
+    // any id range; a packed deg·2^32 + id long would collide once node
+    // ids reach 2^32, exactly the 100 TB regime this query targets).
     "q71_triangles" -> ((s, dir) => {
       val c = t(s, dir, "customer").select("c_custkey")
       val raw = c.where(col("c_custkey") >= 2)
@@ -421,14 +423,14 @@ object Advanced extends QueryModule {
       val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg"))
       val nk = deg.select(col("n"),
-        (col("deg") * lit(4294967296L) + col("n")).as("k"))
+        struct(col("deg"), col("n").as("id")).as("k"))
       val oriented = und
         .join(nk.select(col("n").as("u"), col("k").as("ku")), "u")
         .join(nk.select(col("n").as("v"), col("k").as("kv")), "v")
         .select(
           when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("src"),
           when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("dst"),
-          greatest(col("ku"), col("kv")).as("kdst"))
+          when(col("ku") < col("kv"), col("kv")).otherwise(col("ku")).as("kdst"))
       val wedges = oriented.select(col("src"), col("dst").as("x"), col("kdst").as("kx"))
         .join(oriented.select(col("src"), col("dst").as("y"), col("kdst").as("ky")),
           Seq("src"))
@@ -436,6 +438,30 @@ object Advanced extends QueryModule {
       wedges.join(oriented.hint("shuffle_hash")
           .select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
         .agg(count(lit(1)).as("n_triangles"))
+    }),
+
+    // NESTED RECURSION (q76): strongly-connected components by
+    // trim + FW-BW peeling (operators/Recursive.scc) — three inner
+    // fixpoints (trim, forward closure, backward closure) run inside an
+    // outer peel-until-empty loop, the reference's fixpoint-inside-
+    // fixpoint scope nesting (recursive.rs nested scopes,
+    // time/nested_ts32.rs NestedTimestamp32) that single-level q27/q43
+    // cannot express. Fixture: 3 cyclic 8-blocks CHAINED by cross edges
+    // (forces ≥3 sequential outer peels — each peel changes what the next
+    // round sees) plus an sf-scaling star fringe that the trim fixpoint
+    // dissolves in bulk. Oracle: full WITH RECURSIVE closure + min mutual-
+    // reachability partner — a non-nested but equivalent formulation.
+    "q76_scc" -> ((s, dir) => {
+      val n = t(s, dir, "customer")
+        .select((col("c_custkey") - 1).as("n")).where(col("n") >= 0)
+      val cyc = n.where(col("n") < 24).select(col("n").as("src"),
+        when(pmod(col("n") + 1, lit(8L)) === 0, col("n") - 7)
+          .otherwise(col("n") + 1).as("dst"))
+      val cross = n.where(col("n").isin(0L, 8L))
+        .select(col("n").as("src"), (col("n") + 8).as("dst"))
+      val stars = n.where(col("n") >= 24)
+        .select(pmod(col("n"), lit(24L)).as("src"), col("n").as("dst"))
+      graft.operators.Recursive.scc(cyc.union(cross).union(stars))
     }),
 
     // INCREMENTAL TRIANGLE COUNTING (q73) — maintenance one multilinearity
@@ -498,21 +524,27 @@ object Advanced extends QueryModule {
         ZSetFrame.fromDelta(ev.where(retractClicks).withColumn(ZSetFrame.W, lit(-1L))),
         ZSetFrame.fromDelta(ev.where(retractErrors).withColumn(ZSetFrame.W, lit(-1L))),
         ZSetFrame.fromTable(ev.where(reinsert)))
+      // union-sort as-of core (q23's plan, VERDICT r8 wrong #3): the state
+      // is ALREADY the tagged union, so the recompute is one window over
+      // (user_id, ts_ms) — running last click IGNORE NULLS — with zero
+      // clicks×errors pair expansion even when a hot user's bucket is
+      // recomputed. Strictness and tie-break as q23: at equal ts_ms the
+      // error sorts before clicks ('c' > 'e' puts clicks after), and the
+      // ascending (ts_ms, event_id) order makes the running last = max
+      // (ts_ms, id) — the former rank-1 (ts DESC, id DESC).
       def aggFn(z: ZSetFrame): ZSetFrame = {
         import org.apache.spark.sql.expressions.Window
-        val df = z.toDF
-        val e = df.where(col("side") === "e")
-          .select(col("user_id"), col("event_id"), col("ts_ms"))
-        val c = df.where(col("side") === "c")
-          .select(col("user_id").as("cu"), col("event_id").as("click_event_id"),
-            col("ts_ms").as("c_ts"))
-        val j = e.join(c, col("cu") === col("user_id") && col("c_ts") < col("ts_ms"))
-        val w = Window.partitionBy("event_id")
-          .orderBy(col("c_ts").desc, col("click_event_id").desc)
-        ZSetFrame.fromTable(j.withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1)
-          .select(col("event_id"), col("user_id"), col("click_event_id"),
-            (col("ts_ms") - col("c_ts")).as("gap_ms")))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_ms"), col("side") === "c", col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val lc = last(when(col("side") === "c",
+          struct(col("ts_ms").as("c_ts"), col("event_id").as("cid"))),
+          ignoreNulls = true).over(w)
+        ZSetFrame.fromTable(z.toDF.withColumn("lc", lc)
+          .where(col("side") === "e" && col("lc").isNotNull)
+          .select(col("event_id"), col("user_id"),
+            col("lc.cid").as("click_event_id"),
+            (col("ts_ms") - col("lc.c_ts")).as("gap_ms")))
       }
       val in = new KeyedState(Seq("user_id"), 32, Incremental.emptyLike(ds.head))
       val outDeltas = ds.map(d => in.aggStep(d)(aggFn))
@@ -739,6 +771,33 @@ object Advanced extends QueryModule {
            ON c.user_id = e.user_id AND c.ts < e.ts
          QUALIFY row_number() OVER (PARTITION BY e.event_id
            ORDER BY c.ts DESC, c.event_id DESC) = 1""",
+    // q76: non-nested equivalent — closure + min mutual-reach partner.
+    // Mirrors the Spark fixture's edge synthesis literally.
+    "q76_scc" ->
+      """WITH ns0 AS (SELECT c_custkey - 1 AS n FROM customer
+                      WHERE c_custkey - 1 >= 0),
+         e AS (
+           SELECT n AS src,
+             CASE WHEN (n + 1) % 8 = 0 THEN n - 7 ELSE n + 1 END AS dst
+           FROM ns0 WHERE n < 24
+           UNION
+           SELECT n, n + 8 FROM ns0 WHERE n IN (0, 8)
+           UNION
+           SELECT n % 24, n FROM ns0 WHERE n >= 24),
+         r AS (
+           WITH RECURSIVE rr AS (
+             SELECT src, dst FROM e
+             UNION
+             SELECT rr.src, e.dst FROM rr JOIN e ON rr.dst = e.src)
+           SELECT * FROM rr),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         mutual AS (
+           SELECT a.src AS x, a.dst AS y
+           FROM r a JOIN r b ON b.src = a.dst AND b.dst = a.src)
+         SELECT nodes.node,
+           LEAST(nodes.node, COALESCE(MIN(m.y), nodes.node)) AS scc
+         FROM nodes LEFT JOIN mutual m ON m.x = nodes.node
+         GROUP BY nodes.node""",
     "q71_triangles" ->
       """WITH raw AS (
            SELECT c_custkey AS a, c_custkey // 2 AS b FROM customer WHERE c_custkey >= 2

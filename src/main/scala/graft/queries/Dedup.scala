@@ -217,6 +217,16 @@ object Dedup extends QueryModule {
       }
     }
     def result: DataFrame = res
+
+    /** Release the spine's pinned slices (callers consume `result` — itself
+      * checkpointed — before closing; it is released here too, so copy out
+      * anything that must survive). */
+    def close(): Unit = {
+      traceSlices.foreach(graft.incremental.Pinned.release(_))
+      storeSlices.foreach(graft.incremental.Pinned.release(_))
+      graft.incremental.Pinned.release(res)
+      traceSlices = Vector.empty; storeSlices = Vector.empty; res = null
+    }
   }
 
   /** ANN-base frame: (vec_id, e, bucket, nrm) with d06's bucket geometry.
@@ -308,6 +318,14 @@ object Dedup extends QueryModule {
     }
     def result: DataFrame =
       best.select(col("qid"), (-col("w.nn")).as("nid"), col("w.sim").as("sim"))
+
+    /** Release the pinned traces and argmax state (copy `result` out first —
+      * it is a view over `best`). */
+    def close(): Unit = {
+      import graft.incremental.Pinned
+      Pinned.release(trace); Pinned.release(qtrace); Pinned.release(best)
+      trace = null; qtrace = null; best = null
+    }
   }
 
   /** Exact-Jaccard verification of candidate pairs (d1 < d2) against the
@@ -921,15 +939,16 @@ object Dedup extends QueryModule {
     * d07 per-label centroids), probe the query's top-`nprobe` cells, exact
     * cosine rerank inside them. */
   def annIvfTop1(v: DataFrame, isQuery: Column, nprobe: Int): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val dotN = (x: Column, y: Column) => graft.functions.VectorFunctions.dotF(x, y)
     // build: per-label centroid vectors, collected into a broadcast array
-    // column (cells are few — ∝ √corpus; the vectors stay distributed)
+    // column (cells are few — ∝ √corpus; the vectors stay distributed).
+    // Mean is the d07 floor-quantized BIGINT sum (exact, order-free) — NOT a
+    // decimal cast, which diverges between engines on dyadic rounding ties.
     val cent = v
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "cv")))
       .groupBy("label", "pos")
-      .agg((sum(col("cv").cast("double").cast(DecimalType(18, 9))).cast("double")
-        / count(lit(1))).as("cval"))
+      .agg((sum(floor(col("cv").cast("double") * lit(1e9)).cast("long"))
+        .cast("double") / lit(1e9) / count(lit(1))).as("cval"))
       .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("cval"))))
         .as("sorted"))
       .select(col("label").as("cell"), transform(col("sorted"), _.getField("cval")).as("cvec"))
@@ -967,17 +986,20 @@ object Dedup extends QueryModule {
     * vector reaches the reduce side — the embedding rides inside the max
     * struct, so the corpus is never self-joined back); each update is the
     * d07 posexplode mean. The corpus is scanned once per round and never
-    * re-partitioned. All arithmetic is the proven bit-exact kit (d08):
-    * sequential double dots, decimal-exact means — so the unrolled DuckDB
-    * mirror value-gates every round, not just the final labels. */
+    * re-partitioned. All arithmetic is the proven bit-exact kit: sequential
+    * double dots (d05), floor-quantized BIGINT-sum means (d07) — so the
+    * unrolled DuckDB mirror value-gates every round, not just the final
+    * labels. */
   def kmeansAssign(v: DataFrame, rounds: Int): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val ed = (e: Column) => transform(e, _.cast("double"))
+    // mean = d07's floor(v·1e9) BIGINT sum — exact and order-free in every
+    // engine; a DECIMAL(18,9) cast rounds dyadic ties differently in Spark
+    // (half-up) vs DuckDB (half-even), observed as a real d07 mismatch
     def centroidsOf(df: DataFrame, cl: Column): DataFrame = df
       .select(cl.as("cell"), posexplode(col("embedding")).as(Seq("pos", "cv")))
       .groupBy("cell", "pos")
-      .agg((sum(col("cv").cast("double").cast(DecimalType(18, 9))).cast("double")
-        / count(lit(1))).as("cval"))
+      .agg((sum(floor(col("cv").cast("double") * lit(1e9)).cast("long"))
+        .cast("double") / lit(1e9) / count(lit(1))).as("cval"))
       .groupBy("cell")
       .agg(array_sort(collect_list(struct(col("pos"), col("cval")))).as("srt"))
       .select(col("cell"), transform(col("srt"), _.getField("cval")).as("cvec"))
@@ -1000,15 +1022,15 @@ object Dedup extends QueryModule {
   }
 
   /** Literal mirror of the d29 spherical k-means: both Lloyd rounds
-    * unrolled as CTEs with the d08 arithmetic idioms (list_inner_product
-    * sequential dots, DECIMAL(18,9) means, row_number tie-breaks). */
+    * unrolled as CTEs with the proven arithmetic idioms (list_inner_product
+    * sequential dots, floor-quantized BIGINT means, row_number tie-breaks). */
   private val kmeansOracleSql: String = {
     def centSql(src: String, clCol: String, out: String) =
       s"""$out AS (
            SELECT $clCol AS cell, list(cv ORDER BY pos) AS cvec FROM (
              SELECT $clCol, i AS pos,
-               CAST(SUM(CAST(e[CAST(i + 1 AS INT)] AS DECIMAL(18,9))) AS DOUBLE)
-                 / COUNT(*) AS cv
+               CAST(SUM(CAST(FLOOR(e[CAST(i + 1 AS INT)] * 1e9) AS BIGINT)) AS DOUBLE)
+                 / 1e9 / COUNT(*) AS cv
              FROM $src, range(64) t(i) GROUP BY 1, 2) GROUP BY 1)"""
     def asgSql(cent: String, out: String) =
       s"""$out AS (
@@ -1177,16 +1199,16 @@ object Dedup extends QueryModule {
     // (see the d15 scaladoc for why), so it shares d06's literal mirror
     "d15_inc_ann" -> annLshOracleSql,
 
-    // literal mirror of the IVF pipeline: decimal-exact per-label centroids
-    // (d07), nearest-cell assignment by exact cosine, top-2 probe cells per
-    // query, exact rerank inside probed cells, top-1.
+    // literal mirror of the IVF pipeline: floor-quantized per-label
+    // centroids (d07), nearest-cell assignment by exact cosine, top-2 probe
+    // cells per query, exact rerank inside probed cells, top-1.
     "d29_kmeans" -> kmeansOracleSql,
     "d08_ann_ivf" ->
       """WITH cent AS (
            SELECT label AS cell, list(cv ORDER BY pos) AS cvec FROM (
              SELECT label, i AS pos,
-               CAST(SUM(CAST(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)
-                 AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS cv
+               CAST(SUM(CAST(FLOOR(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)
+                 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 / COUNT(*) AS cv
              FROM embeddings, range(64) t(i) GROUP BY 1, 2) GROUP BY label),
          asg AS (
            SELECT e.vec_id, e.embedding, c.cell,

@@ -72,13 +72,6 @@ object Multimodal extends QueryModule {
         it.grouped(64).flatMap { batch =>
           batch.iterator.flatMap { r =>
             val bytes = r.media
-            // the DuckDB mirror enumerates frame indices from range(0,256,2)
-            // — a doc at/over 256 frames would fail the oracle diff as a
-            // confusing value mismatch; assert the corpus bound crisply
-            // here instead (the sf* corpora max out well under 4 KiB/doc)
-            require(bytes.length < 256 * frameLen, s"m02 oracle frame-index " +
-              s"bound exceeded: doc ${r.doc_id} has ${bytes.length} bytes " +
-              s">= ${256 * frameLen}")
             val nFrames = bytes.length / frameLen // full frames only
             (0 until nFrames by stride).iterator.map { f =>
               val off = f * frameLen
@@ -136,15 +129,19 @@ object Multimodal extends QueryModule {
 
   override def oracle: Map[String, String] = Map(
     // byte offsets == character offsets here because the corpus is ASCII
-    // (the m01 oracle's ascii-sum identity already relies on this)
+    // (the m01 oracle's ascii-sum identity already relies on this).
+    // The frame-index enumeration is DERIVED per document (scalar range
+    // over octet_length, unnested) — a regeneration with longer docs just
+    // yields more frames instead of silently truncating or crashing.
     "m02_frame_sample" ->
-      """SELECT doc_id, f.f AS frame_idx, f.f * 64 AS byte_off,
+      """SELECT doc_id, f AS frame_idx, f * 64 AS byte_off,
            CAST(64 AS BIGINT) AS frame_bytes,
            CAST(list_sum(list_transform(range(64),
-             i -> ascii(substr(text, CAST(f.f * 64 + i + 1 AS INT), 1)))) % 9973
+             i -> ascii(substr(text, CAST(f * 64 + i + 1 AS INT), 1)))) % 9973
              AS BIGINT) AS frame_checksum
-         FROM documents, range(0, 256, 2) f(f)
-         WHERE f.f < octet_length(encode(text)) // 64""",
+         FROM (SELECT doc_id, text,
+                 UNNEST(range(0, octet_length(encode(text)) // 64, 2)) AS f
+               FROM documents)""",
     "m03_resize" ->
       """SELECT doc_id, CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
            CAST(list_sum(list_transform(range(64),

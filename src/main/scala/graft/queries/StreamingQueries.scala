@@ -290,6 +290,40 @@ object StreamingQueries extends QueryModule {
         .where(col("w") > 0).select(col("key").as("user_id"), col("value"))
     }),
 
+    // streaming upsert on the PRODUCTION state path (q75): the same
+    // command stream as q34 driven through transformWithState (arbitrary
+    // state v2) on the RocksDB state-store provider — the reference's
+    // upsert over a persistent trace (operator/upsert.rs:37,
+    // trace/persistent/) as first-class state-store features. TimeMode is
+    // None here: the TTL'd variant runs ProcessingTime time-mode, whose
+    // timer-driven empty micro-batches never let a drain-to-quiesce
+    // harness settle (processAllAvailable waits forever) — TTL eviction
+    // is certified by StreamingSpec's dedicated boundedness tests, and
+    // tws ≡ fMGWS delta-for-delta by the tws spec. Consolidated snapshot
+    // == q34's last-write-wins oracle.
+    "q75_stream_upsert_tws" -> ((s, dir) => {
+      import s.implicits._
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val cmds = eventStream(s, dir, "upsert_tws").select(
+          col("user_id").as("key"), col("value"),
+          (epochMs(col("ts")) * 100000L + pmod(col("event_id"), lit(100000L))).as("seq"),
+          (col("event_type") === "error").as("delete")).as[UpsertCmd]
+        val deltas = StreamOps.upsertDeltasTws(cmds)
+        val out = StreamOps.runToMemory(s, deltas.toDF(),
+          s"stream_upsert_tws_${System.nanoTime()}", OutputMode.Append)
+        out.groupBy("key", "value").agg(sum("weight").as("w"))
+          .where(col("w") > 0).select(col("key").as("user_id"), col("value"))
+      } finally prev match {
+        case Some(v) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }),
+
     // stream-stream LEFT OUTER join: matched rows emit immediately; an
     // unmatched click emits (with null buy columns) only once the watermark
     // proves no purchase can still arrive — which is why BOTH streams carry
@@ -684,6 +718,12 @@ object StreamingQueries extends QueryModule {
       """SELECT DISTINCT user_id,
            epoch_ms(ts) - epoch_ms(ts) % 60000 AS minute_ms FROM events""",
     "q34_stream_upsert" ->
+      """SELECT user_id, value FROM events
+         QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+           AND event_type <> 'error'""",
+    // q75 = q34's semantics on the transformWithState/RocksDB path —
+    // same last-write-wins mirror
+    "q75_stream_upsert_tws" ->
       """SELECT user_id, value FROM events
          QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
            AND event_type <> 'error'""",

@@ -209,12 +209,20 @@ object StreamOps {
     var last = -2L
     var stable = 0
     val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    var sleepMs = 50L // short first polls cut the fixed per-query overhead
     while (stable < 2 && System.nanoTime() < deadline) {
       val cur = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
       if (cur == last) stable += 1 else { stable = 0; last = cur }
-      Thread.sleep(200)
+      Thread.sleep(sleepMs)
+      sleepMs = math.min(sleepMs * 2, 200L)
       q.processAllAvailable()
     }
+    if (stable < 2)
+      // the silent fall-through WAS the tail-window-loss failure mode this
+      // loop exists to fix — never let it recur without a signal
+      throw new IllegalStateException(
+        s"streaming query '$name' did not quiesce within 60s " +
+          s"(batchId still advancing past $last); tail windows may be lost")
     q.stop()
     spark.table(name)
   }

@@ -139,4 +139,34 @@ class OperatorSpec extends SparkSpec {
       reps = 1, base = 1000d, rows = 100L, maxAttempts = 2) { () => Thread.sleep(250L) }
     assert(a3.size == 2 && a3.flatten.size == 2)
   }
+
+  test("as-of union-sort (q23): no pair expansion in the plan, equals the theta-join form") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val q23 = graft.queries.Analytics.queries("q23_asof_join")(spark, sf0001)
+    // the r8 rewrite's whole point (VERDICT r8 wrong #3): ONE shuffle on
+    // user_id, running last — never a clicks×errors candidate join. Any
+    // join operator in the plan means the expansion came back.
+    val plan = q23.queryExecution.executedPlan.toString
+    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+      assert(!plan.contains(bad), s"as-of plan must not contain $bad:\n$plan")
+    // semantics gate: identical rows to the former theta-join + rank-1 plan
+    val ev = graft.core.Tables(spark, sf0001, "events")
+    def epochMs(c: org.apache.spark.sql.Column) =
+      graft.queries.Num.epochMs(c)
+    val e = ev.where(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts")).as("e")
+    val c = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_event_id"),
+        col("user_id").as("c_user_id"), col("ts").as("c_ts")).as("c")
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("c_ts").desc, col("click_event_id").desc)
+    val ref = e.join(c,
+        col("c_user_id") === col("e.user_id") && col("c_ts") < col("e.ts"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("click_event_id"),
+        (epochMs(col("e.ts")) - epochMs(col("c_ts"))).as("gap_ms"))
+    assertSameRows(q23, ref)
+  }
 }

@@ -203,4 +203,36 @@ class RecursiveSpec extends SparkSpec {
       .scanLeft(0L)(_ + _).drop(1)
     assert(cum2 == expected, s"cascade per-step cumulative $cum2 != $expected")
   }
+
+  test("scc (nested fixpoint): == mutual-reachability brute force; outer loop genuinely iterates") {
+    // chained cyclic blocks {0,1,2}, {3,4,5}, {6,7,8} with cross edges
+    // 0→3, 3→6, plus an acyclic star fringe hanging off node 1. Chaining
+    // forces sequential FW-BW peels (block 0's backward set excludes
+    // downstream blocks, so one component resolves per round) — the
+    // nesting is structural, not an implementation detail.
+    val edges = Seq(
+      (0L, 1L), (1L, 2L), (2L, 0L),
+      (3L, 4L), (4L, 5L), (5L, 3L),
+      (6L, 7L), (7L, 8L), (8L, 6L),
+      (0L, 3L), (3L, 6L),
+      (1L, 20L), (1L, 21L), (20L, 22L)).toDF("src", "dst")
+    val (got, rounds) = Recursive.sccWithRounds(edges)
+    // brute force: scc(x) = min({x} ∪ {y : x→*y ∧ y→*x}) over the closure
+    val r = Recursive.closureDoubling(edges)
+    val mutual = r.as("a").join(r.as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+      .select(col("a.src").as("node"), col("a.dst").as("y"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val expect = nodes.join(mutual, Seq("node"), "left")
+      .groupBy("node")
+      .agg(least(col("node"), coalesce(min(col("y")), col("node"))).as("scc"))
+    assertSameRows(got, expect)
+    // every node is labeled exactly once, by its component minimum
+    assert(got.count() == nodes.count())
+    assert(got.where(col("scc") > col("node")).isEmpty)
+    // the outer loop must have peeled the three chained components in
+    // separate rounds (plus a final empty-check round at most)
+    assert(rounds >= 3, s"outer loop ran only $rounds rounds — not nested")
+  }
 }
