@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** Galen-scale recursion: the 6-rule mutually-recursive Datalog program of
   * the reference's heaviest recursive benchmark (reference:
-  * crates/dbsp/benches/galen.rs:182-236; the program itself is public —
-  * github.com/frankmcsherry/dynamic-datalog, problems/galen):
+  * crates/dbsp/benches/galen.rs:182-236, which credits the public
+  * dynamic-datalog problem set; rules IR1-IR6 as named there):
   *
   *   IR1: p(x,z) :- p(x,y), p(y,z).
   *   IR2: q(x,r,z) :- p(x,y), q(y,r,z).

@@ -447,6 +447,24 @@ object Advanced extends QueryModule {
         .agg(count(lit(1)).as("n_triangles"))
     }),
 
+    // UDAF CONTRACT under the oracle gate (q78): the reference's Fold
+    // aggregator contract (init/step/merge/output, aggregate/fold.rs:39,
+    // Aggregator trait mod.rs:75-122) as a typed Spark Aggregator run
+    // through groupByKey().agg(...toColumn) — the weighted-sum fold
+    // (weigh, mod.rs:287), order-independent and integer-exact, so the
+    // DuckDB mirror hash-matches. Inputs quantized: v = floor(value·100)
+    // (one IEEE multiply + floor, engine-identical), w = event_id%5+1.
+    "q78_udaf_weighted" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select(col("user_id"),
+          floor(col("value") * 100).cast("long").as("v"),
+          (pmod(col("event_id"), lit(5L)) + 1L).as("w"))
+        .as[(Long, Long, Long)]
+      ev.groupByKey(_._1).mapValues(r => (r._2, r._3))
+        .agg(graft.functions.Fold.weightedSum.toColumn.name("wsum"))
+        .toDF("user_id", "wsum")
+    }),
+
     // NESTED RECURSION (q76): strongly-connected components by
     // trim + FW-BW peeling (operators/Recursive.scc) — three inner
     // fixpoints (trim, forward closure, backward closure) run inside an
@@ -778,6 +796,12 @@ object Advanced extends QueryModule {
            ON c.user_id = e.user_id AND c.ts < e.ts
          QUALIFY row_number() OVER (PARTITION BY e.event_id
            ORDER BY c.ts DESC, c.event_id DESC) = 1""",
+    // q78: the weighted-sum fold is Σ v·w per key, exactly
+    "q78_udaf_weighted" ->
+      """SELECT user_id,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT) * (event_id % 5 + 1))
+             AS BIGINT) AS wsum
+         FROM events GROUP BY 1""",
     // q76: non-nested equivalent — closure + min mutual-reach partner.
     // Mirrors the Spark fixture's edge synthesis literally.
     "q76_scc" ->

@@ -324,6 +324,27 @@ object StreamingQueries extends QueryModule {
       }
     }),
 
+    // STREAM_FOLD under the oracle gate (q77; reference
+    // operator/stream_fold.rs:21 — running fold with arbitrary
+    // accumulator, emitted per step): per-user running sum via
+    // flatMapGroupsWithState, driven by the file stream; the per-batch
+    // emissions are consolidated by MAX (the folded quantity is ≥1 per
+    // event, so the accumulator is strictly monotone and the max IS the
+    // final fold), which must equal the batch SUM. Values are quantized
+    // to integers (abs(floor(v·100))+1) so the running double sum is
+    // exact and order-free — cross-engine comparable.
+    "q77_stream_fold" -> ((s, dir) => {
+      import s.implicits._
+      val evs = eventStream(s, dir, "sfold")
+        .select(col("user_id"),
+          (abs(floor(col("value") * 100)) + 1.0).as("v"))
+        .as[(Long, Double)]
+      val folded = StreamOps.runningSum(evs)
+      val out = StreamOps.runToMemory(s, folded.toDF("user_id", "acc"),
+        s"stream_fold_${System.nanoTime()}", OutputMode.Append)
+      out.groupBy("user_id").agg(max(col("acc")).cast("long").as("total"))
+    }),
+
     // stream-stream LEFT OUTER join: matched rows emit immediately; an
     // unmatched click emits (with null buy columns) only once the watermark
     // proves no purchase can still arrive — which is why BOTH streams carry
@@ -727,6 +748,12 @@ object StreamingQueries extends QueryModule {
       """SELECT user_id, value FROM events
          QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
            AND event_type <> 'error'""",
+    // q77: the final running fold per key == the batch sum of the folded
+    // quantity (integer-quantized so the double accumulation is exact)
+    "q77_stream_fold" ->
+      """SELECT user_id,
+           CAST(SUM(ABS(FLOOR(value * 100)) + 1) AS BIGINT) AS total
+         FROM events GROUP BY 1""",
     "q57_stream_outer_join" ->
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS buy_id,
             epoch_ms(c.ts) AS c_ms, epoch_ms(p.ts) AS p_ms
