@@ -278,7 +278,113 @@ object Recursive {
       }
       rounds += 1
     }
-    (out.reduce(_ union _), rounds)
+    val empty = edges.select(col("src").as("node"), col("src").as("scc"))
+      .where(lit(false))
+    (out.foldLeft(empty)(_ unionByName _), rounds)
+  }
+
+  /** Strongly-connected components MAINTAINED under edge deltas including
+    * retractions — incremental maintenance of a NESTED fixpoint (the
+    * reference expresses this as nested incremental recursion,
+    * recursive.rs nested scopes + distinct.rs:78-100 DistinctIncremental;
+    * here it is explicit affected-component recompute, the IncrementalClosure
+    * strategy lifted one nesting level).
+    *
+    * Affected-set analysis per epoch (delta = ±(src, dst) Z-set):
+    *  - any NEW SCC that uses an inserted edge (u, v) lies on a cycle
+    *    through it, so every member is reachable from v AND reaches u:
+    *    members ⊆ fw(V) ∩ bw(U) over the NEW edge set (V/U = inserted
+    *    heads/tails). The set is closed under SCC membership (a mate of a
+    *    member is also in both closures).
+    *  - any SCC that SHRINKS (deletion) is confined to the OLD component
+    *    of the deleted edge's endpoints — old components of all touched
+    *    nodes are included wholesale.
+    *  - an SCC using no inserted edge is inside an old SCC, so if it
+    *    intersects the affected set it is covered by the old-component
+    *    term; one that uses an inserted edge is covered by the fw∩bw term
+    *    — together the affected set is SCC-closed in the new graph, and
+    *    recomputing `scc` on its induced subgraph is exact.
+    *
+    * Per-epoch cost: two reachability fixpoints seeded at the delta's
+    * endpoints (O(their reach), log-barrier 2-hop steps) + the nested
+    * `scc` on the affected subgraph + one anti-join relabel — components
+    * the delta cannot touch are never read. */
+  final class IncrementalScc(initEdges: ZSetFrame) {
+    private var edges: DataFrame =
+      materialize(initEdges.distinctZ.toDF.select("src", "dst"))
+    private var labels: DataFrame = materialize(scc(edges))
+
+    def currentLabels: DataFrame = labels
+
+    /** reachability from `seed` node set over `e`, 2 hops per barrier */
+    private def reach(seed: DataFrame, e: DataFrame, forward: Boolean): DataFrame = {
+      val a = e.select(col("src").as("h_src"), col("dst").as("mid"))
+      val b = e.select(col("src").as("mid"), col("dst").as("h_dst"))
+      val e2 = materialize(a.join(b, "mid")
+        .select(col("h_src").as("src"), col("h_dst").as("dst"))
+        .unionByName(e.select("src", "dst")).distinct())
+      if (forward)
+        fixpoint(seed) { d =>
+          d.join(e2, d("node") === e2("src")).select(e2("dst").as("node")) }
+      else
+        fixpoint(seed) { d =>
+          d.join(e2, d("node") === e2("dst")).select(e2("src").as("node")) }
+    }
+
+    /** one epoch: apply a ±edge delta, repair the labeling; returns it */
+    def step(delta: ZSetFrame): DataFrame = {
+      val dAll = materialize(delta.df.select("src", "dst", ZSetFrame.W))
+      val eNew = materialize(
+        (ZSetFrame.fromTable(edges) + ZSetFrame.fromDelta(dAll))
+          .distinctZ.toDF.select("src", "dst"))
+      val inserted = dAll.where(col(ZSetFrame.W) > 0)
+      val touched = materialize(
+        dAll.select(col("src").as("node"))
+          .union(dAll.select(col("dst").as("node"))).distinct())
+      // old components of every touched node (covers splits)
+      val touchedComps = labels
+        .join(labels.join(touched, Seq("node"), "left_semi")
+          .select(col("scc").as("tscc")).distinct(),
+          col("scc") === col("tscc"), "left_semi")
+        .select("node")
+      // cycles through inserted edges (covers merges): fw(heads) ∩ bw(tails)
+      val fwIn = reach(materialize(
+        inserted.select(col("dst").as("node")).distinct()), eNew, forward = true)
+      val bwIn = reach(materialize(
+        inserted.select(col("src").as("node")).distinct()), eNew, forward = false)
+      val affected = materialize(
+        fwIn.intersect(bwIn).unionByName(touchedComps)
+          .unionByName(touched).distinct())
+      // induced subgraph on the affected set; nested scc() relabels it
+      val sub = materialize(eNew
+        .join(affected.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(affected.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst"))
+      val relabeled =
+        if (sub.isEmpty) sub.sparkSession.emptyDataFrame
+          .select(lit(0L).as("node"), lit(0L).as("scc")).where(lit(false))
+        else scc(sub)
+      // affected nodes outside the subgraph are singletons IF they still
+      // touch any edge (an affected node's cycle edges would all be in
+      // `sub` by SCC-closure, so outside-sub means genuinely acyclic);
+      // nodes that lost their last edge leave the labeling entirely —
+      // batch scc labels only edge-endpoint nodes
+      val isolated = affected
+        .join(sub.select(col("src").as("node"))
+          .union(sub.select(col("dst").as("node"))).distinct(),
+          Seq("node"), "left_anti")
+      val isolatedLive = isolated
+        .join(eNew, isolated("node") === eNew("src"), "left_semi")
+        .union(isolated
+          .join(eNew, isolated("node") === eNew("dst"), "left_semi"))
+        .distinct()
+        .select(col("node"), col("node").as("scc"))
+      labels = materialize(
+        labels.join(affected, Seq("node"), "left_anti")
+          .unionByName(relabeled).unionByName(isolatedLive))
+      edges = eNew
+      labels
+    }
   }
 
   /** PageRank — ITERATED WEIGHTED SUMS inside the recursion (reference:

@@ -447,6 +447,80 @@ object Advanced extends QueryModule {
         .agg(count(lit(1)).as("n_triangles"))
     }),
 
+    // INCREMENTAL SCC MAINTENANCE (q82) — the nested fixpoint of q76
+    // maintained under edge deltas INCLUDING retractions
+    // (Recursive.IncrementalScc): epoch 1 retracts a cyclic block's wrap
+    // edge (SPLITTING its SCC into singletons) and a wave of star edges
+    // (whose leaf nodes lose their last edge and leave the labeling);
+    // epoch 2 inserts one cross edge closing a cycle through two other
+    // blocks (MERGING three old components into one). The repair
+    // recomputes only the affected region — old components of touched
+    // nodes plus the fw∩bw cycle span of inserted edges — and runs the
+    // NESTED scc on its induced subgraph. Final labeling == batch scc on
+    // the surviving edge set (oracle = q76's WITH RECURSIVE formula over
+    // the post-delta edge synthesis); RecursiveSpec gates EVERY epoch
+    // against the batch recomputation on a controlled graph.
+    "q82_inc_scc" -> ((s, dir) => {
+      val n = t(s, dir, "customer")
+        .select((col("c_custkey") - 1).as("n")).where(col("n") >= 0)
+      val cyc = n.where(col("n") < 24).select(col("n").as("src"),
+        when(pmod(col("n") + 1, lit(8L)) === 0, col("n") - 7)
+          .otherwise(col("n") + 1).as("dst"))
+      val cross = n.where(col("n").isin(0L, 8L))
+        .select(col("n").as("src"), (col("n") + 8).as("dst"))
+      val stars = n.where(col("n") >= 24)
+        .select(pmod(col("n"), lit(24L)).as("src"), col("n").as("dst"))
+      val all = cyc.union(cross).union(stars)
+      val st = new graft.operators.Recursive.IncrementalScc(
+        ZSetFrame.fromTable(all))
+      val retr = all.where(
+          (col("src") === 15 && col("dst") === 8) ||
+          (col("dst") >= 24 && pmod(col("dst"), lit(7L)) === 0))
+        .withColumn(ZSetFrame.W, lit(-1L))
+      st.step(ZSetFrame.fromDelta(retr))
+      val ins = n.where(col("n") === 16)
+        .select(col("n").as("src"), lit(0L).as("dst"))
+      st.step(ZSetFrame.fromTable(ins))
+    }),
+
+    // DIFFERENTIATE under the oracle gate (q79; reference
+    // operator/differentiate.rs:24 — x(t) − x(t−1) at an ingestion
+    // boundary): two snapshots of the events table under different
+    // retention predicates; the differentiated Z-set must be exactly the
+    // +1 rows that appeared and the −1 rows that vanished.
+    "q79_differentiate" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select("event_id")
+      val prev = ZSetFrame.fromTable(ev.where(pmod(col("event_id"), lit(3L)) =!= 0))
+      val curr = ZSetFrame.fromTable(ev.where(pmod(col("event_id"), lit(4L)) =!= 0))
+      Incremental.differentiate(prev, curr)
+        .df.select(col("event_id"), col(ZSetFrame.W).as("w"))
+    }),
+
+    // GENERATOR source under the oracle gate (q80; reference Generator,
+    // operator/generator.rs:12 — rows derived from the index by a pure
+    // closure): the index arithmetic must match DuckDB's range() exactly.
+    "q80_generator" -> ((s, _) => {
+      graft.sources.Sources.generator(s, 100000L) { df =>
+        df.select(col("id"),
+          pmod(col("id"), lit(97L)).as("k"),
+          pmod(col("id") * 2654435761L, lit(1000L)).as("v"))
+      }
+    }),
+
+    // SALTED SKEW JOIN under the oracle gate (q81; the shard/Exchange
+    // row's static skew escape hatch): scatter the big side across salts,
+    // replicate the small side, join on (keys, salt) — result must equal
+    // the plain equi-join row-for-row. OperatorSpec already asserts
+    // equivalence on a synthetic skew fixture; this certifies the operator
+    // on real tables under the cross-engine gate.
+    "q81_salted_join" -> ((s, dir) => {
+      val big = t(s, dir, "events").select("event_id", "user_id")
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.operators.SkewJoin.saltedJoin(big, dim, Seq("user_id"), salts = 8)
+        .select("event_id", "user_id", "c_mktsegment")
+    }),
+
     // UDAF CONTRACT under the oracle gate (q78): the reference's Fold
     // aggregator contract (init/step/merge/output, aggregate/fold.rs:39,
     // Aggregator trait mod.rs:75-122) as a typed Spark Aggregator run
@@ -796,6 +870,51 @@ object Advanced extends QueryModule {
            ON c.user_id = e.user_id AND c.ts < e.ts
          QUALIFY row_number() OVER (PARTITION BY e.event_id
            ORDER BY c.ts DESC, c.event_id DESC) = 1""",
+    // q82: batch SCC over the POST-DELTA edge synthesis — q76's formula
+    // with block 1's wrap edge gone, star leaves divisible by 7 gone, and
+    // the (16, 0) merge edge added
+    "q82_inc_scc" ->
+      """WITH ns0 AS (SELECT c_custkey - 1 AS n FROM customer
+                      WHERE c_custkey - 1 >= 0),
+         e AS (
+           SELECT n AS src,
+             CASE WHEN (n + 1) % 8 = 0 THEN n - 7 ELSE n + 1 END AS dst
+           FROM ns0 WHERE n < 24 AND NOT (n = 15)
+           UNION
+           SELECT n, n + 8 FROM ns0 WHERE n IN (0, 8)
+           UNION
+           SELECT n % 24, n FROM ns0 WHERE n >= 24 AND n % 7 <> 0
+           UNION
+           SELECT 16, 0 FROM ns0 WHERE n = 16),
+         r AS (
+           WITH RECURSIVE rr AS (
+             SELECT src, dst FROM e
+             UNION
+             SELECT rr.src, e.dst FROM rr JOIN e ON rr.dst = e.src)
+           SELECT * FROM rr),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         mutual AS (
+           SELECT a.src AS x, a.dst AS y
+           FROM r a JOIN r b ON b.src = a.dst AND b.dst = a.src)
+         SELECT nodes.node,
+           LEAST(nodes.node, COALESCE(MIN(m.y), nodes.node)) AS scc
+         FROM nodes LEFT JOIN mutual m ON m.x = nodes.node
+         GROUP BY nodes.node""",
+    // q79: appeared rows at +1, vanished rows at −1, nothing else
+    "q79_differentiate" ->
+      """SELECT event_id, CAST(1 AS BIGINT) AS w FROM events
+         WHERE event_id % 3 = 0 AND event_id % 4 <> 0
+         UNION ALL
+         SELECT event_id, CAST(-1 AS BIGINT) AS w FROM events
+         WHERE event_id % 3 <> 0 AND event_id % 4 = 0""",
+    // q80: the same index arithmetic over range()
+    "q80_generator" ->
+      """SELECT id, id % 97 AS k, (id * 2654435761) % 1000 AS v
+         FROM range(100000) t(id)""",
+    // q81: the salted join must equal the plain equi-join
+    "q81_salted_join" ->
+      """SELECT e.event_id, e.user_id, c.c_mktsegment
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey""",
     // q78: the weighted-sum fold is Σ v·w per key, exactly
     "q78_udaf_weighted" ->
       """SELECT user_id,

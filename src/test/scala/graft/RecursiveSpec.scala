@@ -235,4 +235,38 @@ class RecursiveSpec extends SparkSpec {
     // separate rounds (plus a final empty-check round at most)
     assert(rounds >= 3, s"outer loop ran only $rounds rounds — not nested")
   }
+
+  test("IncrementalScc ≡ batch scc after every epoch (splits, merges, node departures)") {
+    // two triangles bridged by a path, plus a pendant leaf
+    val base = Seq(
+      (0L, 1L), (1L, 2L), (2L, 0L),    // triangle A
+      (5L, 6L), (6L, 7L), (7L, 5L),    // triangle B
+      (2L, 5L),                        // bridge A→B
+      (1L, 9L)                         // pendant leaf
+    ).toDF("src", "dst")
+    def z(rows: Seq[(Long, Long, Long)]) =
+      ZSetFrame.fromDelta(rows.toDF("src", "dst", ZSetFrame.W))
+    val st = new Recursive.IncrementalScc(ZSetFrame.fromTable(base))
+    // epochs: merge A and B (insert back-bridge), split B (retract 7→5),
+    // drop the pendant leaf (node 9 leaves the labeling), re-close B while
+    // retracting the back-bridge (merge + split in ONE mixed epoch)
+    val epochs = Seq(
+      z(Seq((6L, 1L, 1L))),                  // cycle A→B→A: one big SCC
+      z(Seq((7L, 5L, -1L))),                 // split triangle B
+      z(Seq((1L, 9L, -1L))),                 // node 9 loses its only edge
+      z(Seq((7L, 5L, 1L), (6L, 1L, -1L))))   // restore B, unmerge A/B
+    var acc = ZSetFrame.fromTable(base)
+    epochs.foreach { d =>
+      val got = st.step(d)
+      acc = (acc + d).distinctZ
+      val edgesNow = acc.toDF.select("src", "dst")
+      assertSameRows(got, Recursive.scc(edgesNow))
+    }
+    // final state: the two original triangles, path nodes as singletons,
+    // node 9 absent
+    val fin = st.currentLabels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fin(0L) == 0L && fin(1L) == 0L && fin(2L) == 0L)
+    assert(fin(5L) == 5L && fin(6L) == 5L && fin(7L) == 5L)
+    assert(!fin.contains(9L), "node 9 lost its last edge and must leave")
+  }
 }
