@@ -147,6 +147,10 @@ object GalenBench {
       dRows += dp.count() + dq.count()
       i += 1
     }
+    // an exhausted iteration budget must FAIL, not hand back a
+    // silently-incomplete fixpoint (the spec's set-equality gate would
+    // catch it at test scale, but bench-scale runs have no oracle)
+    require(!live, s"galen fixpoint did not converge within $maxIter rounds")
     (ap, aq, times.toSeq, dRows.toSeq)
   }
 }

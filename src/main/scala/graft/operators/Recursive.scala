@@ -278,6 +278,10 @@ object Recursive {
       }
       rounds += 1
     }
+    // a round budget that runs out with nodes remaining must FAIL, not
+    // return a silently-partial labeling
+    require(nodes.isEmpty,
+      s"scc did not converge within $maxRounds rounds (${nodes.count()} nodes remain)")
     val empty = edges.select(col("src").as("node"), col("src").as("scc"))
       .where(lit(false))
     (out.foldLeft(empty)(_ unionByName _), rounds)
