@@ -21,6 +21,47 @@ object Fold {
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Order-CARRYING last-N mean — the oracle-certifiable rendition of the
+    * nexmark q6 fold. The reference's fold sees rows already time-ordered
+    * (its VecDeque keeps arrival order, aggregate/fold.rs:39 +
+    * nexmark/src/queries/q6.rs:97-110); Spark's shuffle gives no such
+    * guarantee, so the ORDER KEY rides in the buffer: each element is
+    * ((ordA, ordB), scaledValue), the buffer is the N largest elements by
+    * (ordA, ordB) descending, and reduce/merge keep it sorted — a
+    * commutative, associative monoid on top-N lists, deterministic under
+    * any partitioning or merge order. Values are caller-scaled BIGINTs so
+    * the final sum is integer-exact (cross-engine hashable); `finish`
+    * returns sum/scale/count as double — one division, engine-identical. */
+  class LastNAvgBy[IN](n: Int, scale: Double,
+                       ord: IN => (Long, Long), get: IN => Long)
+      extends Aggregator[IN, List[(Long, Long, Long)], Double] {
+    private def gt(a: (Long, Long, Long), b: (Long, Long, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 > b._2)
+    def zero: List[(Long, Long, Long)] = Nil
+    def reduce(b: List[(Long, Long, Long)], v: IN): List[(Long, Long, Long)] = {
+      val (oa, ob) = ord(v)
+      merge(b, List((oa, ob, get(v))))
+    }
+    def merge(x: List[(Long, Long, Long)],
+              y: List[(Long, Long, Long)]): List[(Long, Long, Long)] = {
+      // merge two desc-sorted lists, keep the N largest
+      val out = List.newBuilder[(Long, Long, Long)]
+      var (a, b, k) = (x, y, 0)
+      while (k < n && (a.nonEmpty || b.nonEmpty)) {
+        if (b.isEmpty || (a.nonEmpty && gt(a.head, b.head))) {
+          out += a.head; a = a.tail
+        } else { out += b.head; b = b.tail }
+        k += 1
+      }
+      out.result()
+    }
+    def finish(b: List[(Long, Long, Long)]): Double =
+      if (b.isEmpty) 0.0 else b.map(_._3).sum / scale / b.size
+    def bufferEncoder: Encoder[List[(Long, Long, Long)]] =
+      Encoders.kryo[List[(Long, Long, Long)]]
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
   /** Weighted sum fold: Σ value·weight — the linear-aggregate building block
     * (reference: aggregate/mod.rs:287 weigh) as a typed Aggregator. */
   val weightedSum: Aggregator[(Long, Long), Long, Long] =

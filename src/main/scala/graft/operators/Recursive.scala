@@ -100,6 +100,31 @@ object Recursive {
     accs.toSeq
   }
 
+  /** The DOUBLED edge set E ∪ E∘E — each frontier-fixpoint barrier extends
+    * paths by up to TWO hops, halving the driver-round count of every
+    * reachability loop built on it (the closureDoubling lesson applied to
+    * frontier search: barriers are the scarce resource, not rows). */
+  private def doubledEdges(e: DataFrame): DataFrame = {
+    val a = e.select(col("src").as("h_src"), col("dst").as("mid"))
+    val b = e.select(col("src").as("mid"), col("dst").as("h_dst"))
+    materialize(a.join(b, "mid")
+      .select(col("h_src").as("src"), col("h_dst").as("dst"))
+      .unionByName(e.select("src", "dst")).distinct())
+  }
+
+  /** Frontier reachability from `seed` (column `node`) over a pre-doubled
+    * edge set: per-iteration work is O(frontier ⋈ edges) — rows touched
+    * track the seed's actual reach, never all-pairs. The result INCLUDES
+    * the seed (fixpoint accumulates its base). */
+  private def reachOver(seed: DataFrame, e2: DataFrame,
+                        forward: Boolean): DataFrame =
+    if (forward)
+      fixpoint(seed) { d =>
+        d.join(e2, d("node") === e2("src")).select(e2("dst").as("node")) }
+    else
+      fixpoint(seed) { d =>
+        d.join(e2, d("node") === e2("dst")).select(e2("src").as("node")) }
+
   /** Transitive closure by PATH DOUBLING: after k iterations the result is
     * closed under paths of length ≤ 2^k, so a depth-D graph needs ⌈log₂ D⌉
     * barriers instead of D. On Spark each fixpoint iteration is a full
@@ -154,6 +179,26 @@ object Recursive {
     def currentEdges: DataFrame = edges
     def closure: DataFrame = tc
 
+    /** Superseded generations pending release — two-step deferral, same
+      * lifecycle contract as KeyedState / IncrementalScc. */
+    private val retired = scala.collection.mutable.Buffer[(Long, DataFrame)]()
+    private var gen = 0L
+
+    private def reclaim(): Unit = {
+      val (free, keep) = retired.partition(_._1 <= gen - 2)
+      free.foreach { case (_, df) => graft.incremental.Pinned.release(df) }
+      retired.clear()
+      retired ++= keep
+    }
+
+    /** Release ALL pinned generations; the state is unusable afterwards. */
+    def close(): Unit = {
+      retired.foreach { case (_, df) => graft.incremental.Pinned.release(df) }
+      retired.clear()
+      graft.incremental.Pinned.release(tc)
+      graft.incremental.Pinned.release(edges)
+    }
+
     /** reachability restricted to paths STARTING at `seed`'s src values.
       * Derives over the DOUBLED edge set E ∪ E∘E — one extra join per
       * epoch halves the barrier count of the repair fixpoint (each
@@ -173,6 +218,8 @@ object Recursive {
 
     /** one epoch: apply an edge delta Z-set (mixed ±) and repair the closure */
     def step(delta: ZSetFrame): DataFrame = {
+      gen += 1
+      reclaim()
       val dEdges = materialize(delta.df.select("src", "dst", ZSetFrame.W))
       val eNew = materialize(
         (ZSetFrame.fromTable(edges) + ZSetFrame.fromDelta(dEdges)).distinctZ.toDF)
@@ -186,8 +233,10 @@ object Recursive {
       val seed = eNew.join(broadcast(aff), Seq("src"), "left_semi")
       val reAff = closureFrom(seed, eNew)
       val kept = tc.join(broadcast(aff), Seq("src"), "left_anti")
+      val (oldTc, oldEdges) = (tc, edges)
       edges = eNew
       tc = materialize(kept.union(reAff))
+      retired += ((gen, oldTc)); retired += ((gen, oldEdges))
       tc
     }
   }
@@ -259,18 +308,17 @@ object Recursive {
       if (!nodes.isEmpty) {
         val pivot = nodes.agg(min(col("node"))).head().getLong(0)
         val seed = nodes.where(col("node") === pivot)
-        // inner fixpoint B: reachability over the REMAINING subgraph by
-        // path doubling (log-barrier — driver rounds are the scarce
-        // resource; see closureDoubling). The trim phase has already
-        // dissolved the acyclic fringe, so this closure runs on the
-        // cyclic core only — the small residue of a real graph. (On a
-        // core too big to close all-pairs, swap in per-pivot frontier
-        // fixpoints: fewer rows, more barriers — same nesting.)
-        val r = closureDoubling(e)
-        val fw = r.where(col("src") === pivot).select(col("dst").as("node"))
-          .unionByName(seed).distinct()
-        val bw = r.where(col("dst") === pivot).select(col("src").as("node"))
-          .unionByName(seed).distinct()
+        // inner fixpoints B/C: PER-PIVOT frontier reachability (forward and
+        // backward) over the doubled remaining edge set — per-peel work is
+        // O(pivot's reach), never the O(core²) of closing the whole
+        // remaining subgraph all-pairs (VERDICT r9 #2: a large post-trim
+        // cyclic core made the all-pairs closure the plan's killer; the
+        // frontier form is the same shape as IncrementalScc's repair
+        // reachability). The doubled set is materialized ONCE per peel and
+        // shared by both directions.
+        val e2 = doubledEdges(e)
+        val fw = reachOver(seed, e2, forward = true)
+        val bw = reachOver(seed, e2, forward = false)
         val comp = materialize(fw.intersect(bw))
         out ::= comp.select(col("node"), lit(pivot).as("scc"))
         nodes = materialize(nodes.except(comp))
@@ -320,23 +368,36 @@ object Recursive {
 
     def currentLabels: DataFrame = labels
 
-    /** reachability from `seed` node set over `e`, 2 hops per barrier */
-    private def reach(seed: DataFrame, e: DataFrame, forward: Boolean): DataFrame = {
-      val a = e.select(col("src").as("h_src"), col("dst").as("mid"))
-      val b = e.select(col("src").as("mid"), col("dst").as("h_dst"))
-      val e2 = materialize(a.join(b, "mid")
-        .select(col("h_src").as("src"), col("h_dst").as("dst"))
-        .unionByName(e.select("src", "dst")).distinct())
-      if (forward)
-        fixpoint(seed) { d =>
-          d.join(e2, d("node") === e2("src")).select(e2("dst").as("node")) }
-      else
-        fixpoint(seed) { d =>
-          d.join(e2, d("node") === e2("dst")).select(e2("src").as("node")) }
+    /** Superseded (labels, edges) generations pending release. The frame a
+      * `step` returns is a pinned checkpoint the caller may still be
+      * reading when the NEXT step lands, so — like KeyedState's retired
+      * segments — a superseded generation is unpersisted two steps later,
+      * not immediately (the lifecycle discipline ADVICE r9 asked for). */
+    private val retired = scala.collection.mutable.Buffer[(Long, DataFrame)]()
+    private var gen = 0L
+
+    private def retire(dfs: DataFrame*): Unit = dfs.foreach(df => retired += ((gen, df)))
+
+    private def reclaim(): Unit = {
+      val (free, keep) = retired.partition(_._1 <= gen - 2)
+      free.foreach { case (_, df) => graft.incremental.Pinned.release(df) }
+      retired.clear()
+      retired ++= keep
+    }
+
+    /** Release ALL pinned generations (current + pending). The state is
+      * unusable afterwards; callers materialize outputs they need first. */
+    def close(): Unit = {
+      retired.foreach { case (_, df) => graft.incremental.Pinned.release(df) }
+      retired.clear()
+      graft.incremental.Pinned.release(labels)
+      graft.incremental.Pinned.release(edges)
     }
 
     /** one epoch: apply a ±edge delta, repair the labeling; returns it */
     def step(delta: ZSetFrame): DataFrame = {
+      gen += 1
+      reclaim()
       val dAll = materialize(delta.df.select("src", "dst", ZSetFrame.W))
       val eNew = materialize(
         (ZSetFrame.fromTable(edges) + ZSetFrame.fromDelta(dAll))
@@ -352,10 +413,12 @@ object Recursive {
           col("scc") === col("tscc"), "left_semi")
         .select("node")
       // cycles through inserted edges (covers merges): fw(heads) ∩ bw(tails)
-      val fwIn = reach(materialize(
-        inserted.select(col("dst").as("node")).distinct()), eNew, forward = true)
-      val bwIn = reach(materialize(
-        inserted.select(col("src").as("node")).distinct()), eNew, forward = false)
+      // — ONE doubled-edge materialization shared by both directions
+      val e2New = doubledEdges(eNew)
+      val fwIn = reachOver(materialize(
+        inserted.select(col("dst").as("node")).distinct()), e2New, forward = true)
+      val bwIn = reachOver(materialize(
+        inserted.select(col("src").as("node")).distinct()), e2New, forward = false)
       val affected = materialize(
         fwIn.intersect(bwIn).unionByName(touchedComps)
           .unionByName(touched).distinct())
@@ -383,10 +446,12 @@ object Recursive {
           .join(eNew, isolated("node") === eNew("dst"), "left_semi"))
         .distinct()
         .select(col("node"), col("node").as("scc"))
+      val (oldLabels, oldEdges) = (labels, edges)
       labels = materialize(
         labels.join(affected, Seq("node"), "left_anti")
           .unionByName(relabeled).unionByName(isolatedLive))
       edges = eNew
+      retire(oldLabels, oldEdges)
       labels
     }
   }

@@ -110,6 +110,36 @@ object SqlQueries extends QueryModule {
          GROUP BY o_custkey
          HAVING COUNT(*) >= 2""")(s, dir)),
 
+    // DECLARATIVE SOURCE/SINK BINDING (q84, the pipeline_manager flow,
+    // reference: crates/pipeline_manager/src/compiler.rs:291-333): the
+    // WHOLE pipeline is one SQL program string — sources bound with
+    // `CREATE TEMPORARY VIEW ... USING parquet OPTIONS (path ...)` (the
+    // `CREATE TABLE ... WITH (connector=...)` analog), a staged transform
+    // view, a parquet SINK via INSERT OVERWRITE DIRECTORY, and a final
+    // read-back of the sink (certifying the sink's content under the
+    // oracle, the q51 roundtrip discipline). No Scala query body: only
+    // SqlProgram.run(program).
+    "q84_sql_program" -> ((s, dir) => {
+      val sink = s"/tmp/graft_sqlprog_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.SqlProgram.run(s,
+        s"""CREATE OR REPLACE TEMPORARY VIEW src_orders
+              USING parquet OPTIONS (path '$dir/orders.parquet');
+            CREATE OR REPLACE TEMPORARY VIEW src_customer
+              USING parquet OPTIONS (path '$dir/customer.parquet');
+            -- transform: open-order value per market segment
+            CREATE OR REPLACE TEMPORARY VIEW v_seg_open AS
+              SELECT c.c_mktsegment AS seg, o.o_totalprice
+              FROM src_orders o JOIN src_customer c
+                ON o.o_custkey = c.c_custkey
+              WHERE o.o_orderstatus = 'O';
+            INSERT OVERWRITE DIRECTORY '$sink' USING parquet
+              SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_open,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                  AS total
+              FROM v_seg_open GROUP BY seg;
+            SELECT seg, n_open, total FROM parquet.`$sink`""")
+    }),
+
     // SQL twin of the q25 rollup: hierarchical totals over two dims
     "q49_sql_rollup" -> ((s, dir) => sqlq(
       """SELECT o_orderstatus, o_orderpriority,
@@ -172,6 +202,12 @@ object SqlQueries extends QueryModule {
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
          FROM orders
-         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""
+         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    "q84_sql_program" ->
+      """SELECT c.c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n_open,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE o.o_orderstatus = 'O'
+         GROUP BY 1"""
   )
 }

@@ -26,6 +26,28 @@ class KeyedStateSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("bucketOfLongs == SQL hash() bucket, single and composite Long keys") {
+    val n = 32
+    val vals = Seq(0L, 1L, -1L, 97L, -5L, 123456789L, Long.MaxValue,
+      Long.MinValue, 42L, 2654435761L)
+    val want1 = vals.toDF("k")
+      .select(col("k"), pmod(hash(col("k")), lit(n)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    vals.foreach { v =>
+      assert(KeyedState.bucketOfLongs(Seq(v), n) == want1(v),
+        s"single-key bucket mismatch for $v")
+    }
+    val pairs = for (a <- vals.take(5); b <- vals.takeRight(5)) yield (a, b)
+    val want2 = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        pmod(hash(col("a"), col("b")), lit(n)).as("bk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(KeyedState.bucketOfLongs(Seq(a, b), n) == want2((a, b)),
+        s"composite-key bucket mismatch for ($a,$b)")
+    }
+  }
+
   test("KeyedState snapshot ≡ naive State acc over random delta sequences") {
     for (seed <- 1 to 3) {
       val rnd = new scala.util.Random(seed + 500)

@@ -36,6 +36,29 @@ class OperatorSpec extends SparkSpec {
     assert(got(2L) == 10.0)
   }
 
+  test("Fold.LastNAvgBy: deterministic top-N monoid (order-carrying fold)") {
+    val agg = new Fold.LastNAvgBy[(Long, Long, Long)](
+      3, 10.0, v => (v._1, v._2), _._3)
+    // rows: (ordA, ordB, scaledValue); newest 3 by (ordA, ordB) are
+    // (5,_,50),(4,_,40),(3,_,30) → mean = (50+40+30)/10/3 = 4.0
+    val rows = Seq((1L, 1L, 10L), (3L, 1L, 30L), (5L, 1L, 50L),
+      (2L, 1L, 20L), (4L, 1L, 40L))
+    // every permutation and every split-merge shape must agree
+    val direct = rows.permutations.take(12).map(p =>
+      agg.finish(p.foldLeft(agg.zero)(agg.reduce))).toSeq
+    assert(direct.forall(v => math.abs(v - 4.0) < 1e-12))
+    val (l, r) = rows.splitAt(2)
+    val merged = agg.finish(agg.merge(
+      l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce)))
+    assert(math.abs(merged - 4.0) < 1e-12)
+    // tie on ordA breaks by ordB: (5,2) beats (5,1)
+    val t2 = new Fold.LastNAvgBy[(Long, Long, Long)](
+      1, 1.0, v => (v._1, v._2), _._3)
+    val tied = Seq((5L, 1L, 100L), (5L, 2L, 7L))
+    assert(t2.finish(tied.foldLeft(t2.zero)(t2.reduce)) == 7.0)
+    assert(t2.finish(tied.reverse.foldLeft(t2.zero)(t2.reduce)) == 7.0)
+  }
+
   test("weightedSum aggregator computes sum(v*w)") {
     val ds = Seq((2L, 3L), (5L, -1L)).toDS()
     val got = ds.select(Fold.weightedSum.toColumn).head()

@@ -32,6 +32,38 @@ class SinkSpec extends SparkSpec {
     assertSameRows(spark.read.schema(schema).json(out), df)
   }
 
+  test("SqlProgram.split: top-level semicolons only; quotes/comments opaque") {
+    import graft.sources.SqlProgram
+    val p = """CREATE TEMP VIEW a AS SELECT 'x;y' AS s; -- note; here
+              |SELECT "q;ident", `b;t` FROM a;
+              |SELECT 1""".stripMargin
+    val ss = SqlProgram.split(p)
+    assert(ss.size == 3)
+    assert(ss(0).contains("'x;y'"))
+    // the comment (with its protected ';') opens statement 1
+    assert(ss(1).startsWith("-- note; here"))
+    assert(ss(1).contains("\"q;ident\"") && ss(1).contains("`b;t`"))
+    assert(ss(2) == "SELECT 1")
+  }
+
+  test("SqlProgram.run: source binding -> view chain -> sink -> read-back") {
+    import graft.sources.SqlProgram
+    val src = java.nio.file.Files.createTempDirectory("graft_prog_src").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft_prog_out").toString
+    Seq((1L, 10.0), (1L, 5.0), (2L, 7.0)).toDF("k", "v")
+      .write.mode("overwrite").parquet(src)
+    val got = SqlProgram.run(spark,
+      s"""CREATE OR REPLACE TEMPORARY VIEW prog_src
+            USING parquet OPTIONS (path '$src');
+          CREATE OR REPLACE TEMPORARY VIEW prog_agg AS
+            SELECT k, SUM(v) AS sv FROM prog_src GROUP BY k;
+          INSERT OVERWRITE DIRECTORY '$sink' USING parquet
+            SELECT k, sv FROM prog_agg;
+          SELECT k, sv FROM parquet.`$sink`""")
+    assert(got.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      Set((1L, 15.0), (2L, 7.0)))
+  }
+
   test("streaming file sink: bounded feed lands exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String, Double)]
