@@ -164,6 +164,45 @@ object StepBench {
     ts
   }
 
+  /** Per-step seconds for the RADIX-ASSEMBLED rolling stepper
+    * (incremental/RollingState.scala, the q85 shape): same state sizes and
+    * delta shape as the rolling track, but maintenance goes through the
+    * time-chunked (k, chunk) spine + per-chunk partials, each affected
+    * frame assembled from partials + edge scans — chunkLen 256 < horizon
+    * 1000 so real full-chunk partials participate. Claim under test: a
+    * step is O(Δ + touched chunks) with NO dependence on per-key history
+    * (the (k, chunk) bucket a step reads does not grow with state), and
+    * the single sequential action (merges ride side threads) holds the
+    * floor at the per-action cost. */
+  def runRadix(spark: SparkSession, n: Long, nKeys: Long, steps: Int,
+               nBuckets: Int): Seq[Double] = {
+    import spark.implicits._
+    val horizon = 1000L
+    val empty = ZSetFrame.fromDelta(
+      Seq.empty[(Long, Long, Long, Long)].toDF("k", "ts", "v", ZSetFrame.W))
+    val st = new graft.incremental.RollingLinearState(
+      empty, "k", "ts", "v", horizon, 256L, nBuckets)
+    val seed = spark.range(n).select(
+      pmod(col("id"), lit(nKeys)).as("k"), col("id").as("ts"),
+      pmod(col("id"), lit(100L)).as("v"))
+    st.step(ZSetFrame.fromTable(seed), 0L, n - 1, touchedKeys = None)
+    val ts = (1 to steps).map { i =>
+      val rows = (0 until 2).flatMap { j =>
+        val k = (i * 31L + j * 97L) % nKeys
+        Seq((k, n + i * 1000L + j, k % 100L, 1L),
+          (k, n + (i - 1) * 1000L + j, k % 100L, -1L))
+      }
+      val d = ZSetFrame.fromDelta(rows.toDF("k", "ts", "v", ZSetFrame.W))
+      val ks = rows.map(_._1).distinct
+      val (lo, hi) = (rows.map(_._2).min, rows.map(_._2).max)
+      val t0 = System.nanoTime()
+      st.step(d, lo, hi, Some(ks), checkpointDelta = false)
+      (System.nanoTime() - t0) / 1e9
+    }
+    st.close()
+    ts
+  }
+
   /** Per-step seconds for the incremental corpus-dedup stepper (the
     * d14/q65 shape): seed an accumulated corpus of `n` synthetic shingle
     * rows into the LshDedupState, then time fixed-size arriving batches.
@@ -304,6 +343,8 @@ object StepBench {
     val uL = floor2(() => runUpsert(spark, base * 10, steps))
     val rS = floor2(() => runRolling(spark, base, nKeys, steps, 256))
     val rL = floor2(() => runRolling(spark, base * 10, nKeys * 10, steps, 256))
+    val xS = floor2(() => runRadix(spark, base, nKeys, steps, 256))
+    val xL = floor2(() => runRadix(spark, base * 10, nKeys * 10, steps, 256))
     val dS = floor2(() => runDedup(spark, base, steps))
     val dL = floor2(() => runDedup(spark, base * 10, steps))
     val aS = floor2(() => runAnn(spark, base, steps))
@@ -332,7 +373,7 @@ object StepBench {
     val (gL, gLpf) = galenRun(base)
     // "stat" labels the *_sec figures: per-step FLOORS over two runs each,
     // not medians — the growth gate compares best-case step costs
-    f"""{"stat":"per_step_floor_of_2_runs","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"keyed_small_sec":$kS%.3f,"keyed_large_sec":$kL%.3f,"naive_small_sec":$nS%.3f,"naive_large_sec":$nL%.3f,"upsert_small_sec":$uS%.3f,"upsert_large_sec":$uL%.3f,"rolling_small_sec":$rS%.3f,"rolling_large_sec":$rL%.3f,"dedup_small_sec":$dS%.3f,"dedup_large_sec":$dL%.3f,"ann_small_sec":$aS%.3f,"ann_large_sec":$aL%.3f,"tri_small_sec":$tS%.3f,"tri_large_sec":$tL%.3f,"galen_small_sec":$gS%.3f,"galen_large_sec":$gL%.3f,"galen_small_sec_per_mfact":${gSpf * 1e6}%.3f,"galen_large_sec_per_mfact":${gLpf * 1e6}%.3f,"keyed_growth":${kL / kS}%.2f,"naive_growth":${nL / nS}%.2f,"upsert_growth":${uL / uS}%.2f,"rolling_growth":${rL / rS}%.2f,"dedup_growth":${dL / dS}%.2f,"ann_growth":${aL / aS}%.2f,"tri_growth":${tL / tS}%.2f,"galen_growth":${gLpf / gSpf}%.2f}"""
+    f"""{"stat":"per_step_floor_of_2_runs","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"keyed_small_sec":$kS%.3f,"keyed_large_sec":$kL%.3f,"naive_small_sec":$nS%.3f,"naive_large_sec":$nL%.3f,"upsert_small_sec":$uS%.3f,"upsert_large_sec":$uL%.3f,"rolling_small_sec":$rS%.3f,"rolling_large_sec":$rL%.3f,"radix_small_sec":$xS%.3f,"radix_large_sec":$xL%.3f,"dedup_small_sec":$dS%.3f,"dedup_large_sec":$dL%.3f,"ann_small_sec":$aS%.3f,"ann_large_sec":$aL%.3f,"tri_small_sec":$tS%.3f,"tri_large_sec":$tL%.3f,"galen_small_sec":$gS%.3f,"galen_large_sec":$gL%.3f,"galen_small_sec_per_mfact":${gSpf * 1e6}%.3f,"galen_large_sec_per_mfact":${gLpf * 1e6}%.3f,"keyed_growth":${kL / kS}%.2f,"naive_growth":${nL / nS}%.2f,"upsert_growth":${uL / uS}%.2f,"rolling_growth":${rL / rS}%.2f,"radix_growth":${xL / xS}%.2f,"dedup_growth":${dL / dS}%.2f,"ann_growth":${aL / aS}%.2f,"tri_growth":${tL / tS}%.2f,"galen_growth":${gLpf / gSpf}%.2f}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -344,6 +385,12 @@ object StepBench {
       .config("spark.sql.shuffle.partitions", cpus)
       // match the Bench session: RDD shuffles (upsert track) use Kryo
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // AQE stays ON: measured both ways at 500k/5M — adaptive planning's
+      // stage barriers cost ~50-80 ms on a sub-second step, but turning it
+      // off regressed every join-heavy track (galen 1.7→5.6 s/step, radix
+      // 1.05→1.73, rolling 0.13→0.19) because the fixpoint/assembly joins
+      // rely on AQE's runtime broadcast conversion. Net loss everywhere
+      // except the no-join naive track — so the default is the right call.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -75,16 +75,36 @@ object Incremental {
     // all buckets, skipping the per-step bucket-discovery job entirely,
     // since discovery would return every bucket anyway).
     val aTouched = knownTouchedA.getOrElse(aSt.touchedBuckets(dA))
-    val bOldProbe = bSt.view(aTouched)                 // B_old for ΔA's buckets
-    aSt.merge(dA, checkpointDeltas, Some(aTouched))    // A_new includes ΔA
     val bTouched = knownTouchedB.getOrElse(bSt.touchedBuckets(dB))
-    val aNewProbe = aSt.view(bTouched)                 // A_new for ΔB's buckets
-    bSt.merge(dB, checkpointDeltas, Some(bTouched))
-    // eager: the emitted join delta references partition-pruned probe views
-    // that are only valid until the second subsequent merge (KeyedState
-    // reclaims superseded segments) — materialize it before returning
-    (dA.join(bOldProbe, keys) + aNewProbe.join(dB, keys))
-      .localCheckpoint(eager = true)
+    val bOldProbe = bSt.view(aTouched)                 // B_old for ΔA's buckets
+    // A_new for ΔB's buckets, built LAZILY from the pre-merge view + the
+    // slice of ΔA hashing into those buckets — so the output job does not
+    // wait for A's segment build (the aggStep JOB-FUSION shape): both
+    // merges run on a side thread concurrent with the single output action.
+    val aOldProbe = aSt.view(bTouched)
+    val dAInB = dA.where(
+      pmod(hash(keys.map(col): _*), lit(aSt.nBuckets)).isin(bTouched: _*))
+    val aNewProbe = aOldProbe + dAInB
+    val mergeTask = new java.util.concurrent.FutureTask[Unit](() => {
+      aSt.merge(dA, checkpointDeltas, Some(aTouched))
+      bSt.merge(dB, checkpointDeltas, Some(bTouched))
+    })
+    val mergeThread = new Thread(mergeTask, "graft-join-merge")
+    mergeThread.setDaemon(true)
+    mergeThread.start()
+    try {
+      // eager: the emitted join delta references partition-pruned probe
+      // views that are only valid until the second subsequent merge
+      // (KeyedState reclaims superseded segments) — materialize it first
+      val out = (dA.join(bOldProbe, keys) + aNewProbe.join(dB, keys))
+        .localCheckpoint(eager = true)
+      mergeTask.get() // surface merge failures; states updated on return
+      out
+    } catch {
+      case e: Throwable =>
+        try mergeTask.get() catch { case _: Throwable => () }
+        throw e
+    }
   }
 
   /** Incremental distinct: δ = distinct(A_new) − distinct(A_old)

@@ -19,10 +19,20 @@ object Pinned {
     * a row-conversion CHILD of the internally persisted checkpoint RDD, so
     * releasing a checkpointed frame means walking the (short) dependency
     * chain to whichever ancestor actually holds the blocks. */
-  def unpersistTree(rdd: RDD[_]): Unit = {
+  /** OWNERSHIP RULE: the walk stops at the FIRST persisted node on each
+    * path — that node is the storage this frame itself pinned (the
+    * checkpoint backing its data); anything persisted DEEPER in the
+    * lineage belongs to someone else. Recursing past it is unsound: a
+    * delta whose plan reads a KeyedState VIEW carries the state's live
+    * segments in its (untruncated) lineage, and walking through would
+    * unpersist blocks the state still serves (observed as
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND two steps later). For
+    * checkpoint-truncated chains — every segment, every eager step
+    * output — the first persisted node is the only one, so the behavior
+    * is unchanged. */
+  def unpersistTree(rdd: RDD[_]): Unit =
     if (rdd.getStorageLevel != StorageLevel.NONE) rdd.unpersist(false)
-    rdd.dependencies.foreach(d => unpersistTree(d.rdd))
-  }
+    else rdd.dependencies.foreach(d => unpersistTree(d.rdd))
 
   /** Release a (possibly null) pinned DataFrame. */
   def release(df: DataFrame): Unit =

@@ -384,6 +384,41 @@ object Advanced extends QueryModule {
         .toDF.select("event_id", "user_id", "n_1h", "sum_1h")
     }),
 
+    // RADIX-ASSEMBLED incremental rolling aggregate (q85): the same CDC
+    // time-slice fixture as q36, maintained by RollingLinearState — a
+    // TIME-CHUNKED (user, 15-min chunk) spine plus per-chunk (cnt, Σv)
+    // partials, each output's 1 h frame ASSEMBLED from ~3 full-chunk
+    // partials + two edge scans instead of a window sort over the
+    // restricted range (the reference's radix-tree rolling aggregate,
+    // time_series/radix_tree/mod.rs:1-60, re-expressed as chunk-pruned
+    // joins). Values ride as decimal×10⁴ BIGINTs so the assembled sums are
+    // integer-exact against DuckDB. q36 keeps certifying the
+    // restrictTo-recompute path; this certifies the partials-assembly path
+    // on the same data — both under the oracle, plus IncrementalSpec's
+    // partial≡recompute gate on mixed insert/retract sequences.
+    "q85_inc_rolling_radix" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("user_id"), epochMs(col("ts")).as("ts_ms"),
+        (col("value").cast(DecimalType(18, 4)) * 10000).cast("long").as("sv"))
+      val (jan1, jan8, feb1) = (1704067200000L, 1704672000000L, 1706745600000L)
+      val horizon = 3600000L
+      val st = new graft.incremental.RollingLinearState(
+        Incremental.emptyLike(ZSetFrame.fromTable(ev)),
+        "user_id", "ts_ms", "sv", horizon, horizon / 4, 32)
+      val ds = Seq( // the q36 CDC slices: recent batch first, early slice late
+        (ZSetFrame.fromTable(ev.where(col("ts_ms") >= jan8)), jan8, feb1),
+        (ZSetFrame.fromTable(ev.where(col("ts_ms") < jan8)), jan1, jan8))
+      val outs = ds.map { case (d, lo, hi) =>
+        st.step(d, lo, hi, touchedKeys = None) // dense batches (every user)
+      }
+      val res = ZSetFrame.sumAll(outs).consolidate.toDF
+        .select(col("event_id"), col("user_id"),
+          col("cnt").as("n_1h"), col("vsum").as("sv_1h"))
+      st.close() // outputs are eagerly materialized; state can go
+      res
+    }),
+
     // incremental HOLISTIC aggregate (exact percentiles) under retraction —
     // beyond the reference engine twice over: its aggregates are Folds
     // (crates/nexmark/src/queries/q6.rs:97) and a percentile is not a fold,
@@ -1127,6 +1162,18 @@ object Advanced extends QueryModule {
            CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                      RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)""",
+    // q85: same window as q36 but integer-exact — the value rides as a
+    // decimal×10⁴ BIGINT, mirroring RollingLinearState's scaled sums
+    "q85_inc_rolling_radix" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS sv
+           FROM events)
+         SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_1h,
+           CAST(SUM(sv) OVER w AS BIGINT) AS sv_1h
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
                       RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)"""
   )
 }
