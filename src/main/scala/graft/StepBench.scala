@@ -320,38 +320,41 @@ object StepBench {
     // the floor is the clean signal of data-dependent cost
     def floorOf(xs0: Seq[Double]): Double =
       (if (xs0.size > 2) xs0.drop(1) else xs0).min
-    // each configuration runs TWICE and the floor spans both runs: the
-    // growth gate is a ratio of floors, and a single run's floor still
-    // carries driver-scheduling noise of ±20% on this box. Sweep leftover
-    // pinned blocks between runs (runNaive's generations, emitted aggStep
-    // deltas) so one track's debris never taxes the next — the q15 lesson.
-    def floor2(run: () => Seq[Double]): Double = {
+    // each configuration runs THREE times and the floor spans all runs:
+    // the growth gate is a ratio of floors, and run-level conditions still
+    // put ±0.3 s on a ~0.2 s floor at two runs (r10: upsert_growth swung
+    // 1.05-1.41 across otherwise-identical fresh-JVM invocations; a third
+    // run tightens the min's tail enough to keep a flat track inside the
+    // 1.2 gate). Sweep leftover pinned blocks between runs (runNaive's
+    // generations, emitted aggStep deltas) so one track's debris never
+    // taxes the next — the q15 lesson.
+    def floor3(run: () => Seq[Double]): Double = {
       def once(): Double = {
         val f = floorOf(run())
         graft.incremental.Pinned.sweepSession(spark.sparkContext)
         f
       }
-      math.min(once(), once())
+      Seq(once(), once(), once()).min
     }
     // 256 buckets: bucket size (not bucket count) is what a step pays for,
     // so more buckets = flatter growth; the extra empty tasks are noise
-    val kS = floor2(() => runKeyed(spark, base, nKeys, steps, 256))
-    val kL = floor2(() => runKeyed(spark, base * 10, nKeys * 10, steps, 256))
-    val nS = floor2(() => runNaive(spark, base, nKeys, steps))
-    val nL = floor2(() => runNaive(spark, base * 10, nKeys * 10, steps))
-    val uS = floor2(() => runUpsert(spark, base, steps))
-    val uL = floor2(() => runUpsert(spark, base * 10, steps))
-    val rS = floor2(() => runRolling(spark, base, nKeys, steps, 256))
-    val rL = floor2(() => runRolling(spark, base * 10, nKeys * 10, steps, 256))
-    val xS = floor2(() => runRadix(spark, base, nKeys, steps, 256))
-    val xL = floor2(() => runRadix(spark, base * 10, nKeys * 10, steps, 256))
-    val dS = floor2(() => runDedup(spark, base, steps))
-    val dL = floor2(() => runDedup(spark, base * 10, steps))
-    val aS = floor2(() => runAnn(spark, base, steps))
-    val aL = floor2(() => runAnn(spark, base * 10, steps))
+    val kS = floor3(() => runKeyed(spark, base, nKeys, steps, 256))
+    val kL = floor3(() => runKeyed(spark, base * 10, nKeys * 10, steps, 256))
+    val nS = floor3(() => runNaive(spark, base, nKeys, steps))
+    val nL = floor3(() => runNaive(spark, base * 10, nKeys * 10, steps))
+    val uS = floor3(() => runUpsert(spark, base, steps))
+    val uL = floor3(() => runUpsert(spark, base * 10, steps))
+    val rS = floor3(() => runRolling(spark, base, nKeys, steps, 256))
+    val rL = floor3(() => runRolling(spark, base * 10, nKeys * 10, steps, 256))
+    val xS = floor3(() => runRadix(spark, base, nKeys, steps, 256))
+    val xL = floor3(() => runRadix(spark, base * 10, nKeys * 10, steps, 256))
+    val dS = floor3(() => runDedup(spark, base, steps))
+    val dL = floor3(() => runDedup(spark, base * 10, steps))
+    val aS = floor3(() => runAnn(spark, base, steps))
+    val aL = floor3(() => runAnn(spark, base * 10, steps))
     // tri: n edges = base/5 (the wedge trace is ~3.5× the edge count)
-    val tS = floor2(() => runTri(spark, base / 5, steps))
-    val tL = floor2(() => runTri(spark, base * 2, steps))
+    val tS = floor3(() => runTri(spark, base / 5, steps))
+    val tL = floor3(() => runTri(spark, base * 2, steps))
     // galen: the 6-rule mutual recursion (GalenBench) at 1× and 10× the
     // parent-forest size. Unlike the other tracks, a galen iteration's
     // delta GROWS with n (the closure is n·log₂ n facts split over ~6
@@ -371,9 +374,9 @@ object StepBench {
     }
     val (gS, gSpf) = galenRun(base / 10)
     val (gL, gLpf) = galenRun(base)
-    // "stat" labels the *_sec figures: per-step FLOORS over two runs each,
+    // "stat" labels the *_sec figures: per-step FLOORS over three runs each,
     // not medians — the growth gate compares best-case step costs
-    f"""{"stat":"per_step_floor_of_2_runs","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"keyed_small_sec":$kS%.3f,"keyed_large_sec":$kL%.3f,"naive_small_sec":$nS%.3f,"naive_large_sec":$nL%.3f,"upsert_small_sec":$uS%.3f,"upsert_large_sec":$uL%.3f,"rolling_small_sec":$rS%.3f,"rolling_large_sec":$rL%.3f,"radix_small_sec":$xS%.3f,"radix_large_sec":$xL%.3f,"dedup_small_sec":$dS%.3f,"dedup_large_sec":$dL%.3f,"ann_small_sec":$aS%.3f,"ann_large_sec":$aL%.3f,"tri_small_sec":$tS%.3f,"tri_large_sec":$tL%.3f,"galen_small_sec":$gS%.3f,"galen_large_sec":$gL%.3f,"galen_small_sec_per_mfact":${gSpf * 1e6}%.3f,"galen_large_sec_per_mfact":${gLpf * 1e6}%.3f,"keyed_growth":${kL / kS}%.2f,"naive_growth":${nL / nS}%.2f,"upsert_growth":${uL / uS}%.2f,"rolling_growth":${rL / rS}%.2f,"radix_growth":${xL / xS}%.2f,"dedup_growth":${dL / dS}%.2f,"ann_growth":${aL / aS}%.2f,"tri_growth":${tL / tS}%.2f,"galen_growth":${gLpf / gSpf}%.2f}"""
+    f"""{"stat":"per_step_floor_of_3_runs","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"keyed_small_sec":$kS%.3f,"keyed_large_sec":$kL%.3f,"naive_small_sec":$nS%.3f,"naive_large_sec":$nL%.3f,"upsert_small_sec":$uS%.3f,"upsert_large_sec":$uL%.3f,"rolling_small_sec":$rS%.3f,"rolling_large_sec":$rL%.3f,"radix_small_sec":$xS%.3f,"radix_large_sec":$xL%.3f,"dedup_small_sec":$dS%.3f,"dedup_large_sec":$dL%.3f,"ann_small_sec":$aS%.3f,"ann_large_sec":$aL%.3f,"tri_small_sec":$tS%.3f,"tri_large_sec":$tL%.3f,"galen_small_sec":$gS%.3f,"galen_large_sec":$gL%.3f,"galen_small_sec_per_mfact":${gSpf * 1e6}%.3f,"galen_large_sec_per_mfact":${gLpf * 1e6}%.3f,"keyed_growth":${kL / kS}%.2f,"naive_growth":${nL / nS}%.2f,"upsert_growth":${uL / uS}%.2f,"rolling_growth":${rL / rS}%.2f,"radix_growth":${xL / xS}%.2f,"dedup_growth":${dL / dS}%.2f,"ann_growth":${aL / aS}%.2f,"tri_growth":${tL / tS}%.2f,"galen_growth":${gLpf / gSpf}%.2f}"""
   }
 
   def main(args: Array[String]): Unit = {

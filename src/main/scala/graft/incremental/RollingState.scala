@@ -191,42 +191,59 @@ final class RollingLinearState(init: ZSetFrame, keyCol: String, tsCol: String,
             pDelta.df.where(kSet && col(CH).between(
               floorDiv(readLo, C), floorDiv(readHi, C)))))
         .consolidate.df
-        .select(col(keyCol).as("pk"), col(CH), col("p_cnt"), col("p_vsum"))
-      // full chunks strictly inside the frame → partial sums
-      val full = T.join(P,
-          T(keyCol) === col("pk") && P(CH) > T("__clo") && P(CH) < T("__chi"),
-          "left_outer")
-        .groupBy(T(keyCol), T(tsCol))
-        .agg(coalesce(sum(col("p_cnt")), lit(0L)).as("f_cnt"),
-          coalesce(sum(col("p_vsum")), lit(0L)).as("f_vsum"))
-      // edge chunks (frame boundaries) → row scans, chunk-pruned
-      val E = S.df.select(col(keyCol).as("ek"), col(tsCol).as("__ets"),
-        col(CH), col(valCol).as("__ev"), col(ZSetFrame.W).as("__ew"))
-      val edge = T.join(E,
-          T(keyCol) === col("ek") &&
-            (E(CH) === T("__clo") || E(CH) === T("__chi")) &&
-            col("__ets").between(T(tsCol) - horizon, T(tsCol)),
-          "left_outer")
-        .groupBy(T(keyCol), T(tsCol))
-        .agg(coalesce(sum(col("__ew")), lit(0L)).as("e_cnt"),
-          coalesce(sum(col("__ev") * col("__ew")), lit(0L)).as("e_vsum"))
+        .select(col(keyCol), col(CH), col("p_cnt"), col("p_vsum"))
+      // EQUI-join shape (not a band join): each frame target explodes into
+      // its frame's chunk ids — ≤ horizon/chunkLen + 1 rows each — and
+      // both lookups become plain (key, chunk) equi-joins. A band join
+      // (key equality + chunk range) degenerates per-key-quadratic on
+      // dense keys (every target × every partial of that key); the
+      // explode bounds work at |T| · (H/C) regardless of key density —
+      // the shape that survives hot keys at scale.
+      // ONE-PASS assembly: the three lookups (full-chunk partials, edge-row
+      // scans, the delta's own contribution) all emit CONTRIBUTION rows
+      // (k, t, frame-cnt, frame-vsum, delta-cnt, delta-vsum) that a single
+      // conditional aggregation folds — one shuffle instead of three
+      // groupBys plus three re-anchor outer joins (the per-step floor is
+      // stage-barrier bound at small Δ, so plan width IS the cost).
+      // full chunks strictly inside the frame → partial sums (sequence
+      // flips to DESCENDING when start > stop, so guard the empty case)
+      val fullChunks = when(col("__clo") + 1 <= col("__chi") - 1,
+        sequence(col("__clo") + 1, col("__chi") - 1))
+        .otherwise(array().cast("array<bigint>"))
+      val fullRows = T
+        .withColumn(CH, explode(fullChunks))
+        .join(P, Seq(keyCol, CH))
+        .select(col(keyCol), col(tsCol), col("p_cnt").as("c1"),
+          col("p_vsum").as("v1"), lit(0L).as("c2"), lit(0L).as("v2"))
+      // edge chunks (the two frame boundaries) → row scans, chunk-pruned
+      val E = S.df.select(col(keyCol), col(tsCol).as("__ets"), col(CH),
+        col(valCol).as("__ev"), col(ZSetFrame.W).as("__ew"))
+      val edgeRows = T
+        .withColumn(CH, explode(when(col("__clo") === col("__chi"),
+            array(col("__clo"))).otherwise(array(col("__clo"), col("__chi")))))
+        .join(E, Seq(keyCol, CH))
+        .where(col("__ets").between(col(tsCol) - horizon, col(tsCol)))
+        .select(col(keyCol), col(tsCol), col("__ew").as("c1"),
+          (col("__ev") * col("__ew")).as("v1"),
+          lit(0L).as("c2"), lit(0L).as("v2"))
       // the delta's own frame contribution (for F_old = F_new − D)
       val dd = broadcast(d.df.select(col(keyCol).as("dk"),
         col(tsCol).as("__dts"), col(valCol).as("__dv"),
         col(ZSetFrame.W).as("__dw")))
-      val contrib = T.join(dd,
+      val contribRows = T.join(dd,
           T(keyCol) === col("dk") &&
-            col("__dts").between(T(tsCol) - horizon, T(tsCol)),
-          "left_outer")
-        .groupBy(T(keyCol), T(tsCol))
-        .agg(coalesce(sum(col("__dw")), lit(0L)).as("d_cnt"),
-          coalesce(sum(col("__dv") * col("__dw")), lit(0L)).as("d_vsum"))
-      val F = full.join(edge, Seq(keyCol, tsCol))
-        .join(contrib, Seq(keyCol, tsCol))
-        .select(col(keyCol), col(tsCol),
-          (col("f_cnt") + col("e_cnt")).as("cnt"),
-          (col("f_vsum") + col("e_vsum")).as("vsum"),
-          col("d_cnt"), col("d_vsum"))
+            col("__dts").between(T(tsCol) - horizon, T(tsCol)))
+        .select(T(keyCol), T(tsCol), lit(0L).as("c1"), lit(0L).as("v1"),
+          col("__dw").as("c2"), (col("__dv") * col("__dw")).as("v2"))
+      // zero row per target: guarantees every (k, t) survives the fold even
+      // with an empty frame interior and no edge/delta rows
+      val zeroRows = T.select(col(keyCol), col(tsCol), lit(0L).as("c1"),
+        lit(0L).as("v1"), lit(0L).as("c2"), lit(0L).as("v2"))
+      val F = fullRows.unionByName(edgeRows).unionByName(contribRows)
+        .unionByName(zeroRows)
+        .groupBy(col(keyCol), col(tsCol))
+        .agg(sum(col("c1")).as("cnt"), sum(col("v1")).as("vsum"),
+          sum(col("c2")).as("d_cnt"), sum(col("v2")).as("d_vsum"))
       // new side: post-merge span rows valued F_new; old side: pre-merge
       // span rows (= span − Δ) valued F_new − D
       val outCols = dataCols.map(col) ++ Seq(col("cnt"), col("vsum"))

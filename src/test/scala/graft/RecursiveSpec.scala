@@ -234,6 +234,12 @@ class RecursiveSpec extends SparkSpec {
     // the outer loop must have peeled the three chained components in
     // separate rounds (plus a final empty-check round at most)
     assert(rounds >= 3, s"outer loop ran only $rounds rounds — not nested")
+    // BOTH adaptive peel strategies must agree: allPairsMax=0 forces the
+    // per-pivot frontier path (the big-core branch) on the same graph
+    val (gotFrontier, roundsF) =
+      Recursive.sccWithRounds(edges, allPairsMax = 0L)
+    assertSameRows(gotFrontier, expect)
+    assert(roundsF >= 3)
   }
 
   test("IncrementalScc ≡ batch scc after every epoch (splits, merges, node departures)") {
