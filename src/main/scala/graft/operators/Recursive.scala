@@ -277,66 +277,130 @@ object Recursive {
     *
     * `allPairsMax` — ADAPTIVE per-peel strategy bound: a post-trim core of
     * ≤ allPairsMax nodes is closed ALL-PAIRS by path doubling (⌈log₂ D⌉
-    * barriers, shared by both directions; worst-case rows bounded by
-    * allPairsMax² ≈ 16.7M at the default — cheap on any cluster), while a
-    * larger core runs PER-PIVOT frontier reachability (O(pivot reach) rows
-    * per peel, more barriers). Driver-side rounds are the scarce resource
-    * on small cores, rows on big ones — measured r10: frontier-always cost
-    * q76/q82 +75%/+45% on their 24-node cores, all-pairs-always is the
-    * O(core²) scale killer VERDICT r9 #2 flagged. RecursiveSpec gates both
-    * paths against each other and brute force. */
+    * barriers; worst-case rows bounded by allPairsMax² ≈ 16.7M at the
+    * default — cheap on any cluster), while a larger core runs PER-PIVOT
+    * frontier reachability (O(pivot reach) rows per peel, more barriers).
+    * Driver-side rounds are the scarce resource on small cores, rows on
+    * big ones — measured r10: frontier-always cost q76/q82 +75%/+45% on
+    * their 24-node cores, all-pairs-always is the O(core²) scale killer
+    * VERDICT r9 #2 flagged. RecursiveSpec gates both paths against each
+    * other and brute force.
+    *
+    * The closure is computed ONCE per call and REUSED by every subsequent
+    * peel as a plain filter: each removal (a trim layer or a peeled
+    * component) deletes only COMPLETE SCCs of the graph the closure was
+    * taken on, and mutual reachability between two surviving nodes never
+    * depends on a removed component — u ↔ v through removed nodes would
+    * put u, v and those nodes in one SCC, contradicting that removals are
+    * whole SCCs. So fw(pivot) ∩ bw(pivot) read off the stale closure is
+    * exactly the pivot's component among the survivors, and per-peel cost
+    * drops from a fresh O(log D)-barrier closure to two filters. */
   private[graft] def sccWithRounds(edges: DataFrame,
                                    maxRounds: Int = 256,
                                    allPairsMax: Long = 4096L): (DataFrame, Int) = {
-    var e = materialize(edges.distinct())
+    val e0 = materialize(edges.distinct())
+    var e = e0
     var nodes = materialize(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct())
+    // fused count + min in ONE job: the min doubles as the next pivot, so
+    // no separate pivot-selection job per peel
+    def countMin(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), min(col("node"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) Long.MinValue else r.getLong(1))
+    }
+    var (nNodes, pivot) = countMin(nodes)
     var out = List.empty[DataFrame]
+    // the once-per-call all-pairs closure (small-core strategy); stays
+    // valid across peels/trims per the scaladoc argument
+    var coreClosure: DataFrame = null
+    // edges with BOTH endpoints currently alive — LAZY: e is materialized
+    // only at peel entry (once per round); trim layers read this filtered
+    // view directly, so no per-layer edge materialization.
     // NOTE the trailing select: a using-column join moves the join column
     // to the FRONT of the output, and a later positional `union` against a
     // (src, dst)-ordered frame would silently flip every edge — normalize
     // the order on every rewrite
-    def restrictEdges(): Unit =
-      e = materialize(e
-        .join(nodes.select(col("node").as("src")), Seq("src"), "left_semi")
-        .join(nodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
-        .select("src", "dst"))
+    def eLive: DataFrame = e
+      .join(nodes.select(col("node").as("src")), Seq("src"), "left_semi")
+      .join(nodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      .select("src", "dst")
     var rounds = 0
-    while (rounds < maxRounds && !nodes.isEmpty) {
-      // inner fixpoint A: trim the acyclic fringe
-      var trimming = true
-      while (trimming) {
-        val both = materialize(nodes
-          .join(e.select(col("src").as("node")).distinct(), Seq("node"), "left_semi")
-          .join(e.select(col("dst").as("node")).distinct(), Seq("node"), "left_semi"))
-        val trivial = materialize(nodes.except(both))
-        if (trivial.isEmpty) trimming = false
-        else {
-          // trivial is already materialized; the labeling select stays lazy
-          out ::= trivial.select(col("node"), col("node").as("scc"))
-          nodes = both
-          restrictEdges()
+    while (rounds < maxRounds && nNodes > 0) {
+      if (coreClosure == null && nNodes <= allPairsMax) {
+        e = materialize(eLive)
+        coreClosure = closureDoubling(e)
+      }
+      if (coreClosure != null) {
+        // inner fixpoint A via the closure, ONE SHOT: iterated-trim
+        // survivors are exactly the cycle-sandwich nodes — reached by a
+        // live cycle AND reaching a live cycle ((v,v) ∈ r marks cycles;
+        // cycle nodes sandwich themselves) — so a depth-L chain is labeled
+        // in one round, not L layers. Staleness caveat: a sandwich path
+        // routed only through an ALREADY-PEELED component keeps its nodes
+        // one extra round, where they peel as correct singletons — exact
+        // either way, just slower on adversarial pivot orders.
+        val r = coreClosure
+        val cyc = nodes.join(r.where(col("src") === col("dst"))
+          .select(col("src").as("node")), Seq("node"), "left_semi")
+        val fromCyc = r.join(cyc.select(col("node").as("src")),
+          Seq("src"), "left_semi").select(col("dst").as("node"))
+        val toCyc = r.join(cyc.select(col("node").as("dst")),
+          Seq("dst"), "left_semi").select(col("src").as("node"))
+        val prev = nodes
+        val keep = materialize(prev
+          .join(fromCyc.distinct(), Seq("node"), "left_semi")
+          .join(toCyc.distinct(), Seq("node"), "left_semi"))
+        val (nKeep, mKeep) = countMin(keep)
+        if (nKeep != nNodes) {
+          out ::= prev.except(keep).select(col("node"), col("node").as("scc"))
+          nodes = keep
+          nNodes = nKeep
+          pivot = mKeep
+        }
+      } else {
+        // inner fixpoint A, layered (big graph — closure unaffordable):
+        // trim the acyclic fringe one layer at a time. ONE materialize +
+        // one fused count/min job per layer; the trivial complement is
+        // labeled LAZILY (both frames are checkpointed, so the deferred
+        // except is stable), and the edge restriction stays lazy inside
+        // eLive.
+        var trimming = true
+        while (trimming && nNodes > 0) {
+          val prev = nodes
+          val live = eLive
+          val both = materialize(prev
+            .join(live.select(col("src").as("node")), Seq("node"), "left_semi")
+            .join(live.select(col("dst").as("node")), Seq("node"), "left_semi"))
+          val (nBoth, mBoth) = countMin(both)
+          if (nBoth == nNodes) trimming = false
+          else {
+            out ::= prev.except(both).select(col("node"), col("node").as("scc"))
+            nodes = both
+            nNodes = nBoth
+            pivot = mBoth
+          }
         }
       }
-      val nNodes = nodes.count()
       if (nNodes > 0) {
-        val pivot = nodes.agg(min(col("node"))).head().getLong(0)
+        // frontier branch needs the node-restricted edge set as a clean
+        // physical frame each round; the closure branch never reads e again
+        if (coreClosure == null) e = materialize(eLive)
         val seed = nodes.where(col("node") === pivot)
         // inner fixpoints B/C (adaptive — see scaladoc): small core →
-        // all-pairs closure by path doubling (log barriers, both
-        // directions from ONE closure); big core → per-pivot frontier
-        // reachability over the doubled edge set (O(pivot reach) rows,
-        // never O(core²); the same shape as IncrementalScc's repair
+        // filters over the cached all-pairs closure; big core → per-pivot
+        // frontier reachability over the doubled edge set (O(pivot reach)
+        // rows, never O(core²); the same shape as IncrementalScc's repair
         // reachability), the doubled set materialized once per peel and
         // shared by both directions.
         val comp =
           if (nNodes <= allPairsMax) {
-            val r = closureDoubling(e)
+            if (coreClosure == null) coreClosure = closureDoubling(e)
+            val r = coreClosure
             val fw = r.where(col("src") === pivot).select(col("dst").as("node"))
-              .unionByName(seed).distinct()
             val bw = r.where(col("dst") === pivot).select(col("src").as("node"))
-              .unionByName(seed).distinct()
-            materialize(fw.intersect(bw))
+            // fw∩bw ⊆ current nodes automatically: it is the pivot's
+            // ORIGINAL component, which is removed only as a whole
+            materialize(fw.intersect(bw).unionByName(seed).distinct())
           } else {
             val e2 = doubledEdges(e)
             val fw = reachOver(seed, e2, forward = true)
@@ -345,14 +409,16 @@ object Recursive {
           }
         out ::= comp.select(col("node"), lit(pivot).as("scc"))
         nodes = materialize(nodes.except(comp))
-        restrictEdges()
+        val cm = countMin(nodes)
+        nNodes = cm._1
+        pivot = cm._2
       }
       rounds += 1
     }
     // a round budget that runs out with nodes remaining must FAIL, not
     // return a silently-partial labeling
-    require(nodes.isEmpty,
-      s"scc did not converge within $maxRounds rounds (${nodes.count()} nodes remain)")
+    require(nNodes == 0,
+      s"scc did not converge within $maxRounds rounds ($nNodes nodes remain)")
     val empty = edges.select(col("src").as("node"), col("src").as("scc"))
       .where(lit(false))
     (out.foldLeft(empty)(_ unionByName _), rounds)
@@ -425,7 +491,7 @@ object Recursive {
       val eNew = materialize(
         (ZSetFrame.fromTable(edges) + ZSetFrame.fromDelta(dAll))
           .distinctZ.toDF.select("src", "dst"))
-      val inserted = dAll.where(col(ZSetFrame.W) > 0)
+      val inserted = materialize(dAll.where(col(ZSetFrame.W) > 0))
       val touched = materialize(
         dAll.select(col("src").as("node"))
           .union(dAll.select(col("dst").as("node"))).distinct())
@@ -435,15 +501,34 @@ object Recursive {
           .select(col("scc").as("tscc")).distinct(),
           col("scc") === col("tscc"), "left_semi")
         .select("node")
-      // cycles through inserted edges (covers merges): fw(heads) ∩ bw(tails)
-      // — ONE doubled-edge materialization shared by both directions
-      val e2New = doubledEdges(eNew)
-      val fwIn = reachOver(materialize(
-        inserted.select(col("dst").as("node")).distinct()), e2New, forward = true)
-      val bwIn = reachOver(materialize(
-        inserted.select(col("src").as("node")).distinct()), e2New, forward = false)
+      // cycles through inserted edges (covers merges): fw(heads) ∩ bw(tails).
+      // A RETRACTION-ONLY epoch skips this entirely — no inserted edge, no
+      // new cycle, so the whole doubled-edge + reachability block (the
+      // epoch's priciest fixpoints) is dead weight. With inserts, the
+      // BACKWARD span bw(tails) is computed first and the forward search is
+      // RESTRICTED to it: any node x ∈ fw ∩ bw has every node of its
+      // v →* x path inside bw too (each such node reaches x, hence the
+      // tails), so forward frontier work is bounded by the NEW CYCLE SPAN,
+      // never the graph's downstream fan-out — at 100 TB the insert's
+      // cycle is small even when its transitive fan-out is everything.
+      val cycleSpan =
+        if (inserted.isEmpty) null
+        else {
+          val e2New = doubledEdges(eNew)
+          val bwIn = reachOver(materialize(
+            inserted.select(col("src").as("node")).distinct()),
+            e2New, forward = false)
+          val e2Span = e2New
+            .join(bwIn.select(col("node").as("src")), Seq("src"), "left_semi")
+            .join(bwIn.select(col("node").as("dst")), Seq("dst"), "left_semi")
+            .select("src", "dst")
+          val fwSeed = inserted.select(col("dst").as("node")).distinct()
+            .join(bwIn, Seq("node"), "left_semi")
+          reachOver(materialize(fwSeed), materialize(e2Span), forward = true)
+        }
       val affected = materialize(
-        fwIn.intersect(bwIn).unionByName(touchedComps)
+        (if (cycleSpan == null) touchedComps
+         else cycleSpan.unionByName(touchedComps))
           .unionByName(touched).distinct())
       // induced subgraph on the affected set; nested scc() relabels it
       val sub = materialize(eNew
