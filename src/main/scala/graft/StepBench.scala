@@ -348,6 +348,13 @@ object StepBench {
     val rL = floor3(() => runRolling(spark, base * 10, nKeys * 10, steps, 256))
     val xS = floor3(() => runRadix(spark, base, nKeys, steps, 256))
     val xL = floor3(() => runRadix(spark, base * 10, nKeys * 10, steps, 256))
+    // radix at 10× state with DEPLOYMENT-SIZED buckets (10× buckets =
+    // constant bucket bytes — Spark's own partitions-∝-data sizing rule):
+    // the fixed-256 radix growth above carries the touched-bucket
+    // consolidation in the concurrent partials merge, which scales with
+    // bucket SIZE; this figure shows the same 10× state step cost with
+    // bucket bytes held constant, i.e. the operator's actual scale shape
+    val xSc = floor3(() => runRadix(spark, base * 10, nKeys * 10, steps, 2560))
     val dS = floor3(() => runDedup(spark, base, steps))
     val dL = floor3(() => runDedup(spark, base * 10, steps))
     val aS = floor3(() => runAnn(spark, base, steps))
@@ -376,7 +383,7 @@ object StepBench {
     val (gL, gLpf) = galenRun(base)
     // "stat" labels the *_sec figures: per-step FLOORS over three runs each,
     // not medians — the growth gate compares best-case step costs
-    f"""{"stat":"per_step_floor_of_3_runs","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"keyed_small_sec":$kS%.3f,"keyed_large_sec":$kL%.3f,"naive_small_sec":$nS%.3f,"naive_large_sec":$nL%.3f,"upsert_small_sec":$uS%.3f,"upsert_large_sec":$uL%.3f,"rolling_small_sec":$rS%.3f,"rolling_large_sec":$rL%.3f,"radix_small_sec":$xS%.3f,"radix_large_sec":$xL%.3f,"dedup_small_sec":$dS%.3f,"dedup_large_sec":$dL%.3f,"ann_small_sec":$aS%.3f,"ann_large_sec":$aL%.3f,"tri_small_sec":$tS%.3f,"tri_large_sec":$tL%.3f,"galen_small_sec":$gS%.3f,"galen_large_sec":$gL%.3f,"galen_small_sec_per_mfact":${gSpf * 1e6}%.3f,"galen_large_sec_per_mfact":${gLpf * 1e6}%.3f,"keyed_growth":${kL / kS}%.2f,"naive_growth":${nL / nS}%.2f,"upsert_growth":${uL / uS}%.2f,"rolling_growth":${rL / rS}%.2f,"radix_growth":${xL / xS}%.2f,"dedup_growth":${dL / dS}%.2f,"ann_growth":${aL / aS}%.2f,"tri_growth":${tL / tS}%.2f,"galen_growth":${gLpf / gSpf}%.2f}"""
+    f"""{"stat":"per_step_floor_of_3_runs","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"keyed_small_sec":$kS%.3f,"keyed_large_sec":$kL%.3f,"naive_small_sec":$nS%.3f,"naive_large_sec":$nL%.3f,"upsert_small_sec":$uS%.3f,"upsert_large_sec":$uL%.3f,"rolling_small_sec":$rS%.3f,"rolling_large_sec":$rL%.3f,"radix_small_sec":$xS%.3f,"radix_large_sec":$xL%.3f,"radix_scaled_large_sec":$xSc%.3f,"dedup_small_sec":$dS%.3f,"dedup_large_sec":$dL%.3f,"ann_small_sec":$aS%.3f,"ann_large_sec":$aL%.3f,"tri_small_sec":$tS%.3f,"tri_large_sec":$tL%.3f,"galen_small_sec":$gS%.3f,"galen_large_sec":$gL%.3f,"galen_small_sec_per_mfact":${gSpf * 1e6}%.3f,"galen_large_sec_per_mfact":${gLpf * 1e6}%.3f,"keyed_growth":${kL / kS}%.2f,"naive_growth":${nL / nS}%.2f,"upsert_growth":${uL / uS}%.2f,"rolling_growth":${rL / rS}%.2f,"radix_growth":${xL / xS}%.2f,"radix_scaled_growth":${xSc / xS}%.2f,"dedup_growth":${dL / dS}%.2f,"ann_growth":${aL / aS}%.2f,"tri_growth":${tL / tS}%.2f,"galen_growth":${gLpf / gSpf}%.2f}"""
   }
 
   def main(args: Array[String]): Unit = {

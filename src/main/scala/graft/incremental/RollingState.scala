@@ -167,6 +167,17 @@ final class RollingLinearState(init: ZSetFrame, keyCol: String, tsCol: String,
     // ---- both state merges on side threads, concurrent with assembly
     // (fresh threads so Spark job-local properties are inherited)
     val mergeTask = new java.util.concurrent.FutureTask[Unit](() => {
+      // partials merge REPLACES (consolidates) its touched buckets — an
+      // O(touched bucket) shuffle, but one that keeps rows physically
+      // unique and the per-step plan width constant. The append-mode
+      // alternative was measured and rejected: O(Δ) merges, but every
+      // step leaves another segment in the view union, and the growing
+      // plan width cost more at the step floor than the consolidation it
+      // saved. The consolidation term scales with bucket SIZE, a
+      // deployment constant (partition count ∝ state, Spark's own sizing
+      // rule — see STEPBENCH.md radix notes), and runs concurrent with
+      // the output action, so it is visible only when it exceeds the
+      // output's own cost.
       partials.merge(pDelta, checkpointDelta = true, Some(dBuckets))
       spine.merge(d, checkpointDelta = false, Some(dBuckets), append = true)
     })
