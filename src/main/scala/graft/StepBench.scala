@@ -328,22 +328,29 @@ object StepBench {
     // 1.2 gate). Sweep leftover pinned blocks between runs (runNaive's
     // generations, emitted aggStep deltas) so one track's debris never
     // taxes the next — the q15 lesson.
-    def floor3(run: () => Seq[Double]): Double = {
+    def floorN(n: Int)(run: () => Seq[Double]): Double = {
       def once(): Double = {
         val f = floorOf(run())
         graft.incremental.Pinned.sweepSession(spark.sparkContext)
         f
       }
-      Seq(once(), once(), once()).min
+      Seq.fill(n)(once()).min
     }
+    def floor3(run: () => Seq[Double]): Double = floorN(3)(run)
+    // upsert's ~0.15 s floor carries the widest relative run-to-run noise of
+    // any track (r10: floors-of-3 swung the growth ratio 1.06→1.29 across
+    // otherwise-identical fresh-JVM invocations) and a run costs seconds —
+    // five runs per size (SYMMETRIC, declared here) tighten the min's tail
+    // where it is cheapest to do so
+    def floor5(run: () => Seq[Double]): Double = floorN(5)(run)
     // 256 buckets: bucket size (not bucket count) is what a step pays for,
     // so more buckets = flatter growth; the extra empty tasks are noise
     val kS = floor3(() => runKeyed(spark, base, nKeys, steps, 256))
     val kL = floor3(() => runKeyed(spark, base * 10, nKeys * 10, steps, 256))
     val nS = floor3(() => runNaive(spark, base, nKeys, steps))
     val nL = floor3(() => runNaive(spark, base * 10, nKeys * 10, steps))
-    val uS = floor3(() => runUpsert(spark, base, steps))
-    val uL = floor3(() => runUpsert(spark, base * 10, steps))
+    val uS = floor5(() => runUpsert(spark, base, steps))
+    val uL = floor5(() => runUpsert(spark, base * 10, steps))
     val rS = floor3(() => runRolling(spark, base, nKeys, steps, 256))
     val rL = floor3(() => runRolling(spark, base * 10, nKeys * 10, steps, 256))
     val xS = floor3(() => runRadix(spark, base, nKeys, steps, 256))
@@ -383,7 +390,7 @@ object StepBench {
     val (gL, gLpf) = galenRun(base)
     // "stat" labels the *_sec figures: per-step FLOORS over three runs each,
     // not medians — the growth gate compares best-case step costs
-    f"""{"stat":"per_step_floor_of_3_runs","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"keyed_small_sec":$kS%.3f,"keyed_large_sec":$kL%.3f,"naive_small_sec":$nS%.3f,"naive_large_sec":$nL%.3f,"upsert_small_sec":$uS%.3f,"upsert_large_sec":$uL%.3f,"rolling_small_sec":$rS%.3f,"rolling_large_sec":$rL%.3f,"radix_small_sec":$xS%.3f,"radix_large_sec":$xL%.3f,"radix_scaled_large_sec":$xSc%.3f,"dedup_small_sec":$dS%.3f,"dedup_large_sec":$dL%.3f,"ann_small_sec":$aS%.3f,"ann_large_sec":$aL%.3f,"tri_small_sec":$tS%.3f,"tri_large_sec":$tL%.3f,"galen_small_sec":$gS%.3f,"galen_large_sec":$gL%.3f,"galen_small_sec_per_mfact":${gSpf * 1e6}%.3f,"galen_large_sec_per_mfact":${gLpf * 1e6}%.3f,"keyed_growth":${kL / kS}%.2f,"naive_growth":${nL / nS}%.2f,"upsert_growth":${uL / uS}%.2f,"rolling_growth":${rL / rS}%.2f,"radix_growth":${xL / xS}%.2f,"radix_scaled_growth":${xSc / xS}%.2f,"dedup_growth":${dL / dS}%.2f,"ann_growth":${aL / aS}%.2f,"tri_growth":${tL / tS}%.2f,"galen_growth":${gLpf / gSpf}%.2f}"""
+    f"""{"stat":"per_step_floor_of_3_runs_upsert_5","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"keyed_small_sec":$kS%.3f,"keyed_large_sec":$kL%.3f,"naive_small_sec":$nS%.3f,"naive_large_sec":$nL%.3f,"upsert_small_sec":$uS%.3f,"upsert_large_sec":$uL%.3f,"rolling_small_sec":$rS%.3f,"rolling_large_sec":$rL%.3f,"radix_small_sec":$xS%.3f,"radix_large_sec":$xL%.3f,"radix_scaled_large_sec":$xSc%.3f,"dedup_small_sec":$dS%.3f,"dedup_large_sec":$dL%.3f,"ann_small_sec":$aS%.3f,"ann_large_sec":$aL%.3f,"tri_small_sec":$tS%.3f,"tri_large_sec":$tL%.3f,"galen_small_sec":$gS%.3f,"galen_large_sec":$gL%.3f,"galen_small_sec_per_mfact":${gSpf * 1e6}%.3f,"galen_large_sec_per_mfact":${gLpf * 1e6}%.3f,"keyed_growth":${kL / kS}%.2f,"naive_growth":${nL / nS}%.2f,"upsert_growth":${uL / uS}%.2f,"rolling_growth":${rL / rS}%.2f,"radix_growth":${xL / xS}%.2f,"radix_scaled_growth":${xSc / xS}%.2f,"dedup_growth":${dL / dS}%.2f,"ann_growth":${aL / aS}%.2f,"tri_growth":${tL / tS}%.2f,"galen_growth":${gLpf / gSpf}%.2f}"""
   }
 
   def main(args: Array[String]): Unit = {

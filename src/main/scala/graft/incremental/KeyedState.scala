@@ -68,7 +68,13 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
     * `repartition(nBuckets, keys)` (HashPartitioning.partitionIdExpression). */
   def bucketId: Column = pmod(hash(keyExprs: _*), lit(nBuckets))
 
-  private final class Segment(val rdd: RDD[Row]) { var refs: Int = 0 }
+  /** `index`: for a TOUCHED-PRUNED segment (see `materializeBucketed`),
+    * the bucket-id → physical-partition-index map; `None` means physical
+    * partition i IS bucket i (full-layout segment). */
+  private final class Segment(val rdd: RDD[Row],
+                              val index: Option[Map[Int, Int]] = None) {
+    var refs: Int = 0
+  }
 
   /** bucket -> SEGMENT LIST, newest first. A bucket's logical content is
     * the Z-set SUM of partition `bucket` across its listed segments: a
@@ -139,12 +145,37 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
     (0 until nBuckets).foreach(b => bucketSegs(b) = Nil)
   }
 
-  /** One job: shuffle into nBuckets partitions by key hash and pin in memory. */
-  private def materializeBucketed(z: ZSetFrame): Segment = {
+  /** One job: shuffle into the nBuckets bucket layout by key hash and pin in
+    * memory. When the writer's touched-bucket span is known (every per-step
+    * merge — `touched` is resolved before the segment build), the shuffle-
+    * READ stage is PRUNED to those partitions before materializing: a step's
+    * segment job runs |touched| reduce tasks, not nBuckets. Without pruning,
+    * every step pays an nBuckets-task stage of overwhelmingly EMPTY tasks —
+    * pure scheduling overhead that grows with bucket COUNT (~0.1-0.2 ms/task
+    * in local mode, and at deployment-sized bucket counts it dominates the
+    * step: the r10 radix_scaled track measured +0.46 s/step at 2560 buckets
+    * from exactly this). The pruned segment records its bucket→partition
+    * index map; readers translate (bucketsDf). The reference never pays this
+    * either: a shard writes only the shards a batch touches
+    * (communication/shard.rs), not one output per possible shard. */
+  private def materializeBucketed(z: ZSetFrame,
+                                  touched: Option[Seq[Int]] = None): Segment = {
     val df = z.df.select(colsInOrder.map(col): _*)
       .repartition(nBuckets, keyExprs: _*)
-      .localCheckpoint(true)
-    new Segment(df.rdd)
+    touched match {
+      case Some(ts) if ts.size < nBuckets =>
+        val sorted = ts.distinct.sorted
+        val keep = sorted.toSet
+        // PartitionPruningRDD re-indexes the kept partitions consecutively
+        // in parent order (ascending bucket id) — sorted order IS the map
+        val pruned = PartitionPruningRDD.create(df.rdd, keep.contains)
+        pruned.localCheckpoint()
+        pruned.count()
+        new Segment(pruned, Some(sorted.zipWithIndex.toMap))
+      case _ =>
+        val c = df.localCheckpoint(true)
+        new Segment(c.rdd)
+    }
   }
 
   /** DataFrame over exactly the given buckets — partition-pruned reads of
@@ -158,7 +189,11 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
     if (pairs.isEmpty) return spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
     pairs.groupBy(_._1).map { case (seg, bs) =>
-      val parts = bs.map(_._2).toSet
+      // translate bucket id → physical partition index for pruned segments
+      val parts = seg.index match {
+        case Some(ix) => bs.map(p => ix(p._2)).toSet
+        case None => bs.map(_._2).toSet
+      }
       spark.createDataFrame(PartitionPruningRDD.create(seg.rdd, parts), schema)
     }.reduce(_ unionByName _)
   }
@@ -254,13 +289,13 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
     if (append) {
       // spine append: shuffle ONLY the delta into the bucket layout; old
       // segments are untouched (no O(bucket) consolidate on the hot path)
-      installAppend(materializeBucketed(d), touched)
+      installAppend(materializeBucketed(d, Some(touched)), touched)
     } else {
       // consolidate BEFORE installing: state rows must stay physically
       // unique (weight-merged) or count-style aggregates over the trace
       // would see duplicate rows; the groupBy shuffles only touched data,
       // never |DB|
-      val seg = materializeBucketed((oldTouched + d).consolidate)
+      val seg = materializeBucketed((oldTouched + d).consolidate, Some(touched))
       install(seg, touched)
     }
     val newTouched = ZSetFrame.fromDelta(bucketsDf(touched))
@@ -345,8 +380,8 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
     // job-local properties are inherited at thread creation, which a shared
     // pool thread would not see)
     val segTask = new java.util.concurrent.FutureTask(() =>
-      if (append) materializeBucketed(d)
-      else materializeBucketed((oldTouched + d).consolidate))
+      if (append) materializeBucketed(d, Some(touched))
+      else materializeBucketed((oldTouched + d).consolidate, Some(touched)))
     val segThread = new Thread(segTask, "graft-segment-build")
     segThread.setDaemon(true)
     segThread.start()

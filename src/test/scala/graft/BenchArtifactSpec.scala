@@ -42,7 +42,7 @@ class BenchArtifactSpec extends AnyFunSuite {
       "BENCH_LOCAL.json missing - run graft.Bench on the final code")
     val text = java.nio.file.Files.readString(artifact.toPath)
     val tracks = Seq("keyed_growth", "naive_growth", "upsert_growth",
-      "rolling_growth", "radix_growth", "dedup_growth", "ann_growth",
+      "rolling_growth", "radix_growth", "radix_scaled_growth", "dedup_growth", "ann_growth",
       "tri_growth", "galen_growth")
     val absent = tracks.filterNot(t => text.contains("\"" + t + "\""))
     assert(absent.isEmpty,

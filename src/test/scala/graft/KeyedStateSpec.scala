@@ -90,6 +90,38 @@ class KeyedStateSpec extends SparkSpec {
     }
   }
 
+  test("touched-pruned segments: sparse merges at high bucket count read back exactly") {
+    // r10: per-step segments materialize ONLY their touched partitions
+    // (PartitionPruningRDD + a bucket→index map). At 64 buckets and 1-3
+    // keys per delta every post-seed segment is pruned and the map is
+    // non-trivial (physical index ≠ bucket id for all but bucket 0) —
+    // snapshot, partition-pruned view() reads, and aggStep deltas must all
+    // translate correctly, in replace AND append (spine) mode.
+    for (append <- Seq(false, true)) {
+      val rnd = new scala.util.Random(if (append) 1300 else 1200)
+      def randomDelta(): ZSetFrame = {
+        val rows = Seq.fill(1 + rnd.nextInt(3)) {
+          val w = { val x = rnd.nextInt(4) - 2; if (x >= 0) x + 1 else x }
+          (rnd.nextInt(1000).toLong, rnd.nextInt(8).toLong, w.toLong)
+        }
+        ZSetFrame.fromDelta(rows.toDF("k", "v", ZSetFrame.W))
+      }
+      val deltas = Seq.fill(6)(randomDelta())
+      val naive = new Incremental.State(Incremental.emptyLike(deltas.head))
+      val keyed = new KeyedState(Seq("k"), 64, Incremental.emptyLike(deltas.head))
+      deltas.foreach { d => naive.update(d); keyed.merge(d, append = append) }
+      assertSameRows(keyed.snapshot.consolidate.df, naive.acc.consolidate.df)
+      // a partition-pruned read of one touched bucket returns exactly the
+      // accumulated rows hashing there (exercises the index translation)
+      val someKey = deltas.head.df.select("k").head().getLong(0)
+      val b = KeyedState.bucketOfLongs(Seq(someKey), 64)
+      val want = naive.acc.consolidate.df
+        .where(pmod(hash(col("k")), lit(64)) === b)
+      assertSameRows(keyed.view(Seq(b)).consolidate.df, want)
+      keyed.close()
+    }
+  }
+
   test("empty delta is a no-op step (touches no buckets, emits nothing)") {
     val d0 = ZSetFrame.fromDelta(Seq((1L, 2L, 1L)).toDF("k", "v", ZSetFrame.W))
     val st = new KeyedState(Seq("k"), 8, Incremental.emptyLike(d0))
