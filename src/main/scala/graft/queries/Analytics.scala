@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -18,6 +18,38 @@ object Analytics extends QueryModule {
     Tables(s, dir, name)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // GEO scalar surface under the oracle (reference fraud-detection demo's
+    // ST_POINT / ST_DISTANCE, demo/project_demo02-FraudDetection/
+    // project.sql:34): customer and supplier locations derived
+    // deterministically from their keys, per-nation pair distances via the
+    // haversine Geo.stDistance — the actual §2.8 geo functions, not a
+    // reimplementation. Cross-engine float discipline: every input is an
+    // exactly-representable double (integer grid + .5/.25 offsets), the
+    // formula is mirrored token-for-token in the oracle so both engines
+    // round the same operation sequence, and the output is FLOOR-quantized
+    // to 0.1 km before aggregation — libm sin/asin differ by ≤ ~1 ulp
+    // between engines (~1e-11 km at earth scale), eleven orders of
+    // magnitude inside the quantum. Supplier side is broadcast (small dim);
+    // the join is the per-nation pair expansion a geo-enrichment pipeline
+    // would run, keyed and shuffle-free on the big side.
+    "q86_geo_distance" -> ((s, dir) => {
+      import graft.functions.Geo
+      def pt(key: Column, a: Int, b: Int): Column = Geo.stPoint(
+        (pmod(key * a, lit(360)) - 180).cast("double") + lit(0.5),
+        (pmod(key * b, lit(160)) - 80).cast("double") + lit(0.25))
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"),
+        pt(col("c_custkey"), 7, 13).as("cpt"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"),
+        pt(col("s_suppkey"), 11, 17).as("spt"))
+      c.join(broadcast(sup), Seq("nationkey"))
+        .select(col("nationkey"),
+          floor(Geo.stDistance(col("cpt"), col("spt")) * 10).cast("long")
+            .as("dist_dam"))
+        .groupBy("nationkey")
+        .agg(count(lit(1)).as("n_pairs"), sum("dist_dam").as("sum_dist_dam"),
+          max("dist_dam").as("max_dist_dam"))
+    }),
+
     // scalar/CASE/date/string suite (nexmark q14 pattern)
     "q11_scalar_suite" -> ((s, dir) => {
       t(s, dir, "orders").select(
@@ -290,6 +322,33 @@ object Analytics extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    // token-for-token mirror of Geo.stDistance (same operand order, same
+    // parenthesization, constant written as 2*6371.0088 so both engines
+    // fold the identical double) — see the q86 scaladoc for the float
+    // discipline that makes the hash gate sound
+    "q86_geo_distance" ->
+      """WITH c AS (
+           SELECT c_nationkey AS nationkey,
+             CAST((c_custkey*7) % 360 - 180 AS DOUBLE) + 0.5 AS clon,
+             CAST((c_custkey*13) % 160 - 80 AS DOUBLE) + 0.25 AS clat
+           FROM customer),
+         s AS (
+           SELECT s_nationkey AS nationkey,
+             CAST((s_suppkey*11) % 360 - 180 AS DOUBLE) + 0.5 AS slon,
+             CAST((s_suppkey*17) % 160 - 80 AS DOUBLE) + 0.25 AS slat
+           FROM supplier),
+         d AS (
+           SELECT c.nationkey,
+             CAST(floor(2*6371.0088*asin(sqrt(
+               pow(sin(radians(slat - clat)/2), 2)
+               + cos(radians(clat)) * cos(radians(slat))
+                 * pow(sin(radians(slon - clon)/2), 2))) * 10) AS BIGINT)
+               AS dist_dam
+           FROM c JOIN s ON c.nationkey = s.nationkey)
+         SELECT nationkey, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(dist_dam) AS BIGINT) AS sum_dist_dam,
+           max(dist_dam) AS max_dist_dam
+         FROM d GROUP BY 1""",
     "q62_percentiles" ->
       """SELECT l_returnflag,
            quantile_cont(l_extendedprice, 0.5) AS p50,

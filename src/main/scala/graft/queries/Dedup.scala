@@ -346,6 +346,48 @@ object Dedup extends QueryModule {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // EXACT SUBSTRING DEDUP (the ExactSubstr pass of Lee et al. 2022,
+    // "Deduplicating Training Data Makes Language Models Better"): a token
+    // span duplicated ANYWHERE in the corpus — across documents or within
+    // one — marks every position it covers. The paper builds a corpus
+    // suffix array (inherently sequential); the distributed rendition is
+    // positional K-gram matching: every 20-token window, keyed by its
+    // md5 digest (engine-neutral, and at 100 TB the 32-byte digest — not
+    // the ~130-byte gram text — is what shuffles), one groupBy counting
+    // occurrences, duplicated digests (count ≥ 2) joined back to positions.
+    // Per doc: total window positions and how many sit in a duplicated
+    // window — the span-level dup-fraction signal exact-substring dedup
+    // cuts on. Plan shape: one shuffle keyed on the digest (uniform by
+    // construction — no hot keys), broadcast-back of the duplicated-digest
+    // set is NOT assumed (it can be corpus-sized); the join stays keyed.
+    // No all-pairs stage anywhere; positions are NOT array_distinct'd
+    // because coverage counts positions, unlike d24's membership test.
+    "d30_substring_dedup" -> ((s, dir) => {
+      val K = 20
+      val tk = split(col("text"), " ")
+      // the window list is guarded by when() rather than relying on the
+      // .where alone: InferFiltersFromGenerate copies the generator input
+      // into an inferred size()>0 predicate that Catalyst evaluates on
+      // UNFILTERED rows, where sequence(0, negative) descends and slice
+      // throws — the same total-function discipline as shingles()
+      val base = t(s, dir, "documents")
+        .where(size(tk) >= K)
+        .select(col("doc_id"), (size(tk) - (K - 1)).cast("long").as("n_positions"),
+          when(size(tk) >= K,
+            transform(sequence(lit(0), size(tk) - K),
+              i => md5(array_join(slice(tk, i + 1, lit(K)), " "))))
+            .otherwise(array().cast("array<string>")).as("gs"))
+      val pos = base.select(col("doc_id"), explode(col("gs")).as("gh"))
+      val dup = pos.groupBy("gh").agg(count(lit(1)).as("occ"))
+        .where(col("occ") >= 2).select("gh")
+      val perDoc = pos.join(dup, Seq("gh"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup_positions"))
+      base.select(col("doc_id"), col("n_positions"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_positions"),
+          coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"))
+    }),
+
     // MinHash + LSH banding + exact-Jaccard verification. With 16 bands the
     // false-negative rate at jac≥0.5 is ~1% (planted pairs are ≥0.875 →
     // ~1e-10), so the verified output equals the exact d02 result and shares
@@ -1125,6 +1167,28 @@ object Dedup extends QueryModule {
        FROM bits GROUP BY doc_id"""
 
   override def oracle: Map[String, String] = Map(
+    // literal mirror of the positional 20-gram pass: DuckDB md5 produces
+    // the identical hex digest, duplication is a pure integer count, and
+    // positions are counted (not distinct'd) exactly as in the query
+    "d30_substring_dedup" ->
+      """WITH tok AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         base AS (
+           SELECT doc_id, CAST(len(t) - 19 AS BIGINT) AS n_positions, t
+           FROM tok WHERE len(t) >= 20),
+         pos AS (
+           SELECT doc_id,
+             md5(array_to_string(t[CAST(u.i+1 AS INT):CAST(u.i+20 AS INT)], ' ')) AS gh
+           FROM base, unnest(range(len(t) - 19)) u(i)),
+         dup AS (
+           SELECT gh FROM pos GROUP BY gh HAVING count(*) >= 2),
+         per_doc AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_positions
+           FROM pos JOIN dup USING (gh) GROUP BY doc_id)
+         SELECT b.doc_id, b.n_positions,
+           COALESCE(p.n_dup_positions, 0) AS n_dup_positions
+         FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id""",
+
     // identical to the exact d02 result (LSH verified-candidates path)
     "d03_minhash_lsh" -> TextAnalysis.oracle("d02_jaccard_pairs"),
     // the incremental union over arrival batches ≡ the batch LSH result

@@ -47,6 +47,36 @@ object TextAnalysis extends QueryModule {
     Tables(s, dir, name)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TF-IDF top term per document — the doc-term-matrix shape every
+    // keyword-extraction / BM25-retrieval pipeline runs. tf from one
+    // explode+groupBy (map-side combined), df from a second groupBy over
+    // the DISTINCT (doc, term) pairs tf already materialized, corpus size
+    // as a broadcast scalar — the corpus is scanned ONCE and nothing ever
+    // self-joins. idf is the RATIONAL N/df (not log): cross-engine exact,
+    // order-identical to log(N/df) for ranking within a doc when scores
+    // are compared at equal tf — and the committed score is the floor-
+    // quantized integer tf*N*1e6/df, whose double rounding cannot cross
+    // an integer boundary (quotient is either exactly integral or ≥1/df
+    // from one; see d29's quantization discipline). Top-1 per doc via
+    // ROW_NUMBER keyed on doc_id with a total (score desc, term asc)
+    // order — deterministic under any partitioning.
+    "t10_tfidf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val tf = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df, Seq("term"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          floor((col("tf") * col("n_docs")).cast("double") * lit(1000000.0)
+            / col("df")).cast("long").as("score_q"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score_q").desc, col("term").asc)
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select("doc_id", "term", "tf", "df", "score_q")
+    }),
+
     // token / char counting
     "t01_tokens" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -454,6 +484,30 @@ object TextAnalysis extends QueryModule {
           ELSE '${langMarkers.last._1}' END"""
     }
     Map(
+      // same op sequence as the query: BIGINT tf*N, one double multiply by
+      // 1e6 (exact: ≤ 2.5e11 < 2^53), one division, floor — identical
+      // IEEE roundings in both engines
+      "t10_tfidf" ->
+        """WITH tok AS (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+           tf AS (
+             SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             FROM tok GROUP BY 1, 2),
+           df AS (
+             SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+           n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+           sc AS (
+             SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               CAST(floor(CAST(tf.tf * n.n_docs AS DOUBLE) * 1000000.0 / df.df)
+                 AS BIGINT) AS score_q
+             FROM tf JOIN df ON tf.term = df.term, n),
+           r AS (
+             SELECT *, row_number() OVER
+               (PARTITION BY doc_id ORDER BY score_q DESC, term ASC) AS rn
+             FROM sc)
+           SELECT doc_id, term, tf, df, score_q FROM r WHERE rn = 1""",
+
       "t01_tokens" ->
         """SELECT doc_id, length(text) AS n_chars2,
              len(string_split(text,' ')) AS n_tokens,

@@ -308,6 +308,53 @@ class DedupSpec extends SparkSpec {
     assert(q20.where(col("qsim") < -1.0 || col("qsim") > 1.0).isEmpty)
   }
 
+  test("d30 exact-substring dedup ≡ brute-force positional 20-gram model") {
+    val out = Dedup.queries("d30_substring_dedup")(spark, sf0001)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "d30 must stay keyed — no all-pairs stage")
+    // split(.., -1) matches Spark's split semantics (keeps trailing empties)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val K = 20
+    val occ = docs.values.toSeq
+      .flatMap(tk => if (tk.size >= K) tk.sliding(K).map(_.mkString(" ")) else Nil)
+      .groupBy(identity).map { case (g, xs) => g -> xs.size }
+    val expect = docs.collect { case (id, tk) if tk.size >= K =>
+      val gs = tk.sliding(K).map(_.mkString(" ")).toSeq
+      (id, gs.size.toLong, gs.count(g => occ(g) >= 2).toLong)
+    }.toSet
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect,
+      s"substring-dedup mismatch: ${(got -- expect).take(3)} vs ${(expect -- got).take(3)}")
+    // the planted near-dup corpus must actually light the signal up
+    assert(expect.exists(_._3 > 0), "corpus has no duplicated 20-grams?")
+  }
+
+  test("t10 tf-idf top term ≡ in-memory model (rational idf, quantized score)") {
+    val out = TextAnalysis.queries("t10_tfidf")(spark, sf0001)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val n = docs.size.toLong
+    val tf = docs.flatMap { case (id, tk) =>
+      tk.groupBy(identity).map { case (t, xs) => (id, t, xs.size.toLong) } }
+    val df = tf.groupBy(_._2).map { case (t, xs) => t -> xs.size.toLong }
+    val expect = tf.groupBy(_._1).map { case (id, xs) =>
+      val top = xs.map { case (_, t, f) =>
+        (t, f, df(t), math.floor((f * n).toDouble * 1000000.0 / df(t)).toLong) }
+        .toSeq.sortBy { case (t, _, _, s) => (-s, t) }.head
+      (id, top._1, top._2, top._3, top._4)
+    }.toSet
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == expect,
+      s"tfidf mismatch: ${(got -- expect).take(3)} vs ${(expect -- got).take(3)}")
+  }
+
   test("d23 bucket-composed quantized ANN: no cartesian stage, ≥90% agreement") {
     val q23 = Dedup.queries("d23_quantized_ann_lsh")(spark, sf0001).cache()
     assert(q23.count() == 100)

@@ -128,6 +128,40 @@ class OperatorSpec extends SparkSpec {
     assertSameRows(viaSql, viaApi)
   }
 
+  test("q86 geo join: bit-exact vs a JVM model with the same op order; dim side broadcast") {
+    val out = graft.queries.Analytics.queries("q86_geo_distance")(spark, sf0001)
+    // the supplier side is a small dim — the join must be broadcast, never
+    // a shuffle of the customer side
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "q86 must broadcast the supplier side")
+    // model replicates Geo.stDistance's exact operation ORDER (same JVM
+    // libm, same roundings) — so equality here is bit-exact, not tolerance
+    def pt(key: Long, a: Long, b: Long): (Double, Double) =
+      ((key * a % 360 - 180).toDouble + 0.5, (key * b % 160 - 80).toDouble + 0.25)
+    def distDam(p: (Double, Double), q: (Double, Double)): Long = {
+      val dLat = math.toRadians(q._2 - p._2)
+      val dLon = math.toRadians(q._1 - p._1)
+      val h = math.pow(math.sin(dLat / 2), 2) +
+        math.cos(math.toRadians(p._2)) * math.cos(math.toRadians(q._2)) *
+          math.pow(math.sin(dLon / 2), 2)
+      math.floor(2 * 6371.0088 * math.asin(math.sqrt(h)) * 10).toLong
+    }
+    def longs(r: org.apache.spark.sql.Row): (Long, Long) =
+      (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)
+    val cust = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select("c_custkey", "c_nationkey").collect().map(longs)
+    val supp = spark.read.parquet(s"$sf0001/supplier.parquet")
+      .select("s_suppkey", "s_nationkey").collect().map(longs)
+    val dams = for {
+      (ck, cn) <- cust.toSeq; (sk, sn) <- supp.toSeq if cn == sn
+    } yield (cn, distDam(pt(ck, 7, 13), pt(sk, 11, 17)))
+    val expect = dams.groupBy(_._1).map { case (n, xs) =>
+      (n, xs.size.toLong, xs.map(_._2).sum, xs.map(_._2).max) }.toSet
+    val got = out.collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect, s"geo mismatch: ${(got -- expect).take(3)} vs ${(expect -- got).take(3)}")
+  }
+
   test("geo: ST_DISTANCE haversine matches known city distance") {
     val df = Seq((2.3522, 48.8566, -0.1276, 51.5072)).toDF("lon1", "lat1", "lon2", "lat2")
     val km = df.select(Geo.stDistance(
