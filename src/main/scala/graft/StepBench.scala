@@ -415,6 +415,14 @@ object StepBench {
       // diagnostic mode: one dedup run per scale, per-step times on stderr
       runDedup(spark, base, steps)
       runDedup(spark, base * 10, steps)
+    } else if (args.length > 2 && args(2) == "keyed") {
+      // diagnostic mode: one keyed run per scale, per-step times on stderr
+      Seq(base, base * 10).foreach { n =>
+        val ts = runKeyed(spark, n, n / 5, steps, 256)
+        System.err.println(
+          f"[stepbench keyed n=$n] " + ts.map(t => f"$t%.3f").mkString(" "))
+        graft.incremental.Pinned.sweepSession(spark.sparkContext)
+      }
     } else if (args.length > 2 && args(2) == "tri") {
       // diagnostic mode: one tri run per scale, per-step times on stderr
       Seq(base / 5, base * 2).foreach { n =>

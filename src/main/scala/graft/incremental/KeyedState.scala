@@ -70,10 +70,17 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
 
   /** `index`: for a TOUCHED-PRUNED segment (see `materializeBucketed`),
     * the bucket-id → physical-partition-index map; `None` means physical
-    * partition i IS bucket i (full-layout segment). */
-  private final class Segment(val rdd: RDD[Row],
+    * partition i IS bucket i (full-layout segment). Rows are pinned in the
+    * INTERNAL (UnsafeRow) format — views rebuild DataFrames without any
+    * row conversion, and `bucketsDf` re-declares the key clustering the
+    * layout guarantees. (The delta-checkpoint retirement vehicle in
+    * `prepare` stores an external-row RDD — it is only ever unpersisted,
+    * never read — hence `RDD[_]`.) */
+  private final class Segment(val rdd: RDD[_],
                               val index: Option[Map[Int, Int]] = None) {
     var refs: Int = 0
+    def internalRows: RDD[org.apache.spark.sql.catalyst.InternalRow] =
+      rdd.asInstanceOf[RDD[org.apache.spark.sql.catalyst.InternalRow]]
   }
 
   /** bucket -> SEGMENT LIST, newest first. A bucket's logical content is
@@ -94,7 +101,7 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
   private val retiredSegs = mutable.Buffer[(Long, Segment)]()
 
   { // seed segment: the (usually empty) initial state, bucketed
-    install(materializeBucketed(init.consolidate), 0 until nBuckets)
+    install(materializeBucketed(init, consolidate = true), 0 until nBuckets)
   }
 
   /** REPLACE `bucketIds`' lists with `seg`, maintaining refcounts; segments
@@ -158,23 +165,57 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
     * index map; readers translate (bucketsDf). The reference never pays this
     * either: a shard writes only the shards a batch touches
     * (communication/shard.rs), not one output per possible shard. */
+  /** `consolidate = true` weight-merges to physically-unique rows INSIDE
+    * the bucket layout: repartition first, THEN groupBy — the repartition's
+    * HashPartitioning(keys) satisfies the consolidate's full-column
+    * clustering, so the groupBy adds NO second exchange (pre-r10 the order
+    * was consolidate-then-bucket: two shuffles of the touched data per
+    * replace-mode step where one suffices). Same rows out either way —
+    * grouping is on all data columns and zero-net rows drop after the sum. */
   private def materializeBucketed(z: ZSetFrame,
-                                  touched: Option[Seq[Int]] = None): Segment = {
-    val df = z.df.select(colsInOrder.map(col): _*)
+                                  touched: Option[Seq[Int]] = None,
+                                  consolidate: Boolean = false): Segment = {
+    val bucketed = z.df.select(colsInOrder.map(col): _*)
       .repartition(nBuckets, keyExprs: _*)
+    val ds = if (consolidate) {
+      val dataCols = colsInOrder.filterNot(_ == ZSetFrame.W)
+      bucketed.groupBy(dataCols.map(col): _*)
+        .agg(sum(ZSetFrame.W).as(ZSetFrame.W))
+        .where(col(ZSetFrame.W) =!= 0L)
+        .select(colsInOrder.map(col): _*)
+    } else bucketed
+    // pin INTERNAL rows (what Dataset.checkpoint itself does): no Row
+    // conversion on write or on any later view read. UnsafeRow buffers are
+    // reused within a partition — copy before persisting.
+    val internal0 = ds.queryExecution.toRdd.map(_.copy())
+    val internal = if (internal0.getNumPartitions == nBuckets) internal0 else {
+      // AQE's empty-relation propagation folds an ALL-EMPTY build (the seed
+      // of a fresh state, or a delta that exactly cancels its buckets) into
+      // a 0/1-partition local relation, silently losing the bucket layout
+      // every reader indexes by. Restore it with an explicitly empty
+      // nBuckets-wide RDD; any NON-empty layout loss is a hard error
+      // (partition-count check is metadata-only; the take(1) job runs only
+      // on this rare path).
+      require(internal0.take(1).isEmpty,
+        s"graft: bucket layout lost (${internal0.getNumPartitions} partitions," +
+          s" expected $nBuckets) on non-empty data")
+      spark.sparkContext.parallelize(
+        Seq.empty[org.apache.spark.sql.catalyst.InternalRow], nBuckets)
+    }
     touched match {
       case Some(ts) if ts.size < nBuckets =>
         val sorted = ts.distinct.sorted
         val keep = sorted.toSet
         // PartitionPruningRDD re-indexes the kept partitions consecutively
         // in parent order (ascending bucket id) — sorted order IS the map
-        val pruned = PartitionPruningRDD.create(df.rdd, keep.contains)
+        val pruned = PartitionPruningRDD.create(internal, keep.contains)
         pruned.localCheckpoint()
         pruned.count()
         new Segment(pruned, Some(sorted.zipWithIndex.toMap))
       case _ =>
-        val c = df.localCheckpoint(true)
-        new Segment(c.rdd)
+        internal.localCheckpoint()
+        internal.count()
+        new Segment(internal)
     }
   }
 
@@ -184,18 +225,69 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
     * list (every segment was written with the same repartition layout);
     * appended buckets may carry weight-split duplicate rows — consolidate
     * on read where physical uniqueness matters. */
-  private def bucketsDf(ids: Seq[Int]): DataFrame = {
-    val pairs = ids.flatMap(b => bucketSegs(b).map(s => (s, b)))
-    if (pairs.isEmpty) return spark.createDataFrame(
+  /** Consolidate an ALREADY bucket-aligned view (a `bucketsDf` result whose
+    * partition j is bucket sorted(j)) into a pruned segment WITHOUT
+    * re-shuffling: the view's declared clustering satisfies the
+    * consolidate's grouping, so the build is scan + agg in place and the
+    * aggregate preserves partition count and indexes — the reference's
+    * shard-local spine merge (spine_fueled.rs: batches of one shard merge
+    * within the shard; nothing crosses shards). */
+  private def materializeAligned(view: DataFrame, sorted: Seq[Int]): Segment = {
+    val dataCols = colsInOrder.filterNot(_ == ZSetFrame.W)
+    val ds = view.groupBy(dataCols.map(col): _*)
+      .agg(sum(ZSetFrame.W).as(ZSetFrame.W))
+      .where(col(ZSetFrame.W) =!= 0L)
+      .select(colsInOrder.map(col): _*)
+    val internal0 = ds.queryExecution.toRdd.map(_.copy())
+    val internal = if (internal0.getNumPartitions == sorted.size) internal0 else {
+      // same AQE empty-relation fold as materializeBucketed: an all-empty
+      // consolidation loses the layout; restore an empty aligned RDD
+      require(internal0.take(1).isEmpty,
+        s"graft: aligned layout lost (${internal0.getNumPartitions} parts," +
+          s" expected ${sorted.size}) on non-empty data")
+      spark.sparkContext.parallelize(
+        Seq.empty[org.apache.spark.sql.catalyst.InternalRow], sorted.size)
+    }
+    internal.localCheckpoint()
+    internal.count()
+    if (sorted == (0 until nBuckets)) new Segment(internal)
+    else new Segment(internal, Some(sorted.zipWithIndex.toMap))
+  }
+
+  private def bucketsDf(ids: Seq[Int], extra: Option[Segment] = None): DataFrame = {
+    val sorted = ids.distinct.sorted
+    val pairs = sorted.flatMap(b => bucketSegs(b).map(s => (s, b)))
+    if (sorted.isEmpty || pairs.isEmpty) return spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
-    pairs.groupBy(_._1).map { case (seg, bs) =>
-      // translate bucket id → physical partition index for pruned segments
-      val parts = seg.index match {
-        case Some(ix) => bs.map(p => ix(p._2)).toSet
-        case None => bs.map(_._2).toSet
-      }
-      spark.createDataFrame(PartitionPruningRDD.create(seg.rdd, parts), schema)
-    }.reduce(_ unionByName _)
+    // ONE scan for the whole view: output partition j concatenates bucket
+    // sorted(j)'s physical partition from every segment in its spine
+    // (BucketUnionRDD, narrow). The resulting frame DECLARES the key
+    // clustering the bucket layout guarantees (BucketClusteredPartitioning
+    // via the LogicalRDD shim) — so a step's consolidate ∘ agg over this
+    // view plans with ZERO exchanges: Catalyst is told what the reference's
+    // sharded trace makes structural (shard.rs — aggregation probes shards
+    // in place, never re-shards). Correctness is untouched: the declared
+    // property (equal keys co-located) holds by construction of every
+    // segment, and IncrementalSpec's bucket-lineup + KeyedStateSpec's
+    // readback gates pin it.
+    // `extra`: an uninstalled segment (a step's Δ mini-segment) read as if
+    // appended to every bucket it covers — lets aggStep see old ∪ Δ as one
+    // clustered scan before deciding how to install the merge
+    val segs = (pairs.map(_._1) ++ extra).distinct
+    val choices: Array[Array[Array[Int]]] = Array.tabulate(sorted.size) { j =>
+      val b = sorted(j)
+      val inSpine = bucketSegs(b)
+      segs.map { s =>
+        val listed = inSpine.contains(s) ||
+          extra.exists(x => (x eq s) && x.index.forall(_.contains(b)))
+        if (listed) Array(s.index.map(_(b)).getOrElse(b))
+        else Array.empty[Int]
+      }.toArray
+    }
+    val union = new graft.plans.BucketUnionRDD(segs.map(_.internalRows), choices)
+    org.apache.spark.sql.graft.GraftSqlShim.internalDf(spark, union, schema,
+      attrs => graft.plans.BucketClusteredPartitioning(
+        keys.map(k => attrs(schema.fieldIndex(k))), sorted.size))
   }
 
   /** The full state as a Z-set (final read-out; scans every bucket). */
@@ -221,7 +313,7 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
     * spine's deferred merge. */
   def compact(): Unit = {
     val seg = materializeBucketed(
-      ZSetFrame.fromDelta(bucketsDf(0 until nBuckets)).consolidate)
+      ZSetFrame.fromDelta(bucketsDf(0 until nBuckets)), consolidate = true)
     install(seg, 0 until nBuckets)
   }
 
@@ -295,7 +387,7 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
       // unique (weight-merged) or count-style aggregates over the trace
       // would see duplicate rows; the groupBy shuffles only touched data,
       // never |DB|
-      val seg = materializeBucketed((oldTouched + d).consolidate, Some(touched))
+      val seg = materializeBucketed(oldTouched + d, Some(touched), consolidate = true)
       install(seg, touched)
     }
     val newTouched = ZSetFrame.fromDelta(bucketsDf(touched))
@@ -376,38 +468,57 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
     // pre-merge segment lists)
     val preSpined = anySpine
     val (d, touched, oldTouched) = prepare(delta, checkpointDelta, knownTouched)
-    // segment build on a side thread (a fresh thread per step: Spark's
-    // job-local properties are inherited at thread creation, which a shared
-    // pool thread would not see)
-    val segTask = new java.util.concurrent.FutureTask(() =>
-      if (append) materializeBucketed(d, Some(touched))
-      else materializeBucketed((oldTouched + d).consolidate, Some(touched)))
-    val segThread = new Thread(segTask, "graft-segment-build")
-    segThread.setDaemon(true)
-    segThread.start()
-    try {
-      val newLogical = oldTouched + d // ≡ post-merge touched content (lazy)
-      val (o, n) = restrictTo match {
-        case Some(p) => (oldTouched.where(p), newLogical.where(p))
-        case None => (oldTouched, newLogical)
+    // Δ BUCKET ALIGNMENT, eagerly (ONE O(|Δ|) job — the step's only
+    // shuffle): with the delta in the state's own layout, the new side is
+    // a single bucket-clustered scan (old spine ⊎ Δ mini-segment via
+    // bucketsDf's `extra`), so BOTH aggregate chains below and the replace
+    // consolidation plan with zero exchanges. This is the reference's step
+    // economics made literal: a batch is routed to its shards once, and
+    // every downstream read/merge happens shard-local
+    // (communication/shard.rs; spine_fueled.rs merges within a shard).
+    val miniSeg = materializeBucketed(d, Some(touched))
+    val newView = ZSetFrame.fromDelta(bucketsDf(touched, extra = Some(miniSeg)))
+    val (o, n) = restrictTo match {
+      case Some(p) => (oldTouched.where(p), newView.where(p))
+      case None => (oldTouched, newView)
+    }
+    // the Δ side of the spine view is never physically consolidated, so the
+    // NEW side always consolidates; the OLD side only when spine duplicates
+    // can exist (consolidation is sized to the restriction, not the bucket)
+    val oc = if (preSpined) o.consolidate else o
+    if (append) {
+      // the aligned delta IS the merge — install up front; views captured
+      // above are unaffected (bucketsDf snapshots the spine lists eagerly).
+      // A failed output job leaves the merge installed, matching the
+      // replace path's failure contract.
+      installAppend(miniSeg, touched)
+      (agg(n.consolidate) - agg(oc)).localCheckpoint(eager = true)
+    } else {
+      // pin the aligned delta through this step's reads; the deferred
+      // reclaim frees it once the replace segment supersedes it
+      retiredSegs += ((gen, miniSeg))
+      // replace consolidation on a side thread (fresh thread per step:
+      // Spark's job-local properties are inherited at thread creation,
+      // which a shared pool thread would not see), CONCURRENT with the
+      // output job — and itself shuffle-free: the spine view is already
+      // bucket-aligned, so consolidating it is scan + agg in place
+      // (materializeAligned), partition indexes preserved.
+      val segTask = new java.util.concurrent.FutureTask(() =>
+        materializeAligned(newView.df, touched.distinct.sorted))
+      val segThread = new Thread(segTask, "graft-segment-build")
+      segThread.setDaemon(true)
+      segThread.start()
+      try {
+        val out = (agg(n.consolidate) - agg(oc)).localCheckpoint(eager = true)
+        install(segTask.get(), touched)
+        out
+      } catch {
+        case e: Throwable =>
+          // still install the finished segment so the state is not
+          // corrupted by a failed output job (the merge itself succeeded)
+          try install(segTask.get(), touched) catch { case _: Throwable => () }
+          throw e
       }
-      // the lazy union is never physically consolidated, so the NEW side
-      // always consolidates; the OLD side only when spine duplicates can
-      // exist (consolidation is sized to the restriction, not the bucket)
-      val oc = if (preSpined) o.consolidate else o
-      val out = (agg(n.consolidate) - agg(oc)).localCheckpoint(eager = true)
-      val seg = segTask.get()
-      if (append) installAppend(seg, touched) else install(seg, touched)
-      out
-    } catch {
-      case e: Throwable =>
-        // still install the finished segment so the state is not corrupted
-        // by a failed output job (the merge itself succeeded)
-        try {
-          val seg = segTask.get()
-          if (append) installAppend(seg, touched) else install(seg, touched)
-        } catch { case _: Throwable => () }
-        throw e
     }
   }
 }

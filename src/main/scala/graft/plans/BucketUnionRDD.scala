@@ -1,0 +1,56 @@
+package graft.plans
+
+import org.apache.spark.{NarrowDependency, Partition, TaskContext}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+
+private[graft] class BucketUnionPartition(
+    override val index: Int,
+    /** choices(i) = partition indexes to read from parent i (0 or 1 here) */
+    val choices: Array[Array[Int]]) extends Partition
+
+/** Multi-parent NARROW union of bucket-aligned segment partitions: output
+  * partition j concatenates, from each parent segment, the one physical
+  * partition holding bucket j's rows (segments that don't carry bucket j
+  * contribute nothing). This is a KeyedState spine read as ONE scan: all
+  * of a bucket's spine batches stream through a single task, so the view
+  * keeps the segments' key co-location — the property
+  * [[BucketClusteredPartitioning]] then declares to Catalyst. (The stock
+  * alternatives lose it: `union` of per-segment DataFrames erases
+  * partitioning, and `UnionRDD` appends partitions instead of aligning
+  * them.) Dependencies are narrow, so no shuffle and full locality; the
+  * reference analog is reading one shard's spine batches sequentially
+  * (crates/dbsp/src/trace/spine_fueled.rs — a shard's batches live
+  * together and merge locally, never across shards). */
+private[graft] class BucketUnionRDD(
+    @transient private val parents: Seq[RDD[InternalRow]],
+    choices: Array[Array[Array[Int]]])
+  extends RDD[InternalRow](
+    parents.head.sparkContext,
+    parents.zipWithIndex.map { case (p, i) =>
+      new NarrowDependency[InternalRow](p) {
+        override def getParents(partitionId: Int): Seq[Int] =
+          choices(partitionId)(i).toSeq
+      }
+    }) {
+
+  override def getPartitions: Array[Partition] =
+    Array.tabulate(choices.length)(j => new BucketUnionPartition(j, choices(j)))
+
+  override def compute(split: Partition, ctx: TaskContext): Iterator[InternalRow] = {
+    val bp = split.asInstanceOf[BucketUnionPartition]
+    dependencies.iterator.zipWithIndex.flatMap { case (dep, i) =>
+      val parent = dep.rdd.asInstanceOf[RDD[InternalRow]]
+      bp.choices(i).iterator.flatMap(pi => parent.iterator(parent.partitions(pi), ctx))
+    }
+  }
+
+  override def getPreferredLocations(split: Partition): Seq[String] = {
+    val bp = split.asInstanceOf[BucketUnionPartition]
+    dependencies.zipWithIndex.collectFirst {
+      case (dep, i) if bp.choices(i).nonEmpty =>
+        val parent = dep.rdd.asInstanceOf[RDD[InternalRow]]
+        parent.preferredLocations(parent.partitions(bp.choices(i).head))
+    }.getOrElse(Nil)
+  }
+}

@@ -90,6 +90,29 @@ class KeyedStateSpec extends SparkSpec {
     }
   }
 
+  test("bucket views plan consolidate∘agg with ZERO exchanges (declared clustering)") {
+    // the r10 exchange-elision contract: a view's declared
+    // BucketClusteredPartitioning satisfies every ClusteredDistribution over
+    // the state keys or a superset, so the per-step consolidate (groupBy all
+    // data cols) + keyed aggregate chain has NO Exchange and NO extra AQE
+    // stage barriers — Catalyst is told the trace is already sharded by key.
+    val d0 = ZSetFrame.fromDelta(
+      (1L to 200L).map(k => (k, k % 7, 1L)).toDF("k", "v", ZSetFrame.W))
+    val st = new KeyedState(Seq("k"), 16, Incremental.emptyLike(d0))
+    st.merge(d0)
+    val view = st.view(Seq(0, 3, 5, 9))
+    val plan = view.consolidate.df
+      .groupBy("k").agg(max("v").as("mx")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucket-view consolidate+agg must be exchange-free, got:\n$plan")
+    // and the values are right: equals the same agg over a shuffled copy
+    val expect = st.snapshot.consolidate.df
+      .where(pmod(hash(col("k")), lit(16)).isin(0, 3, 5, 9))
+      .groupBy("k").agg(max("v").as("mx"))
+    assertSameRows(view.consolidate.df.groupBy("k").agg(max("v").as("mx")), expect)
+    st.close()
+  }
+
   test("touched-pruned segments: sparse merges at high bucket count read back exactly") {
     // r10: per-step segments materialize ONLY their touched partitions
     // (PartitionPruningRDD + a bucket→index map). At 64 buckets and 1-3
