@@ -9,7 +9,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.core.Tables
+import graft.core.{Tables, ZSetFrame}
 import graft.incremental.BucketedUpsertState
 
 /** Scale-path near-dup + similarity operators: MinHash+LSH banding, SimHash,
@@ -363,20 +363,7 @@ object Dedup extends QueryModule {
     // No all-pairs stage anywhere; positions are NOT array_distinct'd
     // because coverage counts positions, unlike d24's membership test.
     "d30_substring_dedup" -> ((s, dir) => {
-      val K = 20
-      val tk = split(col("text"), " ")
-      // the window list is guarded by when() rather than relying on the
-      // .where alone: InferFiltersFromGenerate copies the generator input
-      // into an inferred size()>0 predicate that Catalyst evaluates on
-      // UNFILTERED rows, where sequence(0, negative) descends and slice
-      // throws — the same total-function discipline as shingles()
-      val base = t(s, dir, "documents")
-        .where(size(tk) >= K)
-        .select(col("doc_id"), (size(tk) - (K - 1)).cast("long").as("n_positions"),
-          when(size(tk) >= K,
-            transform(sequence(lit(0), size(tk) - K),
-              i => md5(array_join(slice(tk, i + 1, lit(K)), " "))))
-            .otherwise(array().cast("array<string>")).as("gs"))
+      val base = substringGramBase(t(s, dir, "documents"))
       val pos = base.select(col("doc_id"), explode(col("gs")).as("gh"))
       val dup = pos.groupBy("gh").agg(count(lit(1)).as("occ"))
         .where(col("occ") >= 2).select("gh")
@@ -384,6 +371,59 @@ object Dedup extends QueryModule {
         .groupBy("doc_id").agg(count(lit(1)).as("n_dup_positions"))
       base.select(col("doc_id"), col("n_positions"))
         .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_positions"),
+          coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"))
+    }),
+
+    // INCREMENTAL exact-substring dedup — d30 under continuous ingestion
+    // (the d14 harness pattern: batches = doc_id mod K). The interesting
+    // semantics is the DUPLICATION THRESHOLD CROSSING: when a later batch
+    // brings a gram's corpus-wide occurrence count from 1 to ≥2, every
+    // position of that gram — including positions of EARLIER documents —
+    // becomes retroactively duplicated, so the operator must emit
+    // corrections for documents it ingested long ago. The Z-set rendition
+    // makes that exact and cheap: the gram-position trace is a KeyedState
+    // keyed by digest; a step's aggregate emits per-DOC contributions as
+    // WEIGHTS (Σ of the doc's position counts over grams with total ≥ 2,
+    // computed per touched gram-bucket), and aggStep's −old/+new minus
+    // yields precisely the crossing deltas — a gram crossing 1→2
+    // contributes 0 on the old side and its full per-doc counts on the
+    // new side, crediting early documents automatically. Outputs are
+    // weight-ADDITIVE across grams, so touched-bucket-local aggregation
+    // integrates to the exact global per-doc counts (the linearity that
+    // makes per-bucket cancellation sound). Per step: O(|Δ|) shuffle to
+    // route the batch's grams + touched-bucket window sums, exchange-free
+    // over the declared clustering; the accumulated output ≡ batch d30
+    // (shared oracle), and DedupSpec asserts the fixture genuinely
+    // exercises the crossing path (grams duplicated only ACROSS batches).
+    "d31_inc_substring_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val K = 4
+      val base = substringGramBase(
+        t(s, dir, "documents")).localCheckpoint(true)
+      def gramRows(df: DataFrame): DataFrame =
+        df.select(explode(col("gs")).as("gh"), col("doc_id"),
+          lit(1L).as(ZSetFrame.W))
+      val emptyLike = ZSetFrame.fromDelta(gramRows(base).where(lit(false)))
+      def aggFn(z: ZSetFrame): ZSetFrame = {
+        val w = Window.partitionBy("gh")
+        ZSetFrame.fromDelta(z.df
+          .withColumn("total", sum(col(ZSetFrame.W)).over(w))
+          .where(col("total") >= 2L)
+          .select(col("doc_id"), col(ZSetFrame.W))).consolidate
+      }
+      val st = new graft.incremental.KeyedState(Seq("gh"), 64, emptyLike)
+      val dup = new graft.incremental.Incremental.State(
+        ZSetFrame.fromDelta(gramRows(base).select("doc_id", ZSetFrame.W)
+          .where(lit(false))))
+      for (i <- 0 until K)
+        dup.update(st.aggStep(ZSetFrame.fromDelta(
+          gramRows(base.where(pmod(col("doc_id"), lit(K)) === i))))(aggFn))
+      st.close()
+      val counts = dup.acc.consolidate.df
+        .select(col("doc_id"), col(ZSetFrame.W).as("n_dup_positions"))
+      base.select(col("doc_id"), col("n_positions"))
+        .join(counts, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_positions"),
           coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"))
     }),
@@ -839,6 +879,46 @@ object Dedup extends QueryModule {
     * SQL engine with md5 can positionally hex-decode the same value; the
     * DuckDB oracles do exactly that). 60 bits so the value fits a signed
     * 64-bit integer in every engine. */
+  /** Positional 20-token gram digests per document (the ExactSubstr unit,
+    * d30/d31): (doc_id, n_positions, gs = md5 digest per window position).
+    * The window list is guarded by when() rather than relying on the .where
+    * alone: InferFiltersFromGenerate copies the generator input into an
+    * inferred size()>0 predicate that Catalyst evaluates on UNFILTERED
+    * rows, where sequence(0, negative) descends and slice throws — the
+    * same total-function discipline as shingles(). */
+  private[graft] def substringGramBase(docs: DataFrame): DataFrame = {
+    val K = 20
+    val tk = split(col("text"), " ")
+    docs
+      .where(size(tk) >= K)
+      .select(col("doc_id"), (size(tk) - (K - 1)).cast("long").as("n_positions"),
+        when(size(tk) >= K,
+          transform(sequence(lit(0), size(tk) - K),
+            i => md5(array_join(slice(tk, i + 1, lit(K)), " "))))
+          .otherwise(array().cast("array<string>")).as("gs"))
+  }
+
+  /** The d30/d31 shared oracle: literal DuckDB mirror of the positional
+    * 20-gram pass (engine-identical md5 digests, pure integer counts). */
+  private val oracle30: String =
+    """WITH tok AS (
+         SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       base AS (
+         SELECT doc_id, CAST(len(t) - 19 AS BIGINT) AS n_positions, t
+         FROM tok WHERE len(t) >= 20),
+       pos AS (
+         SELECT doc_id,
+           md5(array_to_string(t[CAST(u.i+1 AS INT):CAST(u.i+20 AS INT)], ' ')) AS gh
+         FROM base, unnest(range(len(t) - 19)) u(i)),
+       dup AS (
+         SELECT gh FROM pos GROUP BY gh HAVING count(*) >= 2),
+       per_doc AS (
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_positions
+         FROM pos JOIN dup USING (gh) GROUP BY doc_id)
+       SELECT b.doc_id, b.n_positions,
+         COALESCE(p.n_dup_positions, 0) AS n_dup_positions
+       FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id"""
+
   private[queries] def hash60(w: Column): Column =
     conv(substring(md5(w), 1, 15), 16, 10).cast("long")
 
@@ -1170,24 +1250,12 @@ object Dedup extends QueryModule {
     // literal mirror of the positional 20-gram pass: DuckDB md5 produces
     // the identical hex digest, duplication is a pure integer count, and
     // positions are counted (not distinct'd) exactly as in the query
-    "d30_substring_dedup" ->
-      """WITH tok AS (
-           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         base AS (
-           SELECT doc_id, CAST(len(t) - 19 AS BIGINT) AS n_positions, t
-           FROM tok WHERE len(t) >= 20),
-         pos AS (
-           SELECT doc_id,
-             md5(array_to_string(t[CAST(u.i+1 AS INT):CAST(u.i+20 AS INT)], ' ')) AS gh
-           FROM base, unnest(range(len(t) - 19)) u(i)),
-         dup AS (
-           SELECT gh FROM pos GROUP BY gh HAVING count(*) >= 2),
-         per_doc AS (
-           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_positions
-           FROM pos JOIN dup USING (gh) GROUP BY doc_id)
-         SELECT b.doc_id, b.n_positions,
-           COALESCE(p.n_dup_positions, 0) AS n_dup_positions
-         FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id""",
+    "d30_substring_dedup" -> oracle30,
+
+    // the accumulated incremental output ≡ the batch d30 result (see the
+    // d31 scaladoc: weight-additive per-doc contributions integrate to the
+    // exact global counts, and threshold crossings credit earlier batches)
+    "d31_inc_substring_dedup" -> oracle30,
 
     // identical to the exact d02 result (LSH verified-candidates path)
     "d03_minhash_lsh" -> TextAnalysis.oracle("d02_jaccard_pairs"),

@@ -334,6 +334,31 @@ class DedupSpec extends SparkSpec {
     assert(expect.exists(_._3 > 0), "corpus has no duplicated 20-grams?")
   }
 
+  test("d31 incremental substring dedup ≡ batch d30; crossings are genuinely cross-batch") {
+    // the equivalence IS the threshold-crossing test: if a gram crossing
+    // occurrence 1→2 in a later batch failed to credit the positions of
+    // EARLIER batches' documents, early docs would undercount and the
+    // multiset compare would fail...
+    assertSameRows(
+      Dedup.queries("d31_inc_substring_dedup")(spark, sf0001),
+      Dedup.queries("d30_substring_dedup")(spark, sf0001))
+    // ...provided the fixture actually exercises the path: there must be a
+    // duplicated gram NO single arrival batch (doc_id mod 4) duplicates on
+    // its own — its threshold is only crossed across batches
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val occ = docs.toSeq.flatMap { case (id, tk) =>
+      if (tk.size >= 20) tk.sliding(20).map(g => (g.mkString(" "), id % 4)).toSeq
+      else Nil
+    }.groupBy(_._1)
+    val crossOnly = occ.values.exists { xs =>
+      xs.size >= 2 && xs.groupBy(_._2).values.forall(_.size < 2)
+    }
+    assert(crossOnly,
+      "fixture has no gram duplicated only ACROSS batches - crossing path untested")
+  }
+
   test("t10 tf-idf top term ≡ in-memory model (rational idf, quantized score)") {
     val out = TextAnalysis.queries("t10_tfidf")(spark, sf0001)
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
