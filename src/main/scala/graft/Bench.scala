@@ -48,9 +48,14 @@ object Bench {
       Seq("-cp", System.getProperty("java.class.path"),
         "graft.StepBench", base.toString, steps.toString)
     val out = new StringBuilder
-    val code = Process(cmd).!(
-      ProcessLogger(l => { out.append(l).append('\n'); () }, _ => ()))
-    require(code == 0, s"stepbench child JVM exited $code")
+    // keep the tail of the child's stderr: on failure it holds the only
+    // copy of the stack trace, and "exited 1" alone is undebuggable
+    val errTail = new scala.collection.mutable.ArrayDeque[String]()
+    val code = Process(cmd).!(ProcessLogger(
+      l => { out.append(l).append('\n'); () },
+      l => { errTail += l; if (errTail.size > 40) errTail.removeHead(); () }))
+    require(code == 0,
+      s"stepbench child JVM exited $code; stderr tail:\n${errTail.mkString("\n")}")
     out.toString.linesIterator.find(_.startsWith("[stepbench] "))
       .map(_.stripPrefix("[stepbench] "))
       .getOrElse(sys.error("stepbench child printed no [stepbench] line"))

@@ -35,8 +35,13 @@ object Fold {
   class LastNAvgBy[IN](n: Int, scale: Double,
                        ord: IN => (Long, Long), get: IN => Long)
       extends Aggregator[IN, List[(Long, Long, Long)], Double] {
+    // TOTAL order including the value: ties on (ordA, ordB) at the top-N
+    // truncation boundary would otherwise keep whichever side's element the
+    // merge saw first — the merge order is partitioning-dependent, so the
+    // monoid claim requires the comparator to break every tie
     private def gt(a: (Long, Long, Long), b: (Long, Long, Long)): Boolean =
-      a._1 > b._1 || (a._1 == b._1 && a._2 > b._2)
+      a._1 > b._1 || (a._1 == b._1 && (a._2 > b._2 ||
+        (a._2 == b._2 && a._3 > b._3)))
     def zero: List[(Long, Long, Long)] = Nil
     def reduce(b: List[(Long, Long, Long)], v: IN): List[(Long, Long, Long)] = {
       val (oa, ob) = ord(v)

@@ -233,6 +233,15 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
     * shard-local spine merge (spine_fueled.rs: batches of one shard merge
     * within the shard; nothing crosses shards). */
   private def materializeAligned(view: DataFrame, sorted: Seq[Int]): Segment = {
+    // empty-delta step: no touched buckets, nothing to consolidate. Without
+    // this guard the empty view's consolidate plans a shuffle whose width is
+    // spark.sql.shuffle.partitions when AQE is off (AQE-on folds it to an
+    // EmptyRelation), and the layout-restore below would need a 0-slice
+    // parallelize — which throws.
+    if (sorted.isEmpty)
+      return new Segment(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
+        Some(Map.empty))
     val dataCols = colsInOrder.filterNot(_ == ZSetFrame.W)
     val ds = view.groupBy(dataCols.map(col): _*)
       .agg(sum(ZSetFrame.W).as(ZSetFrame.W))

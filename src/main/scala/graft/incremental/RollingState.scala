@@ -113,6 +113,13 @@ final class RollingLinearState(init: ZSetFrame, keyCol: String, tsCol: String,
     * bucket pruning degrades to the chunk filter alone) and return the
     * output delta: rows (data cols, cnt, vsum) with Z-set weights whose
     * running sum tracks the batch rolling aggregate. Eagerly materialized. */
+  /** `checkpointDelta = false` CONTRACT: the caller's delta plan must be
+    * stable under re-evaluation (already materialized, or a deterministic
+    * filter of materialized data). The merge thread and the output job
+    * evaluate the un-pinned plan CONCURRENTLY — a nondeterministic delta
+    * (rand(), a table being written) would silently diverge spine,
+    * partials, and emitted output from each other. Same contract as
+    * KeyedState, sharpened here because the evaluations race. */
   def step(delta: ZSetFrame, lo: Long, hi: Long,
            touchedKeys: Option[Seq[Long]],
            checkpointDelta: Boolean = true): ZSetFrame = {
@@ -237,10 +244,15 @@ final class RollingLinearState(init: ZSetFrame, keyCol: String, tsCol: String,
         .select(col(keyCol), col(tsCol), col("__ew").as("c1"),
           (col("__ev") * col("__ew")).as("v1"),
           lit(0L).as("c2"), lit(0L).as("v2"))
-      // the delta's own frame contribution (for F_old = F_new − D)
-      val dd = broadcast(d.df.select(col(keyCol).as("dk"),
+      // the delta's own frame contribution (for F_old = F_new − D).
+      // NO broadcast hint: a steady-state delta is tiny and AQE converts
+      // the join to broadcast at runtime anyway, but seed/dense batches
+      // (q85's first batch, runRadix's 50M-row seed) are the WHOLE table —
+      // a forced broadcast would collect them to the driver and ship them
+      // to every executor, the unbounded-broadcast failure mode at scale
+      val dd = d.df.select(col(keyCol).as("dk"),
         col(tsCol).as("__dts"), col(valCol).as("__dv"),
-        col(ZSetFrame.W).as("__dw")))
+        col(ZSetFrame.W).as("__dw"))
       val contribRows = T.join(dd,
           T(keyCol) === col("dk") &&
             col("__dts").between(T(tsCol) - horizon, T(tsCol)))

@@ -37,7 +37,13 @@ object SqlProgram {
         if (c == '\n') comment = false
       } else if (quote != 0) {
         sb += c
-        if (c == quote) quote = 0
+        // Spark's default string-literal mode treats \' (and \\) as escapes
+        // inside '…'/"…" — consume the escaped char so a \' cannot read as
+        // the closing quote (backticks have no escapes)
+        if (c == '\\' && quote != '`' && i + 1 < program.length) {
+          sb += program.charAt(i + 1)
+          i += 1
+        } else if (c == quote) quote = 0
       } else c match {
         case '\'' | '"' | '`' => quote = c; sb += c
         case '-' if i + 1 < program.length && program.charAt(i + 1) == '-' =>

@@ -46,6 +46,19 @@ class SinkSpec extends SparkSpec {
     assert(ss(2) == "SELECT 1")
   }
 
+  test("SqlProgram.split: backslash-escaped quote cannot close a literal") {
+    import graft.sources.SqlProgram
+    // Spark's default literal mode: \' is an escaped quote INSIDE the
+    // string — the ; after it is still quoted, not a separator
+    val ss = SqlProgram.split("""SELECT 'a\';b' AS x; SELECT 2""")
+    assert(ss.size == 2, ss)
+    assert(ss(0) == """SELECT 'a\';b' AS x""")
+    assert(ss(1) == "SELECT 2")
+    // doubled-quote escape keeps working via close-and-reopen
+    val dd = SqlProgram.split("SELECT 'a'';b' AS x; SELECT 2")
+    assert(dd.size == 2 && dd(0).contains("'a'';b'"))
+  }
+
   test("SqlProgram.run: source binding -> view chain -> sink -> read-back") {
     import graft.sources.SqlProgram
     val src = java.nio.file.Files.createTempDirectory("graft_prog_src").toString
