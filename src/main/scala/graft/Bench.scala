@@ -44,6 +44,15 @@ object Bench {
       System.getProperty("java.home"), "bin", "java").toString
     val jvmArgs = java.lang.management.ManagementFactory
       .getRuntimeMXBean.getInputArguments.asScala.toSeq
+      // drop flags that bind EXCLUSIVE resources (ADVICE r10): a debugger
+      // socket (-agentlib:jdwp address), a flight-recorder dump, or a JMX
+      // port inherited verbatim would collide with the parent's and kill
+      // the child JVM even though the code under test is healthy
+      .filterNot { a =>
+        val l = a.toLowerCase(Locale.ROOT)
+        l.contains("jdwp") || l.contains("startflightrecording") ||
+          l.contains("com.sun.management.jmxremote")
+      }
     val cmd = Seq(javaBin) ++ jvmArgs ++
       Seq("-cp", System.getProperty("java.class.path"),
         "graft.StepBench", base.toString, steps.toString)

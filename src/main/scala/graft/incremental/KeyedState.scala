@@ -95,10 +95,10 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
     * `restrictTo`, so the consolidation pays O(restricted rows), never
     * O(bucket)). */
   private val bucketSegs = Array.fill(nBuckets)(List.empty[Segment])
-  /** merge counter; drives retirement deferral and periodic compaction. */
-  private var gen = 0L
-  /** zero-ref segments awaiting unpersist, with the gen they retired at. */
-  private val retiredSegs = mutable.Buffer[(Long, Segment)]()
+  /** Deferred release of superseded segments (and per-step delta pins):
+    * the merge counter doubles as the periodic-compaction clock. */
+  private val retireQ = new RetireQueue[Segment](seg => unpersistTree(seg.rdd))
+  private def gen: Long = retireQ.generation
 
   { // seed segment: the (usually empty) initial state, bucketed
     install(materializeBucketed(init, consolidate = true), 0 until nBuckets)
@@ -111,7 +111,7 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
       bucketSegs(b).foreach { old =>
         if (old ne seg) {
           old.refs -= 1
-          if (old.refs == 0) retiredSegs += ((gen, old))
+          if (old.refs == 0) retireQ.retire(old)
         }
       }
       if (!bucketSegs(b).contains(seg)) seg.refs += 1
@@ -125,16 +125,6 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
       bucketSegs(b) = seg :: bucketSegs(b)
     }
 
-  /** Unpersist segments retired ≥2 merges ago: by the lifecycle contract no
-    * outstanding view can still reference them. localCheckpoint'ed RDDs
-    * have no lineage to recompute from, so their blocks free immediately. */
-  private def reclaim(): Unit = {
-    val (free, keep) = retiredSegs.partition(_._1 <= gen - 2)
-    free.foreach { case (_, seg) => unpersistTree(seg.rdd) }
-    retiredSegs.clear()
-    retiredSegs ++= keep
-  }
-
   /** The RDD handle we keep (`df.rdd`) is a row-conversion CHILD of the
     * internally persisted checkpoint RDD — unpersist the persisted ancestor,
     * wherever it sits in the (short) dependency chain. */
@@ -147,8 +137,7 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
     * closed leaks its pinned trace for the session's lifetime. */
   def close(): Unit = {
     bucketSegs.flatten.distinct.foreach(seg => unpersistTree(seg.rdd))
-    retiredSegs.foreach { case (_, seg) => unpersistTree(seg.rdd) }
-    retiredSegs.clear()
+    retireQ.close()
     (0 until nBuckets).foreach(b => bucketSegs(b) = Nil)
   }
 
@@ -247,6 +236,21 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
       .agg(sum(ZSetFrame.W).as(ZSetFrame.W))
       .where(col(ZSetFrame.W) =!= 0L)
       .select(colsInOrder.map(col): _*)
+    // SOUNDNESS GATE (ADVICE r10): partition COUNT alone cannot prove the
+    // aligned layout survived planning — an exchange whose width happens to
+    // equal sorted.size (small touched spans vs shuffle.partitions, or
+    // spark.sql.requireAllClusterKeysForDistribution=true defeating the
+    // subset rule in BucketClusteredPartitioning.satisfies0) would silently
+    // re-index partitions away from their buckets and pruned reads would
+    // return wrong rows. The declared clustering makes this plan
+    // exchange-free by construction, so any Exchange in it is a broken
+    // invariant — fail loudly instead of corrupting state. (String check on
+    // the already-planned physical plan: no extra planning work.)
+    val planStr = org.apache.spark.sql.graft.GraftSqlShim.executedPlanString(ds)
+    require(!planStr.contains("Exchange"),
+      "graft: materializeAligned planned an Exchange — the bucket-aligned " +
+        "view lost its declared clustering; refusing to pin a mis-indexed " +
+        s"segment. Plan:\n$planStr")
     val internal0 = ds.queryExecution.toRdd.map(_.copy())
     val internal = if (internal0.getNumPartitions == sorted.size) internal0 else {
       // same AQE empty-relation fold as materializeBucketed: an all-empty
@@ -349,8 +353,7 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
   private def prepare(delta: ZSetFrame, checkpointDelta: Boolean,
                       knownTouched: Option[Seq[Int]])
       : (ZSetFrame, Seq[Int], ZSetFrame) = {
-    gen += 1
-    reclaim()
+    retireQ.advance()
     if (compactEvery > 0 && gen % compactEvery == 0) compact()
     // no pre-consolidation of the delta: the merged-segment consolidate
     // below subsumes it; checkpoint only pins the delta so the touched-
@@ -362,7 +365,7 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
       val c = aligned.localCheckpoint()
       // the internal delta checkpoint only needs to live through this
       // merge; free it on the same deferred schedule as retired segments
-      retiredSegs += ((gen, new Segment(c.df.rdd)))
+      retireQ.retire(new Segment(c.df.rdd))
       c
     } else aligned
     // knownTouched CONTRACT: any SUPERSET of the delta's true bucket span.
@@ -505,7 +508,7 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
     } else {
       // pin the aligned delta through this step's reads; the deferred
       // reclaim frees it once the replace segment supersedes it
-      retiredSegs += ((gen, miniSeg))
+      retireQ.retire(miniSeg)
       // replace consolidation on a side thread (fresh thread per step:
       // Spark's job-local properties are inherited at thread creation,
       // which a shared pool thread would not see), CONCURRENT with the
@@ -524,8 +527,12 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
       } catch {
         case e: Throwable =>
           // still install the finished segment so the state is not
-          // corrupted by a failed output job (the merge itself succeeded)
-          try install(segTask.get(), touched) catch { case _: Throwable => () }
+          // corrupted by a failed output job (the merge itself succeeded);
+          // if the segment build ALSO failed, record it on the propagated
+          // exception — the merge was NOT installed (state stays pre-merge
+          // while gen advanced) and the caller must be able to see why
+          try install(segTask.get(), touched)
+          catch { case se: Throwable => e.addSuppressed(se) }
           throw e
       }
     }

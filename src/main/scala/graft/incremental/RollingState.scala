@@ -62,6 +62,23 @@ final class RollingLinearState(init: ZSetFrame, keyCol: String, tsCol: String,
   private val dataCols: Seq[String] = init.dataCols.toSeq
   require(Seq(keyCol, tsCol, valCol).forall(dataCols.contains),
     s"init must carry $keyCol/$tsCol/$valCol")
+  // HARD TYPE CONTRACT (ADVICE r10): bucketsFor routes buckets through
+  // KeyedState.bucketOfLongs, which reproduces SQL hash() ONLY for LongType
+  // columns. A caller handing touchedKeys with e.g. an IntegerType key would
+  // make knownTouched under-inclusive and KeyedState would silently DROP the
+  // delta rows hashing elsewhere (the documented corruption mode) — state
+  // and output diverge with no error. Fail at construction instead; the
+  // value column must be Long anyway (caller-scaled integer sums) and the
+  // chunk column is derived as long from a long ts.
+  locally {
+    import org.apache.spark.sql.types.LongType
+    val schema = init.df.schema
+    Seq(keyCol, tsCol, valCol).foreach { c =>
+      require(schema(c).dataType == LongType,
+        s"graft: RollingLinearState requires LongType $c (driver-side bucket " +
+          s"routing mirrors SQL hash() for longs only); got ${schema(c).dataType}")
+    }
+  }
 
   private def withChunk(z: ZSetFrame): ZSetFrame =
     z.withColumn(CH, chunkOf(col(tsCol)))
@@ -80,18 +97,10 @@ final class RollingLinearState(init: ZSetFrame, keyCol: String, tsCol: String,
 
   /** Pinned per-step frames (Δ checkpoint) pending release — same two-step
     * deferral as KeyedState's retired segments. */
-  private val retired = scala.collection.mutable.Buffer[(Long, DataFrame)]()
-  private var gen = 0L
-  private def reclaim(): Unit = {
-    val (free, keep) = retired.partition(_._1 <= gen - 2)
-    free.foreach { case (_, df) => Pinned.release(df) }
-    retired.clear()
-    retired ++= keep
-  }
+  private val retireQ = new RetireQueue[DataFrame](Pinned.release)
 
   def close(): Unit = {
-    retired.foreach { case (_, df) => Pinned.release(df) }
-    retired.clear()
+    retireQ.close()
     spine.close()
     partials.close()
   }
@@ -123,15 +132,14 @@ final class RollingLinearState(init: ZSetFrame, keyCol: String, tsCol: String,
   def step(delta: ZSetFrame, lo: Long, hi: Long,
            touchedKeys: Option[Seq[Long]],
            checkpointDelta: Boolean = true): ZSetFrame = {
-    gen += 1
-    reclaim()
+    retireQ.advance()
     val C = chunkLen
     val aligned = withChunk(ZSetFrame.fromDelta(
       delta.df.select((dataCols :+ ZSetFrame.W).map(col): _*)))
     val d =
       if (checkpointDelta) {
         val c = aligned.localCheckpoint(eager = true)
-        retired += ((gen, c.df))
+        retireQ.retire(c.df)
         c
       } else aligned
     val all: Seq[Int] = 0 until nBuckets

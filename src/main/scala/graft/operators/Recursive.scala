@@ -181,20 +181,12 @@ object Recursive {
 
     /** Superseded generations pending release — two-step deferral, same
       * lifecycle contract as KeyedState / IncrementalScc. */
-    private val retired = scala.collection.mutable.Buffer[(Long, DataFrame)]()
-    private var gen = 0L
-
-    private def reclaim(): Unit = {
-      val (free, keep) = retired.partition(_._1 <= gen - 2)
-      free.foreach { case (_, df) => graft.incremental.Pinned.release(df) }
-      retired.clear()
-      retired ++= keep
-    }
+    private val retireQ =
+      new graft.incremental.RetireQueue[DataFrame](graft.incremental.Pinned.release)
 
     /** Release ALL pinned generations; the state is unusable afterwards. */
     def close(): Unit = {
-      retired.foreach { case (_, df) => graft.incremental.Pinned.release(df) }
-      retired.clear()
+      retireQ.close()
       graft.incremental.Pinned.release(tc)
       graft.incremental.Pinned.release(edges)
     }
@@ -218,8 +210,7 @@ object Recursive {
 
     /** one epoch: apply an edge delta Z-set (mixed ±) and repair the closure */
     def step(delta: ZSetFrame): DataFrame = {
-      gen += 1
-      reclaim()
+      retireQ.advance()
       val dEdges = materialize(delta.df.select("src", "dst", ZSetFrame.W))
       val eNew = materialize(
         (ZSetFrame.fromTable(edges) + ZSetFrame.fromDelta(dEdges)).distinctZ.toDF)
@@ -236,7 +227,7 @@ object Recursive {
       val (oldTc, oldEdges) = (tc, edges)
       edges = eNew
       tc = materialize(kept.union(reAff))
-      retired += ((gen, oldTc)); retired += ((gen, oldEdges))
+      retireQ.retire(oldTc, oldEdges)
       tc
     }
   }
@@ -462,31 +453,22 @@ object Recursive {
       * reading when the NEXT step lands, so — like KeyedState's retired
       * segments — a superseded generation is unpersisted two steps later,
       * not immediately (the lifecycle discipline ADVICE r9 asked for). */
-    private val retired = scala.collection.mutable.Buffer[(Long, DataFrame)]()
-    private var gen = 0L
+    private val retireQ =
+      new graft.incremental.RetireQueue[DataFrame](graft.incremental.Pinned.release)
 
-    private def retire(dfs: DataFrame*): Unit = dfs.foreach(df => retired += ((gen, df)))
-
-    private def reclaim(): Unit = {
-      val (free, keep) = retired.partition(_._1 <= gen - 2)
-      free.foreach { case (_, df) => graft.incremental.Pinned.release(df) }
-      retired.clear()
-      retired ++= keep
-    }
+    private def retire(dfs: DataFrame*): Unit = retireQ.retire(dfs: _*)
 
     /** Release ALL pinned generations (current + pending). The state is
       * unusable afterwards; callers materialize outputs they need first. */
     def close(): Unit = {
-      retired.foreach { case (_, df) => graft.incremental.Pinned.release(df) }
-      retired.clear()
+      retireQ.close()
       graft.incremental.Pinned.release(labels)
       graft.incremental.Pinned.release(edges)
     }
 
     /** one epoch: apply a ±edge delta, repair the labeling; returns it */
     def step(delta: ZSetFrame): DataFrame = {
-      gen += 1
-      reclaim()
+      retireQ.advance()
       val dAll = materialize(delta.df.select("src", "dst", ZSetFrame.W))
       val eNew = materialize(
         (ZSetFrame.fromTable(edges) + ZSetFrame.fromDelta(dAll))

@@ -120,8 +120,14 @@ object SqlQueries extends QueryModule {
     // oracle, the q51 roundtrip discipline). No Scala query body: only
     // SqlProgram.run(program).
     "q84_sql_program" -> ((s, dir) => {
-      val sink = s"/tmp/graft_sqlprog_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-      graft.sources.SqlProgram.run(s,
+      // per-invocation unique sink (ADVICE r10): two concurrent runs against
+      // the same dataset (bench + test) must not race on one INSERT
+      // OVERWRITE DIRECTORY target — a shared path can read back the other
+      // run's partially overwritten output. The dir is deleted after the
+      // read-back is materialized (localCheckpoint pins the few result rows).
+      val sink = s"/tmp/graft_sqlprog_${dir.replaceAll("[^A-Za-z0-9]", "_")}" +
+        s"_${java.util.UUID.randomUUID().toString.take(8)}"
+      val out = graft.sources.SqlProgram.run(s,
         s"""CREATE OR REPLACE TEMPORARY VIEW src_orders
               USING parquet OPTIONS (path '$dir/orders.parquet');
             CREATE OR REPLACE TEMPORARY VIEW src_customer
@@ -138,6 +144,13 @@ object SqlQueries extends QueryModule {
                   AS total
               FROM v_seg_open GROUP BY seg;
             SELECT seg, n_open, total FROM parquet.`$sink`""")
+        .localCheckpoint(true)
+      // read-back is pinned; the sink files can go
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(sink))
+      out
     }),
 
     // SQL twin of the q25 rollup: hierarchical totals over two dims
