@@ -413,12 +413,29 @@ object Dedup extends QueryModule {
           .select(col("doc_id"), col(ZSetFrame.W))).consolidate
       }
       val st = new graft.incremental.KeyedState(Seq("gh"), 64, emptyLike)
+      // Touched gram-buckets THREADED FROM THE GRAM MATERIALIZATION
+      // (VERDICT r10 #6): digests are data-derived, so a CDC source cannot
+      // route them driver-side like integer keys — but the batch splitter
+      // HAS the materialized grams, so ONE job over the pinned base yields
+      // every batch's bucket span up front (same hash formula as
+      // KeyedState.touchedBuckets), replacing K per-step discovery
+      // collects. The delta itself is a deterministic filter of the pinned
+      // base, so no per-step checkpoint either: a step's jobs are the O(Δ)
+      // routing shuffle plus the output action, nothing else.
+      val batchBuckets: Map[Int, Seq[Int]] = gramRows(base)
+        .select(pmod(col("doc_id"), lit(K)).cast("int").as("batch"),
+          pmod(hash(col("gh")), lit(st.nBuckets)).as("b"))
+        .distinct().collect()
+        .groupBy(_.getInt(0))
+        .map { case (i, rows) => i -> rows.map(_.getInt(1)).toSeq.distinct.sorted }
       val dup = new graft.incremental.Incremental.State(
         ZSetFrame.fromDelta(gramRows(base).select("doc_id", ZSetFrame.W)
           .where(lit(false))))
       for (i <- 0 until K)
         dup.update(st.aggStep(ZSetFrame.fromDelta(
-          gramRows(base.where(pmod(col("doc_id"), lit(K)) === i))))(aggFn))
+            gramRows(base.where(pmod(col("doc_id"), lit(K)) === i))),
+          checkpointDelta = false,
+          knownTouched = Some(batchBuckets.getOrElse(i, Nil)))(aggFn))
       st.close()
       val counts = dup.acc.consolidate.df
         .select(col("doc_id"), col(ZSetFrame.W).as("n_dup_positions"))
