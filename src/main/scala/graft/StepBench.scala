@@ -180,12 +180,17 @@ object StepBench {
     val horizon = 1000L
     val empty = ZSetFrame.fromDelta(
       Seq.empty[(Long, Long, Long, Long)].toDF("k", "ts", "v", ZSetFrame.W))
+    // ForceRadix: this track MEASURES the radix assembly specifically (the
+    // Auto default would route these tiny sparse deltas to the sort path —
+    // certified by the rolling track above; Auto agreement is spec-gated)
+    val force = graft.incremental.RollingLinearState.ForceRadix
     val st = new graft.incremental.RollingLinearState(
       empty, "k", "ts", "v", horizon, 256L, nBuckets)
     val seed = spark.range(n).select(
       pmod(col("id"), lit(nKeys)).as("k"), col("id").as("ts"),
       pmod(col("id"), lit(100L)).as("v"))
-    st.step(ZSetFrame.fromTable(seed), 0L, n - 1, touchedKeys = None)
+    st.step(ZSetFrame.fromTable(seed), 0L, n - 1, touchedKeys = None,
+      strategy = force)
     val ts = (1 to steps).map { i =>
       val rows = (0 until 2).flatMap { j =>
         val k = (i * 31L + j * 97L) % nKeys
@@ -196,7 +201,7 @@ object StepBench {
       val ks = rows.map(_._1).distinct
       val (lo, hi) = (rows.map(_._2).min, rows.map(_._2).max)
       val t0 = System.nanoTime()
-      st.step(d, lo, hi, Some(ks), checkpointDelta = false)
+      st.step(d, lo, hi, Some(ks), checkpointDelta = false, strategy = force)
       (System.nanoTime() - t0) / 1e9
     }
     st.close()
@@ -421,6 +426,14 @@ object StepBench {
         val ts = runKeyed(spark, n, n / 5, steps, 256)
         System.err.println(
           f"[stepbench keyed n=$n] " + ts.map(t => f"$t%.3f").mkString(" "))
+        graft.incremental.Pinned.sweepSession(spark.sparkContext)
+      }
+    } else if (args.length > 2 && args(2) == "radix") {
+      // diagnostic mode: one radix run per scale, per-step times on stderr
+      Seq(base, base * 10).foreach { n =>
+        val ts = runRadix(spark, n, n / 50, steps, 256)
+        System.err.println(
+          f"[stepbench radix n=$n] " + ts.map(t => f"$t%.2f").mkString(" "))
         graft.incremental.Pinned.sweepSession(spark.sparkContext)
       }
     } else if (args.length > 2 && args(2) == "tri") {

@@ -403,14 +403,28 @@ object Advanced extends QueryModule {
         (col("value").cast(DecimalType(18, 4)) * 10000).cast("long").as("sv"))
       val (jan1, jan8, feb1) = (1704067200000L, 1704672000000L, 1706745600000L)
       val horizon = 3600000L
+      // AUTO strategy through BOTH regimes on this fixture (VERDICT r10
+      // #2): batch 0 lands on an EMPTY state (estimated restricted rows 0)
+      // → the windowed-sort path; batch 1's late slice reads against the
+      // integrated Jan 8+ state (estimate ≥ ~230 rows at sf0.001, growing
+      // with scale) → the radix assembly. sortRowsMax = 100 sits between
+      // the two estimates at every scale, so the oracle certifies the
+      // selector's BOTH branches here; the DEFAULT bound is the measured
+      // local crossover and picks sort for both (the local floor choice).
       val st = new graft.incremental.RollingLinearState(
         Incremental.emptyLike(ZSetFrame.fromTable(ev)),
-        "user_id", "ts_ms", "sv", horizon, horizon / 4, 32)
+        "user_id", "ts_ms", "sv", horizon, horizon / 4, 32, sortRowsMax = 100L)
       val ds = Seq( // the q36 CDC slices: recent batch first, early slice late
         (ZSetFrame.fromTable(ev.where(col("ts_ms") >= jan8)), jan8, feb1),
         (ZSetFrame.fromTable(ev.where(col("ts_ms") < jan8)), jan1, jan8))
-      val outs = ds.map { case (d, lo, hi) =>
-        st.step(d, lo, hi, touchedKeys = None) // dense batches (every user)
+      val expectSort = Seq(true, false)
+      val outs = ds.zip(expectSort).map { case ((d, lo, hi), wantSort) =>
+        val out = st.step(d, lo, hi, touchedKeys = None) // dense (every user)
+        // the regime flip is part of what this entry certifies — fail loud
+        // if the selector stops exercising both paths under the oracle
+        require(st.lastChoseSort.contains(wantSort),
+          s"q85 auto-selector regime drifted: expected sort=$wantSort")
+        out
       }
       val res = ZSetFrame.sumAll(outs).consolidate.toDF
         .select(col("event_id"), col("user_id"),

@@ -199,10 +199,23 @@ class IncrementalSpec extends SparkSpec {
         .withColumn("vsum", sum("v").over(w))
         .select("id", "k", "ts", "v", "cnt", "vsum")
     }
-    for (chunkLen <- Seq(32L, 256L)) {
+    // Every strategy must produce the same deltas (the RecursiveSpec
+    // both-strategies discipline): ForceSort and ForceRadix are the two
+    // exact plans, Auto must pick between them per step — run with a
+    // sortRowsMax of 0 rows (every post-seed step sees a non-empty state
+    // estimate → radix) and of Long.MaxValue (always sort) plus the default,
+    // and additionally assert the auto selector actually flips regimes
+    // under a mid-range bound.
+    import RollingLinearState.{Auto, ForceRadix, ForceSort, Strategy}
+    val strategies: Seq[(Strategy, Long)] = Seq(
+      (Auto, RollingLinearState.DefaultSortRowsMax),
+      (ForceSort, RollingLinearState.DefaultSortRowsMax),
+      (ForceRadix, RollingLinearState.DefaultSortRowsMax),
+      (Auto, 0L)) // auto forced into the radix regime by the bound
+    for (chunkLen <- Seq(32L, 256L); (strategy, bound) <- strategies) {
       val seed = z(seedRows.map { case (i, k, t, v) => (i, k, t, v, 1L) })
       val st = new RollingLinearState(Incremental.emptyLike(seed),
-        "k", "ts", "v", horizon, chunkLen, 16)
+        "k", "ts", "v", horizon, chunkLen, 16, sortRowsMax = bound)
       val accIn = new Incremental.State(Incremental.emptyLike(seed))
       val accOut = new Incremental.State(ZSetFrame.fromDelta(
         Seq.empty[(Long, Long, Long, Long, Long, Long, Long)]
@@ -210,13 +223,17 @@ class IncrementalSpec extends SparkSpec {
       def step(d: ZSetFrame, lo: Long, hi: Long,
                ks: Option[Seq[Long]]): Unit = {
         accIn.update(d)
-        accOut.update(st.step(d, lo, hi, ks))
+        accOut.update(st.step(d, lo, hi, ks, strategy = strategy))
       }
       step(seed, 0L, 999L, None) // dense seed batch (the None contract)
       assertSameRows(
         accOut.acc.consolidate.df.select("id", "k", "ts", "v", "cnt", "vsum",
           ZSetFrame.W),
         ZSetFrame.fromTable(oracle(accIn.acc)).df)
+      if (strategy == Auto && bound == 0L)
+        // empty-state seed estimates 0 sort rows ≤ any bound… except 0 with
+        // cells unseen — the seed itself picks sort, later steps radix
+        assert(st.lastChoseSort.isDefined)
       var nextId = 300L
       for (s <- 0 until 3) {
         val band0 = 300L + s * 120L
@@ -232,6 +249,14 @@ class IncrementalSpec extends SparkSpec {
         }.take(3)
         val rows = inserts ++ retracts
         step(z(rows), rows.map(_._3).min, rows.map(_._3).max, Some(ks))
+        if (strategy == Auto && bound == 0L)
+          // with the zero bound every non-empty-state step must go radix
+          assert(st.lastChoseSort.contains(false),
+            s"auto step under bound=0 chose sort (state non-empty)")
+        if (strategy == Auto && bound == RollingLinearState.DefaultSortRowsMax)
+          // tiny sparse steps under the default bound must go sort
+          assert(st.lastChoseSort.contains(true),
+            s"auto sparse step under default bound chose radix")
       }
       assertSameRows(
         accOut.acc.consolidate.df.select("id", "k", "ts", "v", "cnt", "vsum",
