@@ -37,7 +37,7 @@ object Bench {
     * discipline — makes the COMMITTED artifact the clean evidence instead
     * of a side run (VERDICT r9 #1). The child inherits this JVM's flags
     * (add-opens, heap, codecache, log4j) and env (SPARK_GRAFT_CPUS). */
-  def stepBenchIsolated(base: Long, steps: Int): String = {
+  def stepBenchIsolated(base: Long, steps: Int, mode: String = ""): String = {
     import scala.jdk.CollectionConverters._
     import scala.sys.process._
     val javaBin = java.nio.file.Paths.get(
@@ -55,7 +55,8 @@ object Bench {
       }
     val cmd = Seq(javaBin) ++ jvmArgs ++
       Seq("-cp", System.getProperty("java.class.path"),
-        "graft.StepBench", base.toString, steps.toString)
+        "graft.StepBench", base.toString, steps.toString) ++
+      (if (mode.nonEmpty) Seq(mode) else Nil)
     val out = new StringBuilder
     // keep the tail of the child's stderr: on failure it holds the only
     // copy of the stack trace, and "exited 1" alone is undebuggable
@@ -158,6 +159,14 @@ object Bench {
     // run put single-run noise of ±0.1 on a ~1.1 ratio)
     val stepBench = try stepBenchIsolated(500000L, 10)
       catch { case e: Throwable => s"""{"error":"${e.getClass.getName}"}""" }
+    // XL tier (VERDICT r10 #1): the 5M→50M decade in its OWN isolated
+    // child JVM, so neither tier's heap history taxes the other. Skippable
+    // for dev loops (SPARK_GRAFT_SKIP_STEPBENCH_XL=1) — the committed
+    // artifact carries it.
+    val stepBenchXl =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_STEPBENCH_XL")) """{"skipped":true}"""
+      else try stepBenchIsolated(5000000L, 10, "xl")
+        catch { case e: Throwable => s"""{"error":"${e.getClass.getName}"}""" }
     // throughput artifact: rows/s per query family on ≥10M generated rows —
     // batch figures are labeled batch_upper_bound; stateful families are
     // ALSO measured through the micro-batched incremental path, which is
@@ -198,7 +207,8 @@ object Bench {
       s""""query_repr":$reprJson,"floor_gated":$floorGatedJson,""" +
       s""""maintenance":{"sweep_sec":${num(sweepSec, 1)},"gc_sec":${num(gcSec, 1)}},""" +
       s""""errors":$errJson,""" +
-      s""""step_bench":$stepBench,"throughput":$throughput,"sf":"$sfDir"}"""
+      s""""step_bench":$stepBench,"step_bench_xl":$stepBenchXl,""" +
+      s""""throughput":$throughput,"sf":"$sfDir"}"""
     // A run with ANY errored query / step_bench / throughput section must
     // never clobber the committed healthy snapshot (ADVICE r7: a crashed
     // run's 0.001 s error stubs read as a bogus 5× speedup to anyone diffing
@@ -216,7 +226,9 @@ object Bench {
     // the set is guarded explicitly below)
     val healthy = errors.isEmpty &&
       !stepBench.startsWith("{\"error\"") && !throughput.startsWith("{\"error\"") &&
-      !sys.env.contains("SPARK_GRAFT_THROUGHPUT_ONLY")
+      !stepBenchXl.startsWith("{\"error\"") &&
+      !sys.env.contains("SPARK_GRAFT_THROUGHPUT_ONLY") &&
+      !sys.env.contains("SPARK_GRAFT_SKIP_STEPBENCH_XL")
     val outName = if (healthy) "BENCH_LOCAL.json" else "BENCH_LOCAL.failed.json"
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outName),
@@ -228,6 +240,7 @@ object Bench {
     val compact =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,""" +
       s""""n_queries":${results.size},"errors":$errJson,"step_bench":$stepBench,""" +
+      s""""step_bench_xl":$stepBenchXl,""" +
       s""""throughput":${Throughput.compact},"detail":"$outName","sf":"$sfDir"}"""
     // The driver extracts this JSON from stdout: silence logging BEFORE
     // stop() so no shutdown-hook chatter can print after (or interleave

@@ -398,6 +398,42 @@ object StepBench {
     f"""{"stat":"per_step_floor_of_3_runs_upsert_5","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"keyed_small_sec":$kS%.3f,"keyed_large_sec":$kL%.3f,"naive_small_sec":$nS%.3f,"naive_large_sec":$nL%.3f,"upsert_small_sec":$uS%.3f,"upsert_large_sec":$uL%.3f,"rolling_small_sec":$rS%.3f,"rolling_large_sec":$rL%.3f,"radix_small_sec":$xS%.3f,"radix_large_sec":$xL%.3f,"radix_scaled_large_sec":$xSc%.3f,"dedup_small_sec":$dS%.3f,"dedup_large_sec":$dL%.3f,"ann_small_sec":$aS%.3f,"ann_large_sec":$aL%.3f,"tri_small_sec":$tS%.3f,"tri_large_sec":$tL%.3f,"galen_small_sec":$gS%.3f,"galen_large_sec":$gL%.3f,"galen_small_sec_per_mfact":${gSpf * 1e6}%.3f,"galen_large_sec_per_mfact":${gLpf * 1e6}%.3f,"keyed_growth":${kL / kS}%.2f,"naive_growth":${nL / nS}%.2f,"upsert_growth":${uL / uS}%.2f,"rolling_growth":${rL / rS}%.2f,"radix_growth":${xL / xS}%.2f,"radix_scaled_growth":${xSc / xS}%.2f,"dedup_growth":${dL / dS}%.2f,"ann_growth":${aL / aS}%.2f,"tri_growth":${tL / tS}%.2f,"galen_growth":${gLpf / gSpf}%.2f}"""
   }
 
+  /** The XL tier (VERDICT r10 #1): the same flat-growth claims one decade
+    * further up — 5M → 50M-row state — for the four gated tracks (keyed,
+    * upsert, rolling, radix_scaled) plus the naive full-recompute control.
+    * The XL small configurations EQUAL the base tier's large ones (keyed/
+    * rolling 5M @ 256 buckets, radix 5M @ 2560), so the two tiers chain
+    * into one continuous 500k → 5M → 50M series; radix XL-large holds
+    * bucket bytes constant again (25600 buckets — Spark's partitions-∝-data
+    * sizing rule). Floors of 3 isolated-JVM runs like the base tier; the
+    * 50M naive control runs once (it is the super-linear CONTROL, its
+    * ~10× signal dwarfs single-run noise, and a 50M full recompute per
+    * step is exactly the cost the other tracks exist to avoid). */
+  def jsonXl(spark: SparkSession, base: Long, steps: Int): String = {
+    val nKeys = base / 50
+    def floorOf(xs0: Seq[Double]): Double =
+      (if (xs0.size > 2) xs0.drop(1) else xs0).min
+    def floorN(n: Int)(run: () => Seq[Double]): Double = {
+      def once(): Double = {
+        val f = floorOf(run())
+        graft.incremental.Pinned.sweepSession(spark.sparkContext)
+        f
+      }
+      Seq.fill(n)(once()).min
+    }
+    val kS = floorN(3)(() => runKeyed(spark, base, nKeys, steps, 256))
+    val kL = floorN(3)(() => runKeyed(spark, base * 10, nKeys * 10, steps, 256))
+    val uS = floorN(3)(() => runUpsert(spark, base, steps))
+    val uL = floorN(3)(() => runUpsert(spark, base * 10, steps))
+    val rS = floorN(3)(() => runRolling(spark, base, nKeys, steps, 256))
+    val rL = floorN(3)(() => runRolling(spark, base * 10, nKeys * 10, steps, 256))
+    val xS = floorN(3)(() => runRadix(spark, base, nKeys, steps, 2560))
+    val xL = floorN(3)(() => runRadix(spark, base * 10, nKeys * 10, steps, 25600))
+    val nS = floorN(2)(() => runNaive(spark, base, nKeys, math.min(steps, 4)))
+    val nL = floorN(1)(() => runNaive(spark, base * 10, nKeys * 10, 3))
+    f"""{"stat":"xl_per_step_floor_of_3_runs_naive_1","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"keyed_xl_small_sec":$kS%.3f,"keyed_xl_large_sec":$kL%.3f,"upsert_xl_small_sec":$uS%.3f,"upsert_xl_large_sec":$uL%.3f,"rolling_xl_small_sec":$rS%.3f,"rolling_xl_large_sec":$rL%.3f,"radix_scaled_xl_small_sec":$xS%.3f,"radix_scaled_xl_large_sec":$xL%.3f,"naive_xl_small_sec":$nS%.3f,"naive_xl_large_sec":$nL%.3f,"keyed_xl_growth":${kL / kS}%.2f,"upsert_xl_growth":${uL / uS}%.2f,"rolling_xl_growth":${rL / rS}%.2f,"radix_scaled_xl_growth":${xL / xS}%.2f,"naive_xl_growth":${nL / nS}%.2f}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0).toLong else 500000L
     val steps = if (args.length > 1) args(1).toInt else 8
@@ -416,7 +452,9 @@ object StepBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (args.length > 2 && args(2) == "dedup") {
+    if (args.length > 2 && args(2) == "xl") {
+      println("[stepbench] " + jsonXl(spark, base, steps))
+    } else if (args.length > 2 && args(2) == "dedup") {
       // diagnostic mode: one dedup run per scale, per-step times on stderr
       runDedup(spark, base, steps)
       runDedup(spark, base * 10, steps)

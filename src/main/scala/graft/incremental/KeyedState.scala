@@ -323,10 +323,18 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
     * and collapses append-mode spine chains (weight-split duplicates) back
     * to physically-unique rows. Runs automatically every `compactEvery`
     * merges; amortized cost O(|state|/compactEvery) per step — the fueled
-    * spine's deferred merge. */
-  def compact(): Unit = {
+    * spine's deferred merge.
+    *
+    * `keep`: optional RETENTION predicate over the data columns — rows
+    * failing it are DROPPED (not retracted) during the rewrite. This is
+    * the lateness-GC primitive (the reference's trace bound,
+    * trace_with_bound / crates/dbsp/src/operator/time_series/watermark.rs):
+    * callers use it only for state whose below-watermark rows can no
+    * longer influence any future output. */
+  def compact(keep: Option[Column] = None): Unit = {
+    val all = ZSetFrame.fromDelta(bucketsDf(0 until nBuckets))
     val seg = materializeBucketed(
-      ZSetFrame.fromDelta(bucketsDf(0 until nBuckets)), consolidate = true)
+      keep.fold(all)(all.where), consolidate = true)
     install(seg, 0 until nBuckets)
   }
 

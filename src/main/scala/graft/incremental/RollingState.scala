@@ -117,6 +117,31 @@ final class RollingLinearState(init: ZSetFrame, keyCol: String, tsCol: String,
   def snapshot: ZSetFrame =
     spine.snapshot.consolidate.select(dataCols.map(col): _*)
 
+  /** WATERMARK GC, chunk-aligned (the reference's watermark-driven rolling
+    * variant, time_series/rolling_aggregate.rs:155-220 + watermark.rs:33):
+    * drop every spine event and partials cell whose time chunk lies
+    * ENTIRELY below `watermark − horizon` — no future step with
+    * `lo ≥ watermark` can read them (frames reach back exactly `horizon`),
+    * and the cut is on whole chunks so spine edge scans and per-chunk
+    * partials stay mutually consistent. CONTRACT: after gcBefore(w), every
+    * subsequent step must have lo ≥ w (the standard watermark lateness
+    * bound — later-than-allowed data would assemble against truncated
+    * state). Cost is one O(live state) rewrite per call (KeyedState.compact
+    * with a retention predicate); continuous deployments call it on a
+    * periodic cadence so the per-step amortized cost is O(state/period),
+    * the fueled-spine GC economics. The adaptive-strategy stats are
+    * re-based on the survivors by one aggregate riding the same pass. */
+  def gcBefore(watermark: Long): Unit = {
+    val cut = floorDiv(watermark - horizon, chunkLen)
+    spine.compact(Some(col(CH) >= cut))
+    partials.compact(Some(col(CH) >= cut))
+    chunkLoSeen = math.max(chunkLoSeen, cut)
+    val r = partials.snapshot.df.agg(
+      coalesce(sum(col("p_cnt")), lit(0L)), count(lit(1))).head()
+    rowsNet = r.getLong(0)
+    cellsOccupied = r.getLong(1)
+  }
+
   // ---- driver-side adaptive-strategy statistics (exact, maintained on the
   // merge thread from the partials merge's own pruned views — zero jobs on
   // the step's critical path, zero driver-side key sets). rowsNet is the

@@ -158,12 +158,22 @@ object StreamingQueries extends QueryModule {
     * publish contract as stageDir: build private, single atomic rename,
     * marker-keyed readiness, sequential callers. */
   private[graft] def stageSplitDir(s: SparkSession, dir: String,
-                                   table: String, key: String, k: Int): String = {
+                                   table: String, key: String, k: Int): String =
+    stageSlicedDir(s, dir, table, s"$table$k", k,
+      df => pmod(col(key), lit(k)).cast("int"))
+
+  /** General form: `sliceOf` maps a row to its batch index in [0, k) —
+    * key-mod splits (q65/q66 arrival batches) or TIME slices (q87's
+    * in-order CDC replay, where ascending file mtimes make the file source
+    * deliver batches in event-time order). */
+  private[graft] def stageSlicedDir(s: SparkSession, dir: String,
+                                    table: String, tag: String, k: Int,
+                                    sliceOf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column): String = {
     import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     val stamp = Files.getLastModifiedTime(
       Paths.get(s"$dir/$table.parquet")).toMillis.toHexString
     val staged = Paths.get(
-      s"/tmp/graft_stream_${table}${k}_${stamp}_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+      s"/tmp/graft_stream_${tag}_${stamp}_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
     val marker = staged.resolve(s"b${k - 1}.parquet")
     def deleteTree(p: Path): Unit = if (Files.exists(p)) {
       val walk = Files.walk(p)
@@ -172,7 +182,7 @@ object StreamingQueries extends QueryModule {
       finally walk.close()
     }
     if (!Files.exists(marker)) {
-      gcStaleStaged(staged, s"graft_stream_${table}${k}_",
+      gcStaleStaged(staged, s"graft_stream_${tag}_",
         "_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
       val build = staged.resolveSibling(
         s"${staged.getFileName}_build_${java.util.UUID.randomUUID().toString.take(8)}")
@@ -180,7 +190,7 @@ object StreamingQueries extends QueryModule {
       val docs = s.read.parquet(s"$dir/$table.parquet")
       for (i <- 0 until k) {
         val tmp = build.resolve(s"tmp$i")
-        docs.where(pmod(col(key), lit(k)) === i)
+        docs.where(sliceOf(docs) === i)
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val listing = Files.list(tmp)
         val part = try listing.filter(_.toString.endsWith(".parquet"))
@@ -725,6 +735,88 @@ object StreamingQueries extends QueryModule {
         OutputMode.Append)
         .select(col("user_id"), col("click_id"), col("buy_id"),
           epochMs(col("c_ts")).as("c_ms"), epochMs(col("p_ts")).as("p_ms"))
+    }),
+
+    // STREAMING RADIX ROLLING with WATERMARK GC (q87, VERDICT r10 #8 —
+    // the streaming rendition of q85's (key, chunk) spine; reference:
+    // time_series/rolling_aggregate.rs:155-220 watermark-driven variant +
+    // watermark.rs:33): the events table replays as FOUR time-slice files
+    // (ascending mtimes → the file source delivers them in event-time
+    // order — a CDC replay), and a checkpointed foreachBatch drives the
+    // SAME RollingLinearState stepper q85 certifies. Each trigger derives
+    // its batch's CDC span with one tiny aggregate (a file source ships no
+    // metadata), steps the state (Auto strategy: trigger 0 lands on an
+    // empty state → sort path; later triggers assemble against integrated
+    // state → radix), then advances the WATERMARK to the batch's max event
+    // time and GCs every chunk wholly below watermark − horizon from both
+    // the spine and the partials (chunk-aligned, so edge scans and
+    // partials stay consistent) — state tracks the retention horizon, not
+    // the stream length. Accumulated output ≡ the batch window oracle
+    // (shared with q85): time-ordered arrival means a frame never reads
+    // forward, so every event's rolling value is final at its own trigger
+    // and the GC'd history is unreachable by construction.
+    "q87_stream_rolling_radix" -> ((s, dir) => {
+      import java.nio.file.Files
+      import org.apache.spark.sql.types.DecimalType
+      import graft.core.ZSetFrame
+      import graft.incremental.{Incremental, RollingLinearState}
+      val (jan1, horizon) = (1704067200000L, 3600000L)
+      val sliceMs = 8L * 24 * 3600 * 1000 // 4 ascending 8-day slices
+      def normTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
+      def prep(df: DataFrame): DataFrame = normTs(df).select(
+        col("event_id"), col("user_id"), epochMs(col("ts")).as("ts_ms"),
+        (col("value").cast(DecimalType(18, 4)) * 10000).cast("long").as("sv"))
+      val staged = stageSlicedDir(s, dir, "events", "eslices4", 4,
+        df => {
+          val tsMs = df.schema("ts").dataType match {
+            case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+            case _ => unix_millis(col("ts").cast("timestamp"))
+          }
+          greatest(lit(0), least(lit(3),
+            floor((tsMs - jan1) / sliceMs))).cast("int")
+        })
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+      val template = prep(s.read.parquet(s"$dir/events.parquet"))
+      val st = new RollingLinearState(
+        Incremental.emptyLike(ZSetFrame.fromTable(template)),
+        "user_id", "ts_ms", "sv", horizon, horizon / 4, 32, sortRowsMax = 100L)
+      val acc = new Incremental.State(ZSetFrame.fromDelta(
+        template.where(lit(false)).select(col("*"), lit(1L).as("cnt"),
+          lit(1L).as("vsum"), lit(1L).as(ZSetFrame.W))))
+      val ck = Files.createTempDirectory("graft_sroll_ck")
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val ev = prep(batch).localCheckpoint(true)
+            val span = ev.agg(min("ts_ms"), max("ts_ms")).head()
+            val (lo, hi) = (span.getLong(0), span.getLong(1))
+            acc.update(st.step(ZSetFrame.fromTable(ev), lo, hi,
+              touchedKeys = None, checkpointDelta = false))
+            st.gcBefore(hi) // watermark = max event time (slices ascend)
+            graft.incremental.Pinned.release(ev)
+          }
+        }
+        .option("checkpointLocation", ck.toString)
+        .start()
+      q.processAllAvailable(); q.stop()
+      val walk = Files.walk(ck)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(Files.deleteIfExists(_))
+      finally walk.close()
+      val res = acc.acc.consolidate.toDF
+        .select(col("event_id"), col("user_id"),
+          col("cnt").as("n_1h"), col("vsum").as("sv_1h"))
+        .localCheckpoint(true)
+      st.close()
+      res
     })
   )
 
@@ -779,6 +871,9 @@ object StreamingQueries extends QueryModule {
          GROUP BY 1""",
     "q65_stream_dedup" -> TextAnalysis.oracle("d02_jaccard_pairs"),
     "q66_stream_ann" -> Dedup.oracle("d06_ann_lsh"),
+    // q87 = q85's integer-exact rolling window maintained by the streaming
+    // runner with watermark GC — same batch mirror
+    "q87_stream_rolling_radix" -> Advanced.oracle("q85_inc_rolling_radix"),
     "q64_chained_stateful" ->
       """WITH hourly AS (
            SELECT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS wstart, event_type,

@@ -249,6 +249,10 @@ class IncrementalSpec extends SparkSpec {
         }.take(3)
         val rows = inserts ++ retracts
         step(z(rows), rows.map(_._3).min, rows.map(_._3).max, Some(ks))
+        // watermark GC mid-sequence (q87's runtime path): chunks wholly
+        // below 400−horizon drop from spine+partials; every later step has
+        // lo ≥ 420 ≥ wm, so emitted deltas must stay ≡ the full oracle
+        if (s == 0 && strategy == Auto) st.gcBefore(400L)
         if (strategy == Auto && bound == 0L)
           // with the zero bound every non-empty-state step must go radix
           assert(st.lastChoseSort.contains(false),
