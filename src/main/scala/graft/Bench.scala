@@ -53,7 +53,15 @@ object Bench {
         l.contains("jdwp") || l.contains("startflightrecording") ||
           l.contains("com.sun.management.jmxremote")
       }
-    val cmd = Seq(javaBin) ++ jvmArgs ++
+    // the XL tier pins ~50M-row states plus 32 concurrent shuffle tasks'
+    // page allocations — at the build's default 16g it GC-thrashes
+    // (GCLocker retry storms) instead of measuring; give the child its own
+    // heap sized to the tier (the box has 128 GiB; the parent idles while
+    // the child runs)
+    val jvmArgsSized =
+      if (mode != "xl") jvmArgs
+      else jvmArgs.filterNot(_.startsWith("-Xmx")) :+ "-Xmx64g"
+    val cmd = Seq(javaBin) ++ jvmArgsSized ++
       Seq("-cp", System.getProperty("java.class.path"),
         "graft.StepBench", base.toString, steps.toString) ++
       (if (mode.nonEmpty) Seq(mode) else Nil)

@@ -154,6 +154,8 @@ final class LongLongMap private (
     if (ks(i) == k) vs(i) else dflt
   }
 
+  def has(k: Long): Boolean = ks(slot(k)) == k
+
   private def grow(): Unit = {
     val (oks, ovs) = (ks, vs)
     ks = Array.fill(oks.length * 2)(Long.MinValue)
@@ -203,55 +205,88 @@ object BucketedUpsertState {
 /** [[BucketedUpsertState]] specialized to packed-long keys and values — the
   * high-rate hot path (nexmark q18: 10M (bidder,auction) keys at 6M
   * events/step). Same partition-preserving contract: a step shuffles ONLY
-  * the delta; each bucket's state is a [[LongLongMap]] held as the single
-  * element of its partition, merged locally with zero boxing (the generic
-  * class pays ~4 allocations per key per step in hash-map nodes and tuple
-  * boxes — at 10M keys that is the difference between ~2.5 s and ~0.5 s
-  * steps). This is the JVM rendition of the reference's per-shard
-  * primitive-layout trace batches (reference:
-  * crates/dbsp/src/trace/ord/ layers are flat typed columns, not boxed
-  * maps; spine merge in trace/spine_fueled.rs:1-45). */
+  * the delta; each bucket's state lives as the single element of its
+  * partition, merged locally with zero boxing (the generic class pays ~4
+  * allocations per key per step in hash-map nodes and tuple boxes — at 10M
+  * keys that is the difference between ~2.5 s and ~0.5 s steps).
+  *
+  * SPINE-OVERLAY layout (r11 — the fueled spine made literal, reference:
+  * crates/dbsp/src/trace/spine_fueled.rs:1-45): a bucket's state is a LIST
+  * of [[LongLongMap]]s, newest first — small per-step OVERLAYS over a
+  * compacted BASE. A step builds ONLY its overlay (the delta keys at their
+  * merged current values — which doubles as the emitted output delta) and
+  * prepends it; nothing else is copied, so a step's local work is
+  * O(|Δ| · spine-depth probes), INDEPENDENT of bucket size. Every
+  * [[BucketedUpsertState.TruncateEvery]] steps the spine folds into one
+  * fresh base (newest value per key wins — overlay values are
+  * already-merged currents) — amortized O(bucket/TruncateEvery) per step,
+  * the spine's deferred merge. The previous design copied the whole bucket
+  * map every step ("memcpy-cheap"), which the 5M→50M XL step-bench decade
+  * exposed as the dominant per-step term at large state (~2× growth);
+  * reads pay ≤ TruncateEvery probes per key instead.
+  *
+  * Overlay maps are immutable after their creating step (compaction reads,
+  * never mutates), so generations SHARE base/overlay objects in the
+  * deserialized block store; a spilled-to-disk generation serializes its
+  * whole spine, bounded by the compaction cadence. */
 final class BucketedUpsertStateLong(
     sc: SparkContext, val nBuckets: Int, combine: (Long, Long) => Long)
     extends Serializable {
 
   private val partitioner = new HashPartitioner(nBuckets)
   private var stepsDone = 0
-  /** Per partition: ONE (stateMap, touchedMap) pair — touchedMap holds the
-    * keys the last step touched, at their merged current values (the
-    * emitted output delta, already deduplicated). */
-  private var pinned: RDD[(LongLongMap, LongLongMap)] = null
+  /** Per partition: (spine — newest-first, oldest entry is the compacted
+    * base; touched — last step's overlay = emitted output delta). */
+  private var pinned: RDD[(List[LongLongMap], LongLongMap)] = null
 
-  /** Merge `delta` into the state: one O(|Δ|) shuffle, per-bucket local
-    * merge into a COPY of the bucket map (persisted generations stay
-    * immutable for retry/re-read safety). Returns the emitted output delta
-    * — current values of exactly the touched keys. Keys must not equal
-    * Long.MinValue (the map's empty sentinel). LIFETIME: the returned RDD
-    * is a view over this step's pinned generation — consume it before the
-    * next `step`, which retires that generation. */
+  /** Merge `delta` into the state: one O(|Δ|) shuffle, per-bucket overlay
+    * build (see class doc). Returns the emitted output delta — current
+    * values of exactly the touched keys. Keys must not equal Long.MinValue
+    * (the map's empty sentinel). LIFETIME: the returned RDD is a view over
+    * this step's pinned generation — consume it before the next `step`,
+    * which retires that generation. */
   def step(delta: RDD[(Long, Long)]): RDD[(Long, Long)] = {
     val d = if (delta.partitioner.contains(partitioner)) delta
             else delta.partitionBy(partitioner)
     val cmb = combine
-    val prevState: RDD[(LongLongMap, LongLongMap)] =
+    // compaction rides the same cadence as lineage truncation: the folded
+    // generation is also the one whose block localCheckpoint pins
+    val doCompact = (stepsDone + 1) % BucketedUpsertState.TruncateEvery == 0
+    val prevState: RDD[(List[LongLongMap], LongLongMap)] =
       if (pinned != null) pinned
       else sc.emptyRDD[(Long, Long)].partitionBy(partitioner)
-        .mapPartitions(_ => Iterator((new LongLongMap(16), new LongLongMap(16))),
+        .mapPartitions(
+          _ => Iterator((List.empty[LongLongMap], new LongLongMap(16))),
           preservesPartitioning = true)
     val merged = prevState.zipPartitions(d, preservesPartitioning = true) {
       (si, di) =>
-        val base = if (si.hasNext) si.next()._1 else new LongLongMap(16)
-        val state = base.copyWith(65536)
-        val touched = new LongLongMap(1024)
+        val spine = if (si.hasNext) si.next()._1 else Nil
+        val overlay = new LongLongMap(1024)
         di.foreach { case (k, v) =>
-          state.put(k, v, cmb)
-          touched.put(k, 0L, (a, _) => a) // mark now, value read back below
+          if (overlay.has(k)) overlay.put(k, v, cmb)
+          else {
+            // current value = newest spine entry holding k (overlay values
+            // are merged currents, so the first hit is authoritative)
+            var cur = 0L
+            var found = false
+            var s = spine
+            while (!found && s.nonEmpty) {
+              if (s.head.has(k)) { cur = s.head.getOrElse(k, 0L); found = true }
+              s = s.tail
+            }
+            overlay.put(k, if (found) cmb(cur, v) else v, (_, b) => b)
+          }
         }
-        // read back AFTER the merge so duplicate delta keys emit ONE row at
-        // their final combined value (in-place value update — no new keys,
-        // so iterating while updating is safe)
-        touched.foreach((k, _) => touched.put(k, state.getOrElse(k, 0L), (_, b) => b))
-        Iterator((state, touched))
+        val grown = overlay :: spine
+        val newSpine =
+          if (doCompact && grown.lengthCompare(1) > 0) {
+            val base = new LongLongMap(grown.iterator.map(_.size).sum)
+            // oldest → newest so the newest value per key lands last
+            grown.reverse.foreach(_.foreach((k, v) =>
+              base.put(k, v, (_, b) => b)))
+            List(base)
+          } else grown
+        Iterator((newSpine, overlay))
     }
     merged.persist(StorageLevel.MEMORY_AND_DISK)
     stepsDone += 1
@@ -264,14 +299,21 @@ final class BucketedUpsertStateLong(
     merged.mapPartitions(_.flatMap(_._2.iterator), preservesPartitioning = false)
   }
 
-  /** Full current state; partitioner preserved. */
+  /** Full current state (spine folded per bucket); partitioner preserved. */
   def snapshot: RDD[(Long, Long)] =
     if (pinned == null) sc.emptyRDD[(Long, Long)]
-    else pinned.mapPartitions(_.flatMap(_._1.iterator), preservesPartitioning = true)
+    else pinned.mapPartitions(_.flatMap { case (spine, _) =>
+      spine match {
+        case single :: Nil => single.iterator
+        case many =>
+          val base = new LongLongMap(many.iterator.map(_.size).sum)
+          many.reverse.foreach(_.foreach((k, v) => base.put(k, v, (_, b) => b)))
+          base.iterator
+      }
+    }, preservesPartitioning = true)
 
   /** Live key count (control-plane; one job over pinned blocks). */
-  def size: Long =
-    if (pinned == null) 0L else pinned.map(_._1.size.toLong).sum().toLong
+  def size: Long = snapshot.count()
 
   def close(): Unit = {
     if (pinned != null) pinned.unpersist(blocking = false)
