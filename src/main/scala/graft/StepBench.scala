@@ -190,8 +190,14 @@ object StepBench {
     val seed = spark.range(n).select(
       pmod(col("id"), lit(nKeys)).as("k"), col("id").as("ts"),
       pmod(col("id"), lit(100L)).as("v"))
-    st.step(ZSetFrame.fromTable(seed), 0L, n - 1, touchedKeys = None,
-      strategy = force)
+    // outputs are CONSUMER-owned pinned checkpoints; this harness is the
+    // consumer and discards them, so it releases each right away — the 50M
+    // seed's (un-consolidated) output alone pins several GB, and leaving
+    // step outputs resident showed up as a growing per-step tail at the XL
+    // tier (memory pressure, not step cost)
+    graft.incremental.Pinned.release(
+      st.step(ZSetFrame.fromTable(seed), 0L, n - 1, touchedKeys = None,
+        strategy = force).df)
     val ts = (1 to steps).map { i =>
       val rows = (0 until 2).flatMap { j =>
         val k = (i * 31L + j * 97L) % nKeys
@@ -202,8 +208,11 @@ object StepBench {
       val ks = rows.map(_._1).distinct
       val (lo, hi) = (rows.map(_._2).min, rows.map(_._2).max)
       val t0 = System.nanoTime()
-      st.step(d, lo, hi, Some(ks), checkpointDelta = false, strategy = force)
-      (System.nanoTime() - t0) / 1e9
+      val out = st.step(d, lo, hi, Some(ks), checkpointDelta = false,
+        strategy = force)
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.incremental.Pinned.release(out.df) // consumed; outside the timer
+      dt
     }
     st.close()
     ts
@@ -446,9 +455,18 @@ object StepBench {
     val rL = floorN(3)(() => runRolling(spark, base * 10, nKeys * 10, steps, 2560))
     val xS = floorN(3)(() => runRadix(spark, base, nKeys, steps, 2560))
     val xL = floorN(3)(() => runRadix(spark, base * 10, nKeys * 10, steps, 25600))
+    // the radix decomposition pivot: SMALL state on the LARGE bucket count.
+    // Diagnosed r11: the scaled-config ratio xL/xS conflates state growth
+    // with a per-step bucket-COUNT metadata constant (measured at constant
+    // data: 5M@25600 ≈ 50M@25600 ≫ 5M@2560) — xMid splits them:
+    // xL/xMid = state growth at a fixed deployment config (the flatness
+    // claim); xMid/xS = what 10× partitions cost per step at CONSTANT
+    // data (a config constant a deployment pays by sizing buckets once,
+    // not a function of state).
+    val xMid = floorN(2)(() => runRadix(spark, base, nKeys, steps, 25600))
     val nS = floorN(2)(() => runNaive(spark, base, nKeys, math.min(steps, 4)))
     val nL = floorN(1)(() => runNaive(spark, base * 10, nKeys * 10, 3))
-    f"""{"stat":"xl_per_step_floor_of_3_runs_controls_fewer","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"bucket_bytes":"constant (10x buckets at 10x state; keyed_xl_fixed is the unscaled control)","keyed_xl_small_sec":$kS%.3f,"keyed_xl_large_sec":$kL%.3f,"keyed_xl_fixed_large_sec":$kLfix%.3f,"upsert_xl_small_sec":$uS%.3f,"upsert_xl_large_sec":$uL%.3f,"rolling_xl_small_sec":$rS%.3f,"rolling_xl_large_sec":$rL%.3f,"radix_scaled_xl_small_sec":$xS%.3f,"radix_scaled_xl_large_sec":$xL%.3f,"naive_xl_small_sec":$nS%.3f,"naive_xl_large_sec":$nL%.3f,"keyed_xl_growth":${kL / kS}%.2f,"keyed_xl_fixed_growth":${kLfix / kS}%.2f,"upsert_xl_growth":${uL / uS}%.2f,"rolling_xl_growth":${rL / rS}%.2f,"radix_scaled_xl_growth":${xL / xS}%.2f,"naive_xl_growth":${nL / nS}%.2f}"""
+    f"""{"stat":"xl_per_step_floor_of_3_runs_controls_fewer","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"bucket_bytes":"constant (10x buckets at 10x state; keyed_xl_fixed is the unscaled control)","keyed_xl_small_sec":$kS%.3f,"keyed_xl_large_sec":$kL%.3f,"keyed_xl_fixed_large_sec":$kLfix%.3f,"upsert_xl_small_sec":$uS%.3f,"upsert_xl_large_sec":$uL%.3f,"rolling_xl_small_sec":$rS%.3f,"rolling_xl_large_sec":$rL%.3f,"radix_scaled_xl_small_sec":$xS%.3f,"radix_scaled_xl_mid_sec":$xMid%.3f,"radix_scaled_xl_large_sec":$xL%.3f,"naive_xl_small_sec":$nS%.3f,"naive_xl_large_sec":$nL%.3f,"keyed_xl_growth":${kL / kS}%.2f,"keyed_xl_fixed_growth":${kLfix / kS}%.2f,"upsert_xl_growth":${uL / uS}%.2f,"rolling_xl_growth":${rL / rS}%.2f,"radix_scaled_xl_growth":${xL / xS}%.2f,"radix_xl_samecfg_growth":${xL / xMid}%.2f,"radix_xl_bucketcount_ratio":${xMid / xS}%.2f,"naive_xl_growth":${nL / nS}%.2f}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -489,6 +507,14 @@ object StepBench {
         val ts = runRadix(spark, n, n / 50, steps, 256)
         System.err.println(
           f"[stepbench radix n=$n] " + ts.map(t => f"$t%.2f").mkString(" "))
+        graft.incremental.Pinned.sweepSession(spark.sparkContext)
+      }
+    } else if (args.length > 2 && args(2) == "radixsc") {
+      // diagnostic: the constant-bucket-bytes pair, per-step times
+      Seq((base, 2560), (base * 10, 25600)).foreach { case (n, nb) =>
+        val ts = runRadix(spark, n, n / 50, steps, nb)
+        System.err.println(
+          f"[stepbench radixsc n=$n nb=$nb] " + ts.map(t => f"$t%.3f").mkString(" "))
         graft.incremental.Pinned.sweepSession(spark.sparkContext)
       }
     } else if (args.length > 2 && args(2) == "tri") {
