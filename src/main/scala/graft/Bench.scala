@@ -108,7 +108,8 @@ object Bench {
     // one vector query, one STREAMING query — the latter stages the shared
     // /tmp event dirs and pays the first-checkpoint setup, which otherwise
     // lands on q33's first rep (~6 s of staging measured as query time)
-    Seq("q01_project", "t02_quality", "d06_ann_lsh", "q33_stream_tumble")
+    Seq("q01_project", "t02_quality", "d06_ann_lsh", "q33_stream_tumble",
+        "q87_stream_rolling_radix") // q87 stages its own time-slice dir
       .foreach { w =>
       SparkEntry.queries.get(w).foreach { fn =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
