@@ -841,8 +841,51 @@ object Dedup extends QueryModule {
         .groupBy("label", "pos")
         .agg((sum(floor(col("v").cast("double") * lit(1e9)).cast("long"))
           .cast("double") / lit(1e9) / count(lit(1))).as("cval"))
+    }),
+
+    // SEMANTIC DEDUP (d32) — the SemDeDup pass (Abbas et al. 2023,
+    // arXiv:2303.09540) a pretraining-data pipeline runs over its embedding
+    // store: cluster the space (d29's exact-quantized spherical k-means),
+    // then WITHIN each cluster rank members by similarity-to-centroid
+    // (desc, vec_id tie-break — the paper keeps the LOW-centroid-similarity
+    // representative, so high-csim members are dropped first) and flag any
+    // member whose max cosine to an EARLIER-ranked clustermate is >= tau.
+    // Scale shape: all-pairs work is confined to a cluster (the paper's
+    // point — O(Σ kᵢ²) with k ∝ √corpus, never corpus-wide), one shuffle on
+    // the cluster key, centroids broadcast. Every float is either an exact
+    // integer-quantized mean (centroids) or an identical-IEEE-sequence
+    // double (csim + pair cosines via the codegen'd sequential dot), which
+    // is what lets an approximate-by-design semantic dedup be value-gated
+    // by a DuckDB oracle bit-for-bit.
+    "d32_semdedup" -> ((s, dir) => {
+      val ed = (e: Column) => transform(e, _.cast("double"))
+      val v = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val ranked = Dedup.kmeansModel(v, rounds = 2)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("cell").orderBy(col("csim").desc, col("vec_id"))))
+      val a = ranked.select(col("cell"), col("rk").as("ra"),
+        ed(col("embedding")).as("ea"))
+      val b = ranked.select(col("cell"), col("rk").as("rb"),
+        col("vec_id"), ed(col("embedding")).as("eb"))
+      val mps = b.join(a, Seq("cell")).where(col("ra") < col("rb"))
+        .select(col("vec_id"),
+          (dotd(col("ea"), col("eb")) /
+            (sqrt(dotd(col("ea"), col("ea"))) *
+             sqrt(dotd(col("eb"), col("eb"))))).as("ps"))
+        .groupBy("vec_id").agg(max(col("ps")).as("m"))
+      ranked.join(mps, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell").as("cluster"), col("rk"), col("csim"),
+          coalesce(col("m"), lit(-2.0)).as("max_prev_sim"),
+          (coalesce(col("m"), lit(-2.0)) >= lit(SemDedupTau)).as("is_dup"))
     })
   )
+
+  /** d32's dup threshold (the paper sweeps ~0.7–0.95; the synthetic
+    * embeddings' within-cluster sims sit lower, so this is chosen to make
+    * the flag non-vacuous on the test corpus — the oracle gates VALUES, so
+    * any tau certifies the same machinery). */
+  private[graft] val SemDedupTau = 0.42
 
   // ------------------------------------------------------------- ANN library
 
@@ -1129,7 +1172,15 @@ object Dedup extends QueryModule {
     * double dots (d05), floor-quantized BIGINT-sum means (d07) — so the
     * unrolled DuckDB mirror value-gates every round, not just the final
     * labels. */
-  def kmeansAssign(v: DataFrame, rounds: Int): DataFrame = {
+  def kmeansAssign(v: DataFrame, rounds: Int): DataFrame =
+    kmeansModel(v, rounds).select(col("vec_id"), col("cell").as("cluster"))
+
+  /** d29's spherical k-means with the winning assignment's centroid
+    * similarity kept on each row: (vec_id, embedding, cell, csim) — the
+    * ranking signal SemDeDup (d32) orders cluster members by. Identical
+    * arithmetic and tie-breaks to kmeansAssign (which is now a projection
+    * of this). */
+  def kmeansModel(v: DataFrame, rounds: Int): DataFrame = {
     val ed = (e: Column) => transform(e, _.cast("double"))
     // mean = d07's floor(v·1e9) BIGINT sum — exact and order-free in every
     // engine; a DECIMAL(18,9) cast rounds dyadic ties differently in Spark
@@ -1153,17 +1204,22 @@ object Dedup extends QueryModule {
         .groupBy("vec_id")
         .agg(max(struct(col("csim"), (-col("cell")).as("nc"),
           col("embedding").as("e"))).as("b"))
-        .select(col("vec_id"), col("b.e").as("embedding"), (-col("b.nc")).as("cell"))
+        .select(col("vec_id"), col("b.e").as("embedding"), (-col("b.nc")).as("cell"),
+          col("b.csim").as("csim"))
     val init = centroidsOf(v, col("label"))
     val fin = (1 to rounds).foldLeft(init) { (c, _) =>
       centroidsOf(assign(c), col("cell")) }
-    assign(fin).select(col("vec_id"), col("cell").as("cluster"))
+    assign(fin)
   }
 
   /** Literal mirror of the d29 spherical k-means: both Lloyd rounds
     * unrolled as CTEs with the proven arithmetic idioms (list_inner_product
     * sequential dots, floor-quantized BIGINT means, row_number tie-breaks). */
-  private val kmeansOracleSql: String = {
+  /** Shared CTE prefix (emb … a3): both Lloyd rounds unrolled with the
+    * proven arithmetic idioms; a3 carries the winning csim (ordering by
+    * the precomputed csim alias ≡ ordering by the expression — same
+    * double). Final SELECTs differ per consumer (d29, d32). */
+  private val kmeansCtePrefix: String = {
     def centSql(src: String, clCol: String, out: String) =
       s"""$out AS (
            SELECT $clCol AS cell, list(cv ORDER BY pos) AS cvec FROM (
@@ -1173,23 +1229,51 @@ object Dedup extends QueryModule {
              FROM $src, range(64) t(i) GROUP BY 1, 2) GROUP BY 1)"""
     def asgSql(cent: String, out: String) =
       s"""$out AS (
-           SELECT vec_id, e, cell FROM (
-             SELECT v.vec_id, v.e, c.cell,
-               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           SELECT vec_id, e, cell, csim FROM (
+             SELECT vec_id, e, cell, csim,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY csim DESC, cell) AS rn
+             FROM (
+               SELECT v.vec_id, v.e, c.cell,
                  list_inner_product(v.e, c.cvec) /
                    (sqrt(list_inner_product(v.e, v.e))
-                     * sqrt(list_inner_product(c.cvec, c.cvec))) DESC,
-                 c.cell) AS rn
-             FROM emb v CROSS JOIN $cent c) WHERE rn = 1)"""
+                     * sqrt(list_inner_product(c.cvec, c.cvec))) AS csim
+               FROM emb v CROSS JOIN $cent c)) WHERE rn = 1)"""
     s"""WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
        ${centSql("emb", "label", "cent0")},
        ${asgSql("cent0", "a1")},
        ${centSql("a1", "cell", "cent1")},
        ${asgSql("cent1", "a2")},
        ${centSql("a2", "cell", "cent2")},
-       ${asgSql("cent2", "a3")}
-       SELECT vec_id, cell AS cluster FROM a3"""
+       ${asgSql("cent2", "a3")}"""
   }
+
+  private val kmeansOracleSql: String =
+    s"""$kmeansCtePrefix
+       SELECT vec_id, cell AS cluster FROM a3"""
+
+  /** d32 mirror: rank within cluster by csim, max pair-cosine to any
+    * earlier-ranked clustermate (argument order is IEEE-irrelevant: the
+    * per-index multiplies are commutative, the sum order is positional in
+    * both engines). */
+  private val semdedupOracleSql: String =
+    s"""$kmeansCtePrefix,
+       ranked AS (
+         SELECT vec_id, e, cell, csim,
+           row_number() OVER (PARTITION BY cell
+             ORDER BY csim DESC, vec_id) AS rk
+         FROM a3),
+       mps AS (
+         SELECT b.vec_id,
+           max(list_inner_product(a.e, b.e) /
+             (sqrt(list_inner_product(a.e, a.e))
+               * sqrt(list_inner_product(b.e, b.e)))) AS m
+         FROM ranked b JOIN ranked a ON a.cell = b.cell AND a.rk < b.rk
+         GROUP BY 1)
+       SELECT r.vec_id, r.cell AS cluster, r.rk, r.csim,
+         coalesce(m.m, -2.0) AS max_prev_sim,
+         coalesce(m.m, -2.0) >= $SemDedupTau AS is_dup
+       FROM ranked r LEFT JOIN mps m ON m.vec_id = r.vec_id"""
 
   /** The d06 LSH-ANN mirror, shared verbatim by d15 (the incrementally
     * maintained top-1 equals the batch result — see the d15 scaladoc). */
@@ -1352,6 +1436,7 @@ object Dedup extends QueryModule {
     // centroids (d07), nearest-cell assignment by exact cosine, top-2 probe
     // cells per query, exact rerank inside probed cells, top-1.
     "d29_kmeans" -> kmeansOracleSql,
+    "d32_semdedup" -> semdedupOracleSql,
     "d08_ann_ivf" ->
       """WITH cent AS (
            SELECT label AS cell, list(cv ORDER BY pos) AS cvec FROM (

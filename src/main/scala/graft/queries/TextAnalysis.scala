@@ -77,6 +77,48 @@ object TextAnalysis extends QueryModule {
         .select("doc_id", "term", "tf", "df", "score_q")
     }),
 
+    // BM25 RANKED RETRIEVAL (t11) — the scoring pass behind retrieval-
+    // augmented pipelines: score every document against a fixed query-term
+    // set with BM25 (k1 = 1.2, b = 0.75) and emit the global top-10. One
+    // corpus scan builds tf/dl; df and the corpus constants (N docs, T
+    // total tokens) are broadcast; nothing self-joins. Engine-exact
+    // arithmetic: k1/b are carried as RATIONALS so each factor is a ratio
+    // of BIGINTs — idf' = (2N−2df+1)/(2df+1) (Robertson idf with the ±0.5s
+    // cleared by doubling; always positive), tf-part = 44·T·tf /
+    // (20·T·tf + 6·T + 18·dl·N) (k1=6/5, b=3/4 cleared over denominator
+    // 20T) — evaluated as the SAME IEEE double sequence in both engines
+    // and floor-quantized to 1e6 BEFORE the per-doc sum, which is then
+    // exact BIGINT addition (order-free under any partitioning). The
+    // top-10 is TakeOrderedAndProject (orderBy+limit — O(n) scan, O(10)
+    // result, no global sort), with row_number assigned over the 10
+    // survivors only.
+    "t11_bm25" -> ((s, dir) => {
+      val qterms = Seq("spark", "query", "merge", "window")
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), size(toks(col("text"))).as("dl"), col("text"))
+      val tf = base.select(col("doc_id"), col("dl"),
+          explode(toks(col("text"))).as("term"))
+        .where(col("term").isin(qterms.map(_.asInstanceOf[Any]): _*))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val consts = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_toks"))
+      val scored = tf.join(broadcast(dft), Seq("term"))
+        .crossJoin(broadcast(consts))
+        .select(col("doc_id"),
+          floor(
+            ((lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)).cast("double")
+              / (lit(2L) * col("df") + lit(1L)).cast("double"))
+            * ((lit(44L) * col("t_toks") * col("tf")).cast("double")
+              / (lit(20L) * col("t_toks") * col("tf") + lit(6L) * col("t_toks")
+                 + lit(18L) * col("dl") * col("n_docs")).cast("double"))
+            * lit(1e6)).cast("long").as("sq"))
+      val tot = scored.groupBy("doc_id").agg(sum(col("sq")).as("score_q"))
+      val top = tot.orderBy(col("score_q").desc, col("doc_id")).limit(10)
+      top.withColumn("rnk", row_number().over(
+          Window.orderBy(col("score_q").desc, col("doc_id"))))
+        .select("doc_id", "score_q", "rnk")
+    }),
+
     // token / char counting
     "t01_tokens" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -507,6 +549,42 @@ object TextAnalysis extends QueryModule {
                (PARTITION BY doc_id ORDER BY score_q DESC, term ASC) AS rn
              FROM sc)
            SELECT doc_id, term, tf, df, score_q FROM r WHERE rn = 1""",
+
+      // same factor-by-factor IEEE sequence as the query (two BIGINT
+      // ratios cast to DOUBLE, multiplied left-assoc, ×1e6, floor), sq
+      // quantized BEFORE the per-doc BIGINT sum
+      "t11_bm25" ->
+        """WITH base AS (
+             SELECT doc_id, len(string_split(text, ' ')) AS dl, text
+             FROM documents),
+           consts AS (
+             SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS t_toks FROM base),
+           tf AS (
+             SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM (
+               SELECT doc_id, dl, unnest(string_split(text, ' ')) AS term
+               FROM base)
+             WHERE term IN ('spark', 'query', 'merge', 'window')
+             GROUP BY 1, 2, 3),
+           dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+           scored AS (
+             SELECT f.doc_id,
+               CAST(FLOOR(
+                 (CAST(2 * c.n_docs - 2 * d.df + 1 AS DOUBLE)
+                   / CAST(2 * d.df + 1 AS DOUBLE))
+                 * (CAST(44 * c.t_toks * f.tf AS DOUBLE)
+                   / CAST(20 * c.t_toks * f.tf + 6 * c.t_toks
+                          + 18 * f.dl * c.n_docs AS DOUBLE))
+                 * 1e6) AS BIGINT) AS sq
+             FROM tf f JOIN dft d USING (term) CROSS JOIN consts c),
+           tot AS (
+             SELECT doc_id, CAST(sum(sq) AS BIGINT) AS score_q
+             FROM scored GROUP BY 1)
+           SELECT doc_id, score_q, rnk FROM (
+             SELECT doc_id, score_q,
+               row_number() OVER (ORDER BY score_q DESC, doc_id) AS rnk
+             FROM tot)
+           WHERE rnk <= 10""",
 
       "t01_tokens" ->
         """SELECT doc_id, length(text) AS n_chars2,

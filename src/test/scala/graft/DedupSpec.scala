@@ -661,4 +661,96 @@ class DedupSpec extends SparkSpec {
     assert(moved > 0, "2 Lloyd rounds changed no assignment — iteration vacuous")
     r2.unpersist()
   }
+
+  test("d32 semdedup: cluster-keyed pairs, rank-1 kept, flag ≡ brute-force model") {
+    val out = Dedup.queries("d32_semdedup")(spark, sf0001).cache()
+    assert(out.count() == 500)
+    // all-pairs work must be confined to the cluster key — no stage may
+    // be corpus × corpus (the SemDeDup point: O(Σ kᵢ²), never O(n²)).
+    // BroadcastNestedLoopJoins DO appear: they are k-means' intentional
+    // corpus × broadcast(k centroids) assignment crosses (k ∝ √corpus),
+    // so the gate is (a) no CartesianProduct anywhere and (b) the member-
+    // pair join is an equi-join keyed on the cluster cell
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "d32 must not plan a cartesian stage")
+    assert(Seq("SortMergeJoin [cell", "ShuffledHashJoin [cell",
+        "BroadcastHashJoin [cell").exists(plan.contains),
+      "d32 pair stage must be an equi-join keyed on cell")
+    // the rank-1 (highest-csim) member of a cluster has no earlier-ranked
+    // mate, so it is always kept
+    assert(out.where(col("rk") === 1 && col("is_dup")).isEmpty)
+    // flag is exactly the threshold cut, and non-vacuous on this corpus
+    assert(out.where(col("is_dup") =!=
+      (col("max_prev_sim") >= Dedup.SemDedupTau)).isEmpty)
+    assert(out.where(col("is_dup")).count() > 0,
+      "tau leaves the dup flag vacuous on the test corpus")
+    // brute-force model: recompute max-prev-sim per vector from the
+    // clustered assignment directly (independent double arithmetic —
+    // compare to 1e-9, the oracle separately gates bit-exactness)
+    val asg = Dedup.kmeansModel(
+      graft.core.Tables(spark, sf0001, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding")), rounds = 2)
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2), r.getDouble(3)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCell = asg.groupBy(_._3)
+    val model: Map[Long, Double] = byCell.values.flatMap { ms =>
+      val ranked = ms.sortBy { case (id, _, _, cs) => (-cs, id) }
+      ranked.zipWithIndex.map { case ((id, e, _, _), i) =>
+        id -> (if (i == 0) -2.0
+               else ranked.take(i).map(p => cos(p._2, e)).max)
+      }
+    }.toMap
+    out.select("vec_id", "max_prev_sim").collect().foreach { r =>
+      assert(math.abs(model(r.getLong(0)) - r.getDouble(1)) < 1e-9,
+        s"vec ${r.getLong(0)}: model ${model(r.getLong(0))} vs ${r.getDouble(1)}")
+    }
+    out.unpersist()
+  }
+
+  test("t11 bm25: top-10 matches an independent model; no global sort of the corpus") {
+    val out = TextAnalysis.queries("t11_bm25")(spark, sf0001).cache()
+    assert(out.count() == 10)
+    assert(out.select("rnk").collect().map(_.getInt(0)).sorted.sameElements(1 to 10))
+    // the top-k must plan as TakeOrdered (O(n) scan, O(k) result), not a
+    // single-partition global sort of every scored document
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "t11 top-10 must be TakeOrderedAndProject")
+    // independent model with the same quantized-rational formula
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val qterms = Seq("spark", "query", "merge", "window")
+    val n = docs.length.toLong
+    val tTok = docs.map(_._2.size.toLong).sum
+    val dfm = qterms.map(q =>
+      q -> docs.count(_._2.contains(q)).toLong).toMap
+    // only docs containing >=1 query term participate (mirrors the inner
+    // join over the filtered tf — the zero-score tail never materializes)
+    val scores = docs.filter(d => qterms.exists(d._2.contains)).map { case (id, tk) =>
+      val dl = tk.size.toLong
+      id -> qterms.map { q =>
+        val tf = tk.count(_ == q).toLong
+        if (tf == 0) 0L
+        else math.floor(
+          ((2 * n - 2 * dfm(q) + 1).toDouble / (2 * dfm(q) + 1).toDouble)
+          * ((44 * tTok * tf).toDouble
+             / (20 * tTok * tf + 6 * tTok + 18 * dl * n).toDouble)
+          * 1e6).toLong
+      }.sum
+    }
+    val expectTop = scores.sortBy { case (id, s) => (-s, id) }.take(10)
+      .zipWithIndex.map { case ((id, s), i) => (id, s, i + 1) }.toSet
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expectTop, s"bm25 top-10 mismatch: ${got -- expectTop}")
+    out.unpersist()
+  }
 }
