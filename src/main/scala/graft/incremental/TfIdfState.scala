@@ -1,0 +1,169 @@
+package graft.incremental
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.ZSetFrame
+
+/** Incrementally maintained TF-IDF top-term per document under document
+  * inserts AND deletes — the index-maintenance problem behind a continuously
+  * ingested retrieval corpus. The hard part is that idf couples every
+  * document to every other one: a single inserted document moves df for each
+  * of its terms, which changes the score of every posting of those terms
+  * corpus-wide. Recomputing all of them per step is O(corpus); the reference
+  * handles such non-linear aggregates with touched-key recompute
+  * (reference: crates/dbsp/src/operator/aggregate/mod.rs:204-244), and the
+  * analog of "touched" here is QUANTIZATION-AWARE: scores are the
+  * floor-quantized rational floor(tf·C/df) (engine-exact — the quotient of
+  * BIGINTs is ≥ 1/df from the nearest integer when not integral, so one IEEE
+  * division cannot mis-floor), and a posting's score only MOVES when the
+  * floor crosses, i.e. when df's step transition df_old→df_new changes
+  * floor(tf·C/df). A step therefore recomputes exactly:
+  *
+  *   affected = docs(delta) ∪ { doc : ∃(term,tf) posting with
+  *                              floorₒₗd ≠ floorₙₑw }
+  *
+  * For every doc outside that set, every one of its postings' quantized
+  * scores is unchanged this step, so (by induction over steps) its stored
+  * top-1 row is still exact. Hot terms (large df) are precisely the ones
+  * whose relative df movement per step is tiny, so their floors almost never
+  * cross — the quantization grid absorbs the idf coupling exactly where it
+  * would otherwise be most expensive.
+  *
+  * State = what a real indexer keeps, each as a bucket-partitioned
+  * [[KeyedState]] trace:
+  *   - inverted index (term → postings), probed by the delta's terms for
+  *     affected-set screening; O(Δ) spine-append per step
+  *   - forward index (doc → its rows), probed by affected docs for the
+  *     recompute; O(Δ) spine-append per step
+  *   - df index (term → df as an aggregated weighted row), replaced only for
+  *     moved terms; vocabulary-sized (a dimension, not a corpus)
+  *   - top-1 index (doc → current answer row), replaced for affected docs —
+  *     its −old/+new replacement delta IS the operator's emitted output
+  *
+  * Per-step cost: the O(Δ) routing shuffles, one screening read of the moved
+  * terms' postings, and a recompute sized to the affected docs — never the
+  * corpus. Emitted deltas integrate to the batch answer (t12's DuckDB
+  * oracle; IncrementalSpec gates mixed insert/retract sequences ≡ batch and
+  * that the screening is non-vacuous).
+  */
+final class TfIdfState(emptyTf: ZSetFrame, val nBuckets: Int,
+                       /** Quantization constant C in floor(tf·C/df). Coarse
+                         * enough that a step's df drift on hot terms rarely
+                         * crosses a floor boundary (the pruning lever: no
+                         * cross once df ≳ tf·C), fine enough to rank terms
+                         * within a doc. Tests shrink it to force the
+                         * pruning regime at toy corpus sizes. */
+                       val C: Long = 10000L) {
+  import ZSetFrame.W
+
+  private def scoreQ(tf: Column, df: Column): Column =
+    floor((tf * lit(C)).cast("double") / df).cast("long")
+
+  private val spark = emptyTf.spark
+
+  // (term, doc_id, tf) postings keyed two ways, plus the two aggregates
+  private val tfIdx = new KeyedState(Seq("term"), nBuckets, emptyTf)
+  private val fwdIdx = new KeyedState(Seq("doc_id"), nBuckets, emptyTf)
+  private val dfIdx = new KeyedState(Seq("term"), nBuckets,
+    ZSetFrame.fromDelta(emptyTf.df.select(col("term"), lit(0L).as("df"),
+      col(W))))
+  private val top1 = new KeyedState(Seq("doc_id"), nBuckets,
+    ZSetFrame.fromDelta(emptyTf.df.select(col("doc_id"), col("term"),
+      col("tf"), lit(0L).as("score_q"), col(W))))
+
+  /** Diagnostic: the affected-doc set of the last step (pinned; tests count
+    * it to certify the screening prunes — i.e. affected ≪ corpus on steps
+    * whose df drift stays inside the quantization grid). */
+  private[graft] var lastAffected: DataFrame = _
+
+  /** One step. `delta` holds consolidated (doc_id, term, tf) rows with ±1
+    * weights — a doc's full posting set on insert (+1) or retract (−1).
+    * `termBuckets`/`docBuckets`: any SUPERSET of the delta's term-key /
+    * doc-key bucket spans (the d31 discipline: a batch splitter that
+    * materialized the postings knows these without a per-step discovery
+    * job). Returns the −old/+new top-1 delta; the emitted rows integrate to
+    * (doc_id, term, tf, score_q). */
+  def step(delta: ZSetFrame,
+           termBuckets: Option[Seq[Int]] = None,
+           docBuckets: Option[Seq[Int]] = None): ZSetFrame = {
+    // 1. df movement per term this step (postings are unique per (doc,term),
+    //    so presence weight == row weight)
+    val ddf = delta.df.groupBy("term").agg(sum(col(W)).as("ddf"))
+      .where(col("ddf") =!= 0L)
+    // 2. old df of exactly the moved terms — partition-pruned probe of the
+    //    df index (moved ⊆ delta terms, so the delta's term span covers it)
+    val ddfZ = ZSetFrame.fromDelta(ddf.select(col("term"), lit(1L).as(W)))
+    val dfOld = (termBuckets match {
+      case Some(tb) => dfIdx.view(tb)
+      case None => dfIdx.probe(ddfZ)
+    }).consolidate.df.select(col("term"), col("df").as("df_old"))
+    val moved = ddf.join(dfOld, Seq("term"), "left")
+      .select(col("term"), coalesce(col("df_old"), lit(0L)).as("df_old"),
+        (coalesce(col("df_old"), lit(0L)) + col("ddf")).as("df_new"))
+      .localCheckpoint(true)
+    // 3. screening: postings of moved terms whose quantized score crosses a
+    //    floor under df_old→df_new; df==0 sides can hold no surviving
+    //    posting — mark them "moved" defensively (their docs are delta docs)
+    def sq(df: Column): Column =
+      when(df <= 0L, lit(Long.MinValue)).otherwise(scoreQ(col("tf"), df))
+    val postings = (termBuckets match {
+      case Some(tb) => tfIdx.view(tb)
+      case None => tfIdx.probe(ddfZ)
+    }).consolidate.df
+    val screened = postings.join(broadcast(moved), Seq("term"))
+      .where(sq(col("df_old")) =!= sq(col("df_new")))
+      .select(col("doc_id"))
+    val affected = screened
+      .union(delta.df.select(col("doc_id")))
+      .distinct().localCheckpoint(true)
+    lastAffected = affected
+    // the affected set is data-dependent (it IS the operator's pruning
+    // output), so its bucket span costs one tiny collect over the already-
+    // checkpointed ids — the only runtime discovery job in the step
+    val affBuckets = affected
+      .select(pmod(hash(col("doc_id")), lit(nBuckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    // 4. index maintenance — O(Δ) spine-appends; compaction amortizes on
+    //    KeyedState's own cadence
+    tfIdx.merge(delta, checkpointDelta = false, knownTouched = termBuckets,
+      append = true)
+    fwdIdx.merge(delta, checkpointDelta = false, knownTouched = docBuckets,
+      append = true)
+    // 5. df index: replace the moved terms' aggregated rows
+    val dfDelta = ZSetFrame.fromDelta(
+      moved.where(col("df_new") =!= 0L)
+        .select(col("term"), col("df_new").as("df"), lit(1L).as(W))
+        .unionByName(moved.where(col("df_old") =!= 0L)
+          .select(col("term"), col("df_old").as("df"), lit(-1L).as(W))))
+    dfIdx.merge(dfDelta, checkpointDelta = false, knownTouched = termBuckets)
+    // 6. recompute top-1 for the affected docs against the post-merge
+    //    indexes: forward rows partition-pruned by the affected span, df
+    //    joined from the vocabulary-sized df index (a dimension — its full
+    //    view is a scan-in-place, no driver job, and the join prunes)
+    val rows = fwdIdx.view(affBuckets).consolidate.df
+      .join(affected, Seq("doc_id"))
+    val scored = rows
+      .join(dfIdx.view(0 until nBuckets).consolidate.df, Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf"),
+        scoreQ(col("tf"), col("df")).as("score_q"))
+    val newTop = scored.withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("score_q").desc, col("term").asc)))
+      .where(col("rn") === 1)
+      .select("doc_id", "term", "tf", "score_q")
+    val oldTop = top1.view(affBuckets).consolidate.df
+      .join(affected, Seq("doc_id"))
+      .select("doc_id", "term", "tf", "score_q")
+    val out = (ZSetFrame.fromTable(newTop) - ZSetFrame.fromTable(oldTop))
+      .consolidate.localCheckpoint()
+    // 7. the emitted replacement delta IS the top-1 index's maintenance
+    top1.merge(out, checkpointDelta = false, knownTouched = Some(affBuckets))
+    out
+  }
+
+  def close(): Unit = {
+    tfIdx.close(); fwdIdx.close(); dfIdx.close(); top1.close()
+  }
+}

@@ -119,6 +119,59 @@ object TextAnalysis extends QueryModule {
         .select("doc_id", "score_q", "rnk")
     }),
 
+    // INCREMENTAL TF-IDF top-term maintenance (t12) — t10's doc-term-matrix
+    // answer kept exact while documents arrive AND leave. idf couples every
+    // doc to every other (one insert moves df for all its terms), so the
+    // naive incremental step is O(corpus); TfIdfState's screening recomputes
+    // only docs holding a posting whose QUANTIZED score floor(tf·C/df)
+    // actually crossed under this step's df transition — hot terms' floors
+    // almost never cross, which confines the recompute to the affected set
+    // (see TfIdfState's scaladoc for the induction). Replay: 4 insert
+    // epochs (doc_id mod 4) then a retraction epoch deleting doc_id%10==3;
+    // the integrated −old/+new output must equal the batch top-term query
+    // over the surviving corpus. Per-epoch bucket spans are threaded from
+    // ONE job over the pinned postings (the d31 CDC discipline); the only
+    // per-step discovery job is the affected-doc span — the data-dependent
+    // pruning output itself.
+    "t12_inc_tfidf" -> ((s, dir) => {
+      import graft.core.ZSetFrame
+      val E = 4
+      val nB = 32
+      val tfAll = t(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val st = new graft.incremental.TfIdfState(
+        ZSetFrame.fromTable(tfAll.where(lit(false))), nB)
+      // one job: every epoch's term- and doc-bucket span over the pinned
+      // postings (insert epoch = doc_id mod E; retraction = doc_id%10==3)
+      val spans = tfAll.select(
+          pmod(col("doc_id"), lit(E)).cast("int").as("ie"),
+          (pmod(col("doc_id"), lit(10)) === 3).as("ret"),
+          pmod(hash(col("term")), lit(nB)).as("tb"),
+          pmod(hash(col("doc_id")), lit(nB)).as("db"))
+        .distinct().collect()
+      def tb(f: org.apache.spark.sql.Row => Boolean): Seq[Int] =
+        spans.filter(f).map(_.getInt(2)).distinct.sorted.toSeq
+      def db(f: org.apache.spark.sql.Row => Boolean): Seq[Int] =
+        spans.filter(f).map(_.getInt(3)).distinct.sorted.toSeq
+      val outs =
+        (0 until E).map { i =>
+          st.step(ZSetFrame.fromTable(
+              tfAll.where(pmod(col("doc_id"), lit(E)) === i)),
+            termBuckets = Some(tb(_.getInt(0) == i)),
+            docBuckets = Some(db(_.getInt(0) == i)))
+        } :+
+        st.step(ZSetFrame.fromDelta(
+            tfAll.where(pmod(col("doc_id"), lit(10)) === 3)
+              .withColumn(ZSetFrame.W, lit(-1L))),
+          termBuckets = Some(tb(_.getBoolean(1))),
+          docBuckets = Some(db(_.getBoolean(1))))
+      st.close()
+      ZSetFrame.sumAll(outs).consolidate.toDF
+        .select("doc_id", "term", "tf", "score_q")
+    }),
+
     // token / char counting
     "t01_tokens" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -549,6 +602,28 @@ object TextAnalysis extends QueryModule {
                (PARTITION BY doc_id ORDER BY score_q DESC, term ASC) AS rn
              FROM sc)
            SELECT doc_id, term, tf, df, score_q FROM r WHERE rn = 1""",
+
+      // batch top-term over the SURVIVING corpus (doc_id%10<>3) with t12's
+      // N-free quantized score floor(tf*10000/df) — the integrated
+      // incremental output must match it row-for-row
+      "t12_inc_tfidf" ->
+        """WITH tok AS (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents WHERE doc_id % 10 <> 3),
+           tf AS (
+             SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             FROM tok GROUP BY 1, 2),
+           df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+           sc AS (
+             SELECT tf.doc_id, tf.term, tf.tf,
+               CAST(FLOOR(CAST(tf.tf * 10000 AS DOUBLE) / df.df) AS BIGINT)
+                 AS score_q
+             FROM tf JOIN df USING (term)),
+           r AS (
+             SELECT *, row_number() OVER
+               (PARTITION BY doc_id ORDER BY score_q DESC, term ASC) AS rn
+             FROM sc)
+           SELECT doc_id, term, tf, score_q FROM r WHERE rn = 1""",
 
       // same factor-by-factor IEEE sequence as the query (two BIGINT
       // ratios cast to DOUBLE, multiplied left-assoc, ×1e6, floor), sq

@@ -323,4 +323,72 @@ class IncrementalSpec extends SparkSpec {
       assertSameRows(out.acc.consolidate.df, aggFn(in.acc).df)
     }
   }
+
+  test("TfIdfState: mixed insert/retract steps ≡ batch top-term; screening prunes and couples") {
+    import graft.incremental.TfIdfState
+    val rnd = new scala.util.Random(412)
+    val vocab = Vector.tabulate(14)(i => s"w$i")
+    // doc i → tf map over a small vocab (small so df transitions are dense
+    // enough to exercise floor crossings on docs OUTSIDE the delta)
+    def docTf(i: Int): Map[String, Long] = {
+      val r = new scala.util.Random(900 + i)
+      Seq.fill(3 + r.nextInt(5))(vocab(r.nextInt(vocab.size)))
+        .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    }
+    def postings(ids: Seq[Int], w: Long): Seq[(Long, String, Long, Long)] =
+      ids.flatMap(i => docTf(i).toSeq.map { case (t, tf) => (i.toLong, t, tf, w) })
+    // step plan: inserts widen the corpus, later steps retract earlier docs
+    // (one step mixes both polarities in a single delta)
+    val steps = Seq(
+      postings(0 until 8, 1L),
+      postings(8 until 16, 1L),
+      postings(Seq(3, 7, 12), -1L),
+      postings(16 until 22, 1L) ++ postings(Seq(1, 15), -1L),
+      // small tail delta against the now-wide corpus: relative df movement
+      // is tiny, so on the coarse grid hot terms' floors sit still — the
+      // step that must PRUNE
+      postings(Seq(22, 23), 1L))
+    import spark.implicits._
+    val empty = ZSetFrame.fromTable(
+      Seq.empty[(Long, String, Long)].toDF("doc_id", "term", "tf"))
+    // C=10000 is the t12 production grid (every df move crosses floors at
+    // toy corpus sizes — correctness through the recompute-heavy regime);
+    // C=6 is a coarse grid where hot terms' floors sit still, forcing the
+    // pruning regime the scaladoc's induction is FOR.
+    var coupledOnce = false
+    for (c <- Seq(10000L, 6L)) {
+      val st = new TfIdfState(empty, nBuckets = 8, C = c)
+      var live = Set.empty[Int]
+      var prunedOnce = false
+      val outs = steps.map { rows =>
+        val deltaDocs = rows.map(_._1).toSet
+        live = live ++ rows.filter(_._4 > 0).map(_._1.toInt) --
+          rows.filter(_._4 < 0).map(_._1.toInt)
+        val out = st.step(ZSetFrame.fromDelta(
+          rows.toDF("doc_id", "term", "tf", ZSetFrame.W)))
+        val affected = st.lastAffected.collect().map(_.getLong(0)).toSet
+        // pruning = some surviving doc was NOT recomputed; coupling = some
+        // non-delta doc WAS (its floor crossed under the df transition)
+        if (affected.size < live.size) prunedOnce = true
+        if ((affected -- deltaDocs).nonEmpty) coupledOnce = true
+        out
+      }
+      st.close()
+      // batch model over the surviving corpus
+      val tfRows = postings(live.toSeq.sorted, 1L).map(r => (r._1, r._2, r._3))
+      val df = tfRows.groupBy(_._2).map { case (t, xs) => t -> xs.size.toLong }
+      val expected = tfRows.groupBy(_._1).toSeq.map { case (d, xs) =>
+        val scored = xs.map { case (_, t, tf) =>
+          (t, tf, math.floor(tf * c.toDouble / df(t)).toLong) }
+        val (t, tf, s) = scored.minBy { case (t, _, s) => (-s, t) }
+        (d, t, tf, s)
+      }
+      assertSameRows(ZSetFrame.sumAll(outs).consolidate.df,
+        ZSetFrame.fromTable(
+          expected.toDF("doc_id", "term", "tf", "score_q")).df)
+      if (c < 10000L)
+        assert(prunedOnce, s"C=$c: screening never pruned — affected == corpus on every step")
+    }
+    assert(coupledOnce, "screening never pulled in a non-delta doc — the idf-coupling path is untested")
+  }
 }
