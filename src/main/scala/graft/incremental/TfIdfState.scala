@@ -58,8 +58,20 @@ final class TfIdfState(emptyTf: ZSetFrame, val nBuckets: Int,
                        val C: Long = 10000L) {
   import ZSetFrame.W
 
-  private def scoreQ(tf: Column, df: Column): Column =
-    floor((tf * lit(C)).cast("double") / df).cast("long")
+  /** floor(tf·C/df) as EXACT integer arithmetic: (tf·C − (tf·C mod df)) is
+    * divisible by df, so the IEEE division is integer/integer with an
+    * integral quotient — exact whenever tf·C < 2^53 and df < 2^53 (both
+    * hold by orders of magnitude: tf is one document's term count, df a
+    * corpus doc count). The former floor((tf·C)/df) on the RAW quotient
+    * needed the much stronger tf·C·df < 2^53 (the division's relative
+    * error ~2^-53 had to stay under the 1/df gap to the nearest integer) —
+    * at 100 TB corpora (df ~ 1e9, C = 1e4) that bound is approached and a
+    * silent mis-floor would break the screening's exactness induction
+    * (ADVICE r12). The subtraction form has no df-dependent error term. */
+  private def scoreQ(tf: Column, df: Column): Column = {
+    val tfc = tf * lit(C)
+    ((tfc - pmod(tfc, df)).cast("double") / df).cast("long")
+  }
 
   private val spark = emptyTf.spark
 
@@ -78,6 +90,14 @@ final class TfIdfState(emptyTf: ZSetFrame, val nBuckets: Int,
     * whose df drift stays inside the quantization grid). */
   private[graft] var lastAffected: DataFrame = _
 
+  /** The previous step's eager checkpoints (`moved`, `affected`). They must
+    * outlive their own step — the emitted output delta is consumed later —
+    * but not the NEXT one: without an explicit release the pinned blocks of
+    * every step accumulate across a long replay until driver GC happens to
+    * collect the RDDs (ADVICE r12). Released at the START of the following
+    * step and in close(), the KeyedState deferred-retire discipline. */
+  private var prevStepPins: Seq[DataFrame] = Nil
+
   /** One step. `delta` holds consolidated (doc_id, term, tf) rows with ±1
     * weights — a doc's full posting set on insert (+1) or retract (−1).
     * `termBuckets`/`docBuckets`: any SUPERSET of the delta's term-key /
@@ -88,6 +108,9 @@ final class TfIdfState(emptyTf: ZSetFrame, val nBuckets: Int,
   def step(delta: ZSetFrame,
            termBuckets: Option[Seq[Int]] = None,
            docBuckets: Option[Seq[Int]] = None): ZSetFrame = {
+    // 0. retire the PREVIOUS step's eager checkpoints (see prevStepPins)
+    prevStepPins.foreach(Pinned.release)
+    prevStepPins = Nil
     // 1. df movement per term this step (postings are unique per (doc,term),
     //    so presence weight == row weight)
     val ddf = delta.df.groupBy("term").agg(sum(col(W)).as("ddf"))
@@ -115,16 +138,20 @@ final class TfIdfState(emptyTf: ZSetFrame, val nBuckets: Int,
     val screened = postings.join(broadcast(moved), Seq("term"))
       .where(sq(col("df_old")) =!= sq(col("df_new")))
       .select(col("doc_id"))
+    // the affected set is data-dependent (it IS the operator's pruning
+    // output), so its bucket span cannot be threaded from the source like
+    // the delta spans — but it need not cost its own job either (the d31
+    // discipline, ADVICE r12): an Observation rides the checkpoint's
+    // materialization action and hands the span to the driver for free
+    val obs = new org.apache.spark.sql.Observation()
     val affected = screened
       .union(delta.df.select(col("doc_id")))
-      .distinct().localCheckpoint(true)
+      .distinct()
+      .observe(obs, collect_set(
+        pmod(hash(col("doc_id")), lit(nBuckets))).as("bks"))
+      .localCheckpoint(true)
     lastAffected = affected
-    // the affected set is data-dependent (it IS the operator's pruning
-    // output), so its bucket span costs one tiny collect over the already-
-    // checkpointed ids — the only runtime discovery job in the step
-    val affBuckets = affected
-      .select(pmod(hash(col("doc_id")), lit(nBuckets)).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val affBuckets = obs.get("bks").asInstanceOf[Seq[Int]].sorted
     // 4. index maintenance — O(Δ) spine-appends; compaction amortizes on
     //    KeyedState's own cadence
     tfIdx.merge(delta, checkpointDelta = false, knownTouched = termBuckets,
@@ -160,10 +187,16 @@ final class TfIdfState(emptyTf: ZSetFrame, val nBuckets: Int,
       .consolidate.localCheckpoint()
     // 7. the emitted replacement delta IS the top-1 index's maintenance
     top1.merge(out, checkpointDelta = false, knownTouched = Some(affBuckets))
+    // this step's checkpoints stay pinned until the next step (lastAffected
+    // is a published diagnostic; moved feeds nothing after this point but
+    // shares the retire cadence for uniformity)
+    prevStepPins = Seq(moved, affected)
     out
   }
 
   def close(): Unit = {
+    prevStepPins.foreach(Pinned.release)
+    prevStepPins = Nil
     tfIdx.close(); fwdIdx.close(); dfIdx.close(); top1.close()
   }
 }

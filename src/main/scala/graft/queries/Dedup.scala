@@ -845,40 +845,14 @@ object Dedup extends QueryModule {
 
     // SEMANTIC DEDUP (d32) — the SemDeDup pass (Abbas et al. 2023,
     // arXiv:2303.09540) a pretraining-data pipeline runs over its embedding
-    // store: cluster the space (d29's exact-quantized spherical k-means),
-    // then WITHIN each cluster rank members by similarity-to-centroid
-    // (desc, vec_id tie-break — the paper keeps the LOW-centroid-similarity
-    // representative, so high-csim members are dropped first) and flag any
-    // member whose max cosine to an EARLIER-ranked clustermate is >= tau.
-    // Scale shape: all-pairs work is confined to a cluster (the paper's
-    // point — O(Σ kᵢ²) with k ∝ √corpus, never corpus-wide), one shuffle on
-    // the cluster key, centroids broadcast. Every float is either an exact
-    // integer-quantized mean (centroids) or an identical-IEEE-sequence
-    // double (csim + pair cosines via the codegen'd sequential dot), which
-    // is what lets an approximate-by-design semantic dedup be value-gated
-    // by a DuckDB oracle bit-for-bit.
-    "d32_semdedup" -> ((s, dir) => {
-      val ed = (e: Column) => transform(e, _.cast("double"))
-      val v = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"), col("embedding"))
-      val ranked = Dedup.kmeansModel(v, rounds = 2)
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("cell").orderBy(col("csim").desc, col("vec_id"))))
-      val a = ranked.select(col("cell"), col("rk").as("ra"),
-        ed(col("embedding")).as("ea"))
-      val b = ranked.select(col("cell"), col("rk").as("rb"),
-        col("vec_id"), ed(col("embedding")).as("eb"))
-      val mps = b.join(a, Seq("cell")).where(col("ra") < col("rb"))
-        .select(col("vec_id"),
-          (dotd(col("ea"), col("eb")) /
-            (sqrt(dotd(col("ea"), col("ea"))) *
-             sqrt(dotd(col("eb"), col("eb"))))).as("ps"))
-        .groupBy("vec_id").agg(max(col("ps")).as("m"))
-      ranked.join(mps, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cell").as("cluster"), col("rk"), col("csim"),
-          coalesce(col("m"), lit(-2.0)).as("max_prev_sim"),
-          (coalesce(col("m"), lit(-2.0)) >= lit(SemDedupTau)).as("is_dup"))
-    })
+    // store: see [[semdedup]] (cluster → rank by csim ASC so the LOW-csim
+    // member is the kept representative, per the paper → flag members whose
+    // max cosine to an earlier-ranked, band-near clustermate is >= tau).
+    "d32_semdedup" -> ((s, dir) =>
+      Dedup.semdedup(
+        t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), col("embedding")),
+        rounds = 2, tau = SemDedupTau, band = SemDedupBand))
   )
 
   /** d32's dup threshold (the paper sweeps ~0.7–0.95; the synthetic
@@ -886,6 +860,63 @@ object Dedup extends QueryModule {
     * the flag non-vacuous on the test corpus — the oracle gates VALUES, so
     * any tau certifies the same machinery). */
   private[graft] val SemDedupTau = 0.42
+
+  /** d32's skew guard: a member is compared to at most `band`
+    * immediately-earlier-ranked clustermates, so the per-cell pair count is
+    * ≤ |cell|·band — the within-cluster quadratic is bounded BY CONSTRUCTION
+    * even when the embedding space hands k-means one pathological giant
+    * cell (the paper's O(Σ kᵢ²) bound assumes balanced cells; a deployment
+    * cannot). 512 ≫ every balanced-cell size this corpus produces, so the
+    * cap is inactive on healthy data and only engages on skew; the oracle
+    * mirrors the band, so the gated semantics are exact. */
+  private[graft] val SemDedupBand = 512L
+
+  /** The SemDeDup pass over an embedding table (vec_id, label, embedding).
+    * Cluster with [[kmeansModel]], rank within each cluster by
+    * similarity-to-centroid ASC (vec_id tie-break) — rank 1, the member
+    * FARTHEST from the centroid, is the kept representative the paper
+    * prescribes (arXiv:2303.09540 §3: "keep the one with the lowest cosine
+    * similarity to the cluster centroid"), so high-csim members are the
+    * ones dropped — then flag any member whose max cosine to an
+    * earlier-ranked clustermate within `band` ranks is >= tau.
+    * Scale shape: all-pairs work is confined to a cluster AND banded
+    * (O(Σ kᵢ·band), never corpus-wide), one shuffle on the cluster key,
+    * centroids broadcast, the clustered ranking checkpointed once so the
+    * k-means lineage is not replayed per consumer (it feeds both pair
+    * sides and the final join). Every float is either an exact
+    * integer-quantized mean (centroids) or an identical-IEEE-sequence
+    * double (csim + pair cosines via the codegen'd sequential dot), which
+    * is what lets an approximate-by-design semantic dedup be value-gated
+    * by a DuckDB oracle bit-for-bit. */
+  def semdedup(v: DataFrame, rounds: Int, tau: Double, band: Long): DataFrame = {
+    val ed = (e: Column) => transform(e, _.cast("double"))
+    val ranked = Dedup.kmeansModel(v, rounds)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cell").orderBy(col("csim").asc, col("vec_id"))))
+      .localCheckpoint()
+    val a = ranked.select(col("cell"), col("rk").as("ra"),
+      ed(col("embedding")).as("ea"))
+    val b = ranked.select(col("cell"), col("rk").as("rb"),
+      col("vec_id"), ed(col("embedding")).as("eb"))
+    val mps = semdedupPairs(a, b, band)
+      .select(col("vec_id"),
+        (dotd(col("ea"), col("eb")) /
+          (sqrt(dotd(col("ea"), col("ea"))) *
+           sqrt(dotd(col("eb"), col("eb"))))).as("ps"))
+      .groupBy("vec_id").agg(max(col("ps")).as("m"))
+    ranked.join(mps, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell").as("cluster"), col("rk"), col("csim"),
+        coalesce(col("m"), lit(-2.0)).as("max_prev_sim"),
+        (coalesce(col("m"), lit(-2.0)) >= lit(tau)).as("is_dup"))
+  }
+
+  /** The banded within-cluster candidate join (kept separate so DedupSpec
+    * can count candidates under a planted giant cluster): earlier-ranked
+    * mates only, and no farther than `band` ranks back. */
+  private[graft] def semdedupPairs(a: DataFrame, b: DataFrame,
+                                   band: Long): DataFrame =
+    b.join(a, Seq("cell"))
+      .where(col("ra") < col("rb") && col("rb") - col("ra") <= lit(band))
 
   // ------------------------------------------------------------- ANN library
 
@@ -1252,16 +1283,17 @@ object Dedup extends QueryModule {
     s"""$kmeansCtePrefix
        SELECT vec_id, cell AS cluster FROM a3"""
 
-  /** d32 mirror: rank within cluster by csim, max pair-cosine to any
-    * earlier-ranked clustermate (argument order is IEEE-irrelevant: the
-    * per-index multiplies are commutative, the sum order is positional in
-    * both engines). */
+  /** d32 mirror: rank within cluster by csim ASC (the paper's keep-the-
+    * lowest-csim representative), max pair-cosine to any earlier-ranked
+    * clustermate within the skew band (argument order is IEEE-irrelevant:
+    * the per-index multiplies are commutative, the sum order is positional
+    * in both engines). */
   private val semdedupOracleSql: String =
     s"""$kmeansCtePrefix,
        ranked AS (
          SELECT vec_id, e, cell, csim,
            row_number() OVER (PARTITION BY cell
-             ORDER BY csim DESC, vec_id) AS rk
+             ORDER BY csim ASC, vec_id) AS rk
          FROM a3),
        mps AS (
          SELECT b.vec_id,
@@ -1269,6 +1301,7 @@ object Dedup extends QueryModule {
              (sqrt(list_inner_product(a.e, a.e))
                * sqrt(list_inner_product(b.e, b.e)))) AS m
          FROM ranked b JOIN ranked a ON a.cell = b.cell AND a.rk < b.rk
+           AND b.rk - a.rk <= $SemDedupBand
          GROUP BY 1)
        SELECT r.vec_id, r.cell AS cluster, r.rk, r.csim,
          coalesce(m.m, -2.0) AS max_prev_sim,

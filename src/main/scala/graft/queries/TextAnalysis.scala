@@ -77,21 +77,29 @@ object TextAnalysis extends QueryModule {
         .select("doc_id", "term", "tf", "df", "score_q")
     }),
 
-    // BM25 RANKED RETRIEVAL (t11) — the scoring pass behind retrieval-
-    // augmented pipelines: score every document against a fixed query-term
-    // set with BM25 (k1 = 1.2, b = 0.75) and emit the global top-10. One
-    // corpus scan builds tf/dl; df and the corpus constants (N docs, T
-    // total tokens) are broadcast; nothing self-joins. Engine-exact
-    // arithmetic: k1/b are carried as RATIONALS so each factor is a ratio
-    // of BIGINTs — idf' = (2N−2df+1)/(2df+1) (Robertson idf with the ±0.5s
-    // cleared by doubling; always positive), tf-part = 44·T·tf /
-    // (20·T·tf + 6·T + 18·dl·N) (k1=6/5, b=3/4 cleared over denominator
-    // 20T) — evaluated as the SAME IEEE double sequence in both engines
-    // and floor-quantized to 1e6 BEFORE the per-doc sum, which is then
-    // exact BIGINT addition (order-free under any partitioning). The
-    // top-10 is TakeOrderedAndProject (orderBy+limit — O(n) scan, O(10)
-    // result, no global sort), with row_number assigned over the 10
-    // survivors only.
+    // BM25-STYLE RANKED RETRIEVAL (t11) — the scoring pass behind
+    // retrieval-augmented pipelines: score every document against a fixed
+    // query-term set and emit the global top-10. The scoring function is a
+    // LOG-FREE RATIONAL BM25 SURROGATE (k1 = 1.2, b = 0.75), NOT textbook
+    // BM25: the idf factor uses the raw Robertson ratio
+    // (N−df+0.5)/(df+0.5) WITHOUT the logarithm. Per term it is strictly
+    // rank-monotone in df (the same ordering ln would induce), but the
+    // multi-term SUM weights rare terms by the raw ratio rather than its
+    // log, so documents matching one very-rare term outrank ones matching
+    // several moderately-rare terms more aggressively than true BM25 — a
+    // deliberate trade: dropping ln keeps every factor a ratio of BIGINTs,
+    // which is what lets a ranking query be value-gated bit-for-bit by the
+    // DuckDB oracle (libm log is not guaranteed identically rounded across
+    // engines). One corpus scan builds tf/dl; df and the corpus constants
+    // (N docs, T total tokens) are broadcast; nothing self-joins. The
+    // arithmetic: idf' = (2N−2df+1)/(2df+1) (±0.5s cleared by doubling;
+    // always positive), tf-part = 44·T·tf / (20·T·tf + 6·T + 18·dl·N)
+    // (k1=6/5, b=3/4 cleared over denominator 20T) — evaluated as the SAME
+    // IEEE double sequence in both engines and floor-quantized to 1e6
+    // BEFORE the per-doc sum, which is then exact BIGINT addition
+    // (order-free under any partitioning). The top-10 is
+    // TakeOrderedAndProject (orderBy+limit — O(n) scan, O(10) result, no
+    // global sort), with row_number assigned over the 10 survivors only.
     "t11_bm25" -> ((s, dir) => {
       val qterms = Seq("spark", "query", "merge", "window")
       val base = t(s, dir, "documents")

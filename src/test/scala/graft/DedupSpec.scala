@@ -677,9 +677,17 @@ class DedupSpec extends SparkSpec {
     assert(Seq("SortMergeJoin [cell", "ShuffledHashJoin [cell",
         "BroadcastHashJoin [cell").exists(plan.contains),
       "d32 pair stage must be an equi-join keyed on cell")
-    // the rank-1 (highest-csim) member of a cluster has no earlier-ranked
-    // mate, so it is always kept
+    // the rank-1 (LOWEST-csim — the paper's kept representative) member of
+    // a cluster has no earlier-ranked mate, so it is always kept
     assert(out.where(col("rk") === 1 && col("is_dup")).isEmpty)
+    // keep-policy direction (arXiv:2303.09540): within a cluster, rank
+    // order follows csim ascending — rank 1 holds the cluster's min csim
+    out.groupBy("cluster")
+      .agg(min(col("csim")).as("mn"),
+        min(when(col("rk") === 1, col("csim"))).as("r1"))
+      .collect().foreach(r =>
+        assert(r.getDouble(1) == r.getDouble(2),
+          s"cluster ${r.get(0)}: rank-1 csim ${r.getDouble(2)} != min ${r.getDouble(1)}"))
     // flag is exactly the threshold cut, and non-vacuous on this corpus
     assert(out.where(col("is_dup") =!=
       (col("max_prev_sim") >= Dedup.SemDedupTau)).isEmpty)
@@ -700,17 +708,52 @@ class DedupSpec extends SparkSpec {
       d / (math.sqrt(na) * math.sqrt(nb))
     }
     val byCell = asg.groupBy(_._3)
+    val band = Dedup.SemDedupBand.toInt
     val model: Map[Long, Double] = byCell.values.flatMap { ms =>
-      val ranked = ms.sortBy { case (id, _, _, cs) => (-cs, id) }
+      val ranked = ms.sortBy { case (id, _, _, cs) => (cs, id) }
       ranked.zipWithIndex.map { case ((id, e, _, _), i) =>
         id -> (if (i == 0) -2.0
-               else ranked.take(i).map(p => cos(p._2, e)).max)
+               else ranked.slice(math.max(0, i - band), i)
+                 .map(p => cos(p._2, e)).max)
       }
     }.toMap
     out.select("vec_id", "max_prev_sim").collect().foreach { r =>
       assert(math.abs(model(r.getLong(0)) - r.getDouble(1)) < 1e-9,
         s"vec ${r.getLong(0)}: model ${model(r.getLong(0))} vs ${r.getDouble(1)}")
     }
+    out.unpersist()
+  }
+
+  test("d32 skew guard: one planted giant cluster keeps the candidate count banded") {
+    import spark.implicits._
+    // 1500 near-identical vectors, ONE label → the label-init k-means has a
+    // single centroid and every Lloyd round keeps the whole corpus in one
+    // cell — the pathological skew the paper's balanced-cells O(Σ kᵢ²)
+    // argument does not cover
+    val m = 1500
+    val v = spark.range(m).select(col("id").as("vec_id"), lit(0).as("label"),
+      transform(sequence(lit(0), lit(63)),
+        j => (lit(1.0f) + (col("id") % 7L).cast("float") * j.cast("float")
+          * lit(1e-6f)).cast("float")).as("embedding"))
+    val band = 16L
+    val out = Dedup.semdedup(v, rounds = 1, tau = 0.5, band = band).cache()
+    assert(out.count() == m)
+    assert(out.agg(countDistinct(col("cluster"))).head().getLong(0) == 1L,
+      "the plant must land in a single cell for the guard to be exercised")
+    // the banded pair join is the bound BY CONSTRUCTION: exactly
+    // Σ_{i=1}^{m-1} min(i, band) candidates vs m(m-1)/2 unbanded
+    val a = spark.range(m).select(lit(0).as("cell"), (col("id") + 1).as("ra"))
+    val b = spark.range(m).select(lit(0).as("cell"), (col("id") + 1).as("rb"),
+      col("id").as("vec_id"))
+    val got = Dedup.semdedupPairs(a, b, band).count()
+    val expected = (1 until m).map(i => math.min(i.toLong, band)).sum
+    assert(got == expected, s"banded candidates $got != $expected")
+    assert(got < m.toLong * (m - 1) / 20,
+      "band cap must bound the giant cell far below the quadratic")
+    // semantics under the cap: rank 1 kept; every other member sits within
+    // `band` of a near-identical earlier mate → flagged
+    assert(out.where(col("rk") === 1 && col("is_dup")).isEmpty)
+    assert(out.where(col("rk") > 1 && !col("is_dup")).isEmpty)
     out.unpersist()
   }
 
