@@ -102,17 +102,36 @@ object Bench {
       // run System.gc() explicitly BETWEEN queries (below), outside every
       // timed region — deterministic cleanup, zero timed-path tax.
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: a timed-out run's only surviving evidence is the
+    // driver's stderr tail, and r12's tail was 100% localCheckpoint WARN
+    // spam — the [bench section] progress lines below are what must live
+    // there instead
+    spark.sparkContext.setLogLevel("ERROR")
+    val wall0 = System.nanoTime()
+    val sectionSec = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def section[T](sname: String)(f: => T): T = {
+      val s0 = System.nanoTime()
+      val r = f
+      sectionSec(sname) = (System.nanoTime() - s0) / 1e9
+      System.err.println(f"[bench section] $sname done in ${sectionSec(sname)}%.1f s " +
+        f"(total elapsed ${(System.nanoTime() - wall0) / 1e9}%.1f s)")
+      r
+    }
+    def sectionSecJson = sectionSec
+      .map { case (k, v) => s""""$k":${num(v, 1)}""" }.mkString("{", ",", "}")
     // absorb JVM/session warmup (codegen per expression family, parquet
     // footer reads) before timing: one scan query, one HOF/text query,
     // one vector query, one STREAMING query — the latter stages the shared
     // /tmp event dirs and pays the first-checkpoint setup, which otherwise
     // lands on q33's first rep (~6 s of staging measured as query time)
-    Seq("q01_project", "t02_quality", "d06_ann_lsh", "q33_stream_tumble",
-        "q87_stream_rolling_radix") // q87 stages its own time-slice dir
-      .foreach { w =>
-      SparkEntry.queries.get(w).foreach { fn =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    section("warmup") {
+      Seq("q01_project", "t02_quality", "d06_ann_lsh", "q33_stream_tumble",
+          "q87_stream_rolling_radix", // q87/q88 stage their own slice dirs
+          "q88_stream_inc_tfidf")
+        .foreach { w =>
+        SparkEntry.queries.get(w).foreach { fn =>
+          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        }
       }
     }
     graft.incremental.Pinned.sweepSession(spark.sparkContext)
@@ -122,7 +141,8 @@ object Bench {
     // attributable from the artifact alone (VERDICT r9 #3)
     var sweepSec = 0.0
     var gcSec = 0.0
-    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val runs = section("queries") {
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = scala.collection.mutable.Buffer[Double]()
       def rep(): Unit = {
         val t0 = System.nanoTime()
@@ -159,29 +179,9 @@ object Bench {
       System.gc()
       gcSec += (System.nanoTime() - g0) / 1e9
       name -> (if (times.isEmpty) Seq(0.0) else times.toSeq)
+      }
     }
     val results = runs.map { case (n, ts) => n -> median(ts) }.toMap
-    // O(Δ)-step-cost artifact: keyed (partitioned trace) step time must stay
-    // flat as state grows 10×; the naive full-scan state shows the growth
-    // 10 steps: the growth gate is a ratio of per-step FLOORS, and a floor
-    // over 9 post-warmup samples is materially tighter than over 5 (a 6-step
-    // run put single-run noise of ±0.1 on a ~1.1 ratio)
-    val stepBench = try stepBenchIsolated(500000L, 10)
-      catch { case e: Throwable => s"""{"error":"${e.getClass.getName}"}""" }
-    // XL tier (VERDICT r10 #1): the 5M→50M decade in its OWN isolated
-    // child JVM, so neither tier's heap history taxes the other. Skippable
-    // for dev loops (SPARK_GRAFT_SKIP_STEPBENCH_XL=1) — the committed
-    // artifact carries it.
-    val stepBenchXl =
-      if (sys.env.contains("SPARK_GRAFT_SKIP_STEPBENCH_XL")) """{"skipped":true}"""
-      else try stepBenchIsolated(5000000L, 10, "xl")
-        catch { case e: Throwable => s"""{"error":"${e.getClass.getName}"}""" }
-    // throughput artifact: rows/s per query family on ≥10M generated rows —
-    // batch figures are labeled batch_upper_bound; stateful families are
-    // ALSO measured through the micro-batched incremental path, which is
-    // the figure comparable to BASELINE.md's per-event streaming ev/s
-    val throughput = try Throughput.json(spark, reps)
-      catch { case e: Throwable => s"""{"error":"${e.getClass.getName}"}""" }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
@@ -209,8 +209,16 @@ object Bench {
       val v = if (floorGated.contains(k)) ts.min else median(ts)
       s""""$k":${num(v)}""" }.mkString("{", ",", "}")
     val floorGatedJson = floorGated.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full =
+    // Sections run GATES-FIRST (queries → throughput → base step-bench →
+    // XL step-bench) and the artifact is RE-WRITTEN TO DISK as each section
+    // lands (VERDICT r12 #1: the r12 driver run timed out with rc=124 and
+    // left NOTHING — a partial artifact is strictly better evidence than
+    // none). Until the run completes the file carries "complete":false and
+    // the not-yet-run sections as {"pending":true}.
+    def artifactJson(stepBench: String, stepBenchXl: String,
+                     throughput: String, complete: Boolean): String =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,""" +
+      s""""complete":$complete,"section_sec":$sectionSecJson,""" +
       s""""queries":${qJson(3)},"query_runs":$runsJson,""" +
       s""""query_floors":$floorsJson,"query_spread":$spreadJson,""" +
       s""""query_repr":$reprJson,"floor_gated":$floorGatedJson,""" +
@@ -218,6 +226,47 @@ object Bench {
       s""""errors":$errJson,""" +
       s""""step_bench":$stepBench,"step_bench_xl":$stepBenchXl,""" +
       s""""throughput":$throughput,"sf":"$sfDir"}"""
+    def writeFile(name: String, text: String): Unit =
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(name),
+          text.getBytes("UTF-8"))
+      } catch { case _: Throwable => () } // read-only cwd must not kill the run
+    val Pending = """{"pending":true}"""
+    def writePartial(stepBench: String, stepBenchXl: String,
+                     throughput: String): Unit =
+      writeFile("BENCH_LOCAL.partial.json",
+        artifactJson(stepBench, stepBenchXl, throughput, complete = false))
+    writePartial(Pending, Pending, Pending)
+    // throughput artifact: rows/s per query family on ≥10M generated rows —
+    // batch figures are labeled batch_upper_bound; stateful families are
+    // ALSO measured through the micro-batched incremental path, which is
+    // the figure comparable to BASELINE.md's per-event streaming ev/s
+    val throughput = section("throughput") {
+      try Throughput.json(spark, reps)
+      catch { case e: Throwable => s"""{"error":"${e.getClass.getName}"}""" }
+    }
+    writePartial(Pending, Pending, throughput)
+    // O(Δ)-step-cost artifact: keyed (partitioned trace) step time must stay
+    // flat as state grows 10×; the naive full-scan state shows the growth.
+    // The growth gate is a ratio of per-step FLOORS over one seeded run per
+    // config (3×/5× the step count — see StepBench.floorRun)
+    val stepBench = section("step_bench") {
+      try stepBenchIsolated(500000L, 10)
+      catch { case e: Throwable => s"""{"error":"${e.getClass.getName}"}""" }
+    }
+    writePartial(stepBench, Pending, throughput)
+    // XL tier (VERDICT r10 #1): the 5M→50M decade in its OWN isolated
+    // child JVM, so neither tier's heap history taxes the other — LAST in
+    // the run order: it is the most expensive and least gating section, so
+    // a budget overrun costs the controls, not the gates. Skippable for
+    // dev loops (SPARK_GRAFT_SKIP_STEPBENCH_XL=1) — the committed
+    // artifact carries it.
+    val stepBenchXl = section("step_bench_xl") {
+      if (sys.env.contains("SPARK_GRAFT_SKIP_STEPBENCH_XL")) """{"skipped":true}"""
+      else try stepBenchIsolated(5000000L, 10, "xl")
+        catch { case e: Throwable => s"""{"error":"${e.getClass.getName}"}""" }
+    }
+    val full = artifactJson(stepBench, stepBenchXl, throughput, complete = true)
     // A run with ANY errored query / step_bench / throughput section must
     // never clobber the committed healthy snapshot (ADVICE r7: a crashed
     // run's 0.001 s error stubs read as a bogus 5× speedup to anyone diffing
@@ -239,10 +288,12 @@ object Bench {
       !sys.env.contains("SPARK_GRAFT_THROUGHPUT_ONLY") &&
       !sys.env.contains("SPARK_GRAFT_SKIP_STEPBENCH_XL")
     val outName = if (healthy) "BENCH_LOCAL.json" else "BENCH_LOCAL.failed.json"
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(outName),
-        full.getBytes("UTF-8"))
-    } catch { case _: Throwable => () } // read-only cwd must not kill the run
+    writeFile(outName, full)
+    // the run completed: the streaming partial is now redundant (it exists
+    // exactly for the timeout/kill case)
+    try java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get("BENCH_LOCAL.partial.json"))
+    catch { case _: Throwable => () }
     // compact line budget ~2 KB (the driver's stdout capture is size-
     // limited): totals + gates + errors only — per-query timings live in
     // the committed BENCH_LOCAL.json

@@ -328,66 +328,156 @@ object StepBench {
     ts
   }
 
+  /** FLOOR (best case) of a run's per-step times, dropping the first
+    * post-seed step as warmup: local-mode scheduling noise is additive and
+    * heavy-tailed, so the floor is the clean signal of data-dependent cost
+    * — if a step scans state, its FLOOR grows with state; if it only
+    * touches delta buckets, the floor stays put. */
+  private def floorOf(xs0: Seq[Double]): Double =
+    (if (xs0.size > 2) xs0.drop(1) else xs0).min
+
+  /** One seeded run, floor over its post-warmup steps, then a pinned-block
+    * sweep so one track's debris never taxes the next (the q15 lesson),
+    * with the config's wall cost logged to stderr (the r12 bench timed out
+    * under the driver with NOTHING attributing the budget — every config
+    * now reports what it cost). BUDGET NOTE (VERDICT r12 #1): the floor
+    * used to span 3–5 independent runs, each paying a fresh state SEED —
+    * at the XL tier a 50M-row seed dominates the run, and the re-seeded
+    * repetition is what pushed the full bench past the driver's budget.
+    * One seed + proportionally MORE steps yields the same number of floor
+    * samples (the r10 run-to-run swings were floor-sample scarcity, not
+    * seed-level conditions: within-run step noise and cross-run noise are
+    * the same scheduling/GC tail) at a third of the seed cost. */
+  private def floorRun(spark: SparkSession, label: String)
+                      (run: () => Seq[Double]): Double = {
+    val t0 = System.nanoTime()
+    val f = floorOf(run())
+    graft.incremental.Pinned.sweepSession(spark.sparkContext)
+    System.err.println(f"[stepbench cfg] $label floor=$f%.3f wall=${(System.nanoTime() - t0) / 1e9}%.1f s")
+    f
+  }
+
+  /** Per-step seconds AND per-step prune fractions for the incremental
+    * TF-IDF index (the t12 shape, incremental/TfIdfState.scala — the most
+    * state-coupled operator in the repo: four KeyedState traces plus a
+    * data-dependent screening read). Corpus: `n` synthetic postings, 20 per
+    * doc, terms drawn by a fixed multiplicative hash into a vocabulary
+    * sized so df ≈ 1000 — the HOT-TERM regime the quantization-aware
+    * screening is built for (a posting's floor(tf·C/df) crosses on a unit
+    * df move with probability ≈ C/df², so the affected-doc count per moved
+    * term is ≈ C/df ≈ 10, INDEPENDENT of corpus size — which is exactly
+    * the flatness claim this track gates). Each step inserts 2 new docs
+    * and retracts 2 seed docs (state size constant); term/doc bucket spans
+    * are computed driver-side from the generator formula (the CDC
+    * discipline — a source knows its delta's keys). Returns (times,
+    * affected-fraction per step); the fraction certifies the screening
+    * prunes (≪ 1) at both sizes. */
+  def runTfIdf(spark: SparkSession, n: Long,
+               steps: Int): (Seq[Double], Seq[Double]) = {
+    import spark.implicits._
+    import graft.incremental.TfIdfState
+    val tpd = 20L
+    val nDocs = n / tpd
+    val vocab = math.max(nDocs / 50L, 100L) // df ≈ 20·nDocs/vocab ≈ 1000
+    val nB = 64
+    val D = 2L // docs inserted (and retracted) per step
+    def termOf(p: Long): Long = {
+      val m = (p * 2654435761L) % vocab
+      if (m < 0) m + vocab else m
+    }
+    def postings(docLo: Long, docHi: Long) =
+      spark.range(docLo * tpd, docHi * tpd)
+        .select((col("id") / tpd).cast("long").as("doc_id"),
+          pmod(col("id") * 2654435761L, lit(vocab)).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    def termsOf(docLo: Long, docHi: Long): Seq[Long] =
+      (docLo * tpd until docHi * tpd).map(termOf).distinct
+    val empty = ZSetFrame.fromDelta(
+      Seq.empty[(Long, Long, Long, Long)].toDF("doc_id", "term", "tf", ZSetFrame.W))
+    val st = new TfIdfState(empty, nB)
+    st.step(ZSetFrame.fromTable(postings(0, nDocs)),
+      termBuckets = Some(0 until nB), docBuckets = Some(0 until nB))
+    val prunes = scala.collection.mutable.Buffer[Double]()
+    val ts = (1 to steps).map { i =>
+      val (insLo, insHi) = (nDocs + (i - 1) * D, nDocs + i * D)
+      val (retLo, retHi) = ((i - 1) * D, i * D)
+      // the retraction re-generates the seed docs' exact posting rows
+      val delta = ZSetFrame.fromDelta(
+        postings(insLo, insHi).withColumn(ZSetFrame.W, lit(1L))
+          .unionByName(postings(retLo, retHi).withColumn(ZSetFrame.W, lit(-1L))))
+      val tb = KeyedState.bucketsOfLongKeys(
+        termsOf(insLo, insHi) ++ termsOf(retLo, retHi), nB)
+      val db = KeyedState.bucketsOfLongKeys(
+        (insLo until insHi) ++ (retLo until retHi), nB)
+      val t0 = System.nanoTime()
+      val out = st.step(delta, Some(tb), Some(db))
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.incremental.Pinned.release(out.df) // consumed; outside the timer
+      prunes += st.lastAffected.count().toDouble / nDocs
+      dt
+    }
+    st.close()
+    (ts, prunes.toSeq)
+  }
+
   def json(spark: SparkSession, base: Long, steps: Int): String = {
     val nKeys = base / 50
-    // FLOOR (best case), not a median: drop the first post-seed step as
-    // warmup, then take the minimum — see the `json` scaladoc above for why
-    // the floor is the clean signal of data-dependent cost
-    def floorOf(xs0: Seq[Double]): Double =
-      (if (xs0.size > 2) xs0.drop(1) else xs0).min
-    // each configuration runs THREE times and the floor spans all runs:
-    // the growth gate is a ratio of floors, and run-level conditions still
-    // put ±0.3 s on a ~0.2 s floor at two runs (r10: upsert_growth swung
-    // 1.05-1.41 across otherwise-identical fresh-JVM invocations; a third
-    // run tightens the min's tail enough to keep a flat track inside the
-    // 1.2 gate). Sweep leftover pinned blocks between runs (runNaive's
-    // generations, emitted aggStep deltas) so one track's debris never
-    // taxes the next — the q15 lesson.
-    def floorN(n: Int)(run: () => Seq[Double]): Double = {
-      def once(): Double = {
-        val f = floorOf(run())
-        graft.incremental.Pinned.sweepSession(spark.sparkContext)
-        f
-      }
-      Seq.fill(n)(once()).min
-    }
-    def floor3(run: () => Seq[Double]): Double = floorN(3)(run)
-    // upsert's ~0.15 s floor carries the widest relative run-to-run noise of
-    // any track (r10: floors-of-3 swung the growth ratio 1.06→1.29 across
-    // otherwise-identical fresh-JVM invocations) and a run costs seconds —
-    // five runs per size (SYMMETRIC, declared here) tighten the min's tail
-    // where it is cheapest to do so
-    def floor5(run: () => Seq[Double]): Double = floorN(5)(run)
+    def floor(label: String)(run: () => Seq[Double]): Double =
+      floorRun(spark, label)(run)
+    // sample counts match the former floors-of-3/5-runs discipline (3×steps
+    // and 5×steps post-warmup samples), paid for with ONE seed per config
+    val s3 = steps * 3
+    val s5 = steps * 5
     // 256 buckets: bucket size (not bucket count) is what a step pays for,
     // so more buckets = flatter growth; the extra empty tasks are noise
-    val kS = floor3(() => runKeyed(spark, base, nKeys, steps, 256))
-    val kL = floor3(() => runKeyed(spark, base * 10, nKeys * 10, steps, 256))
-    val nS = floor3(() => runNaive(spark, base, nKeys, steps))
-    val nL = floor3(() => runNaive(spark, base * 10, nKeys * 10, steps))
-    val uS = floor5(() => runUpsert(spark, base, steps))
-    val uL = floor5(() => runUpsert(spark, base * 10, steps))
-    val rS = floor3(() => runRolling(spark, base, nKeys, steps, 256))
-    val rL = floor3(() => runRolling(spark, base * 10, nKeys * 10, steps, 256))
-    val xS = floor3(() => runRadix(spark, base, nKeys, steps, 256))
-    val xL = floor3(() => runRadix(spark, base * 10, nKeys * 10, steps, 256))
+    val kS = floor("keyed_s")(() => runKeyed(spark, base, nKeys, s3, 256))
+    val kL = floor("keyed_l")(() => runKeyed(spark, base * 10, nKeys * 10, s3, 256))
+    // naive is the super-linear CONTROL: its only job is "grows with |DB|",
+    // which one run shows; its large steps are the most expensive in the
+    // base tier, so it gets the plain step count
+    val nS = floor("naive_s")(() => runNaive(spark, base, nKeys, steps))
+    val nL = floor("naive_l")(() => runNaive(spark, base * 10, nKeys * 10, steps))
+    val uS = floor("upsert_s")(() => runUpsert(spark, base, s5))
+    val uL = floor("upsert_l")(() => runUpsert(spark, base * 10, s5))
+    val rS = floor("rolling_s")(() => runRolling(spark, base, nKeys, s3, 256))
+    val rL = floor("rolling_l")(() => runRolling(spark, base * 10, nKeys * 10, s3, 256))
+    val xS = floor("radix_s")(() => runRadix(spark, base, nKeys, s3, 256))
+    val xL = floor("radix_l")(() => runRadix(spark, base * 10, nKeys * 10, s3, 256))
     // radix at 10× state with DEPLOYMENT-SIZED buckets (10× buckets =
     // constant bucket bytes — Spark's own partitions-∝-data sizing rule):
     // the fixed-256 radix growth above carries the touched-bucket
     // consolidation in the concurrent partials merge, which scales with
     // bucket SIZE; this figure shows the same 10× state step cost with
     // bucket bytes held constant, i.e. the operator's actual scale shape
-    val xSc = floor3(() => runRadix(spark, base * 10, nKeys * 10, steps, 2560))
-    val dS = floor3(() => runDedup(spark, base, steps))
-    val dL = floor3(() => runDedup(spark, base * 10, steps))
-    val aS = floor3(() => runAnn(spark, base, steps))
-    val aL = floor3(() => runAnn(spark, base * 10, steps))
-    // tri: n edges = base/5 (the wedge trace is ~3.5× the edge count).
-    // floor-of-5 like upsert (VERDICT r10 #4): the track's ~0.5 s floor
-    // carries enough run-to-run noise that floors-of-3 drifted the ratio
-    // 1.10→1.29 across rounds of unrelated changes; five runs per size
-    // tighten the min's tail where the gate needs it
-    val tS = floor5(() => runTri(spark, base / 5, steps))
-    val tL = floor5(() => runTri(spark, base * 2, steps))
+    val xSc = floor("radix_sc")(() => runRadix(spark, base * 10, nKeys * 10, s3, 2560))
+    val dS = floor("dedup_s")(() => runDedup(spark, base, s3))
+    val dL = floor("dedup_l")(() => runDedup(spark, base * 10, s3))
+    val aS = floor("ann_s")(() => runAnn(spark, base, s3))
+    val aL = floor("ann_l")(() => runAnn(spark, base * 10, s3))
+    // tri: n edges = base/5 (the wedge trace is ~3.5× the edge count);
+    // 5×steps samples like upsert — the two noisiest floors (VERDICT r10 #4)
+    val tS = floor("tri_s")(() => runTri(spark, base / 5, s5))
+    val tL = floor("tri_l")(() => runTri(spark, base * 2, s5))
+    // tfidf (VERDICT r12 #6): the most state-coupled operator in the repo —
+    // four KeyedState traces and a data-dependent screening read; its
+    // per-step floor and growth were unknown until this track. The prune
+    // ratio (affected docs / live corpus) is logged per size: the flatness
+    // claim REQUIRES the screening to confine the recompute (affected count
+    // is O(Δ·C/df), independent of corpus size — see runTfIdf).
+    val (tfSt, tfSp) = {
+      val r = runTfIdf(spark, base, steps)
+      graft.incremental.Pinned.sweepSession(spark.sparkContext)
+      r
+    }
+    val (tfLt, tfLp) = {
+      val r = runTfIdf(spark, base * 10, steps)
+      graft.incremental.Pinned.sweepSession(spark.sparkContext)
+      r
+    }
+    val tfS = floorOf(tfSt)
+    val tfL = floorOf(tfLt)
+    System.err.println(f"[stepbench cfg] tfidf floors $tfS%.3f -> $tfL%.3f; " +
+      f"prune small=${tfSp.max}%.4f large=${tfLp.max}%.4f (max affected fraction)")
     // galen: the 6-rule mutual recursion (GalenBench) at 1× and 10× the
     // parent-forest size. Unlike the other tracks, a galen iteration's
     // delta GROWS with n (the closure is n·log₂ n facts split over ~6
@@ -407,9 +497,10 @@ object StepBench {
     }
     val (gS, gSpf) = galenRun(base / 10)
     val (gL, gLpf) = galenRun(base)
-    // "stat" labels the *_sec figures: per-step FLOORS over three runs each,
-    // not medians — the growth gate compares best-case step costs
-    f"""{"stat":"per_step_floor_of_3_runs_upsert_5","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"keyed_small_sec":$kS%.3f,"keyed_large_sec":$kL%.3f,"naive_small_sec":$nS%.3f,"naive_large_sec":$nL%.3f,"upsert_small_sec":$uS%.3f,"upsert_large_sec":$uL%.3f,"rolling_small_sec":$rS%.3f,"rolling_large_sec":$rL%.3f,"radix_small_sec":$xS%.3f,"radix_large_sec":$xL%.3f,"radix_scaled_large_sec":$xSc%.3f,"dedup_small_sec":$dS%.3f,"dedup_large_sec":$dL%.3f,"ann_small_sec":$aS%.3f,"ann_large_sec":$aL%.3f,"tri_small_sec":$tS%.3f,"tri_large_sec":$tL%.3f,"galen_small_sec":$gS%.3f,"galen_large_sec":$gL%.3f,"galen_small_sec_per_mfact":${gSpf * 1e6}%.3f,"galen_large_sec_per_mfact":${gLpf * 1e6}%.3f,"keyed_growth":${kL / kS}%.2f,"naive_growth":${nL / nS}%.2f,"upsert_growth":${uL / uS}%.2f,"rolling_growth":${rL / rS}%.2f,"radix_growth":${xL / xS}%.2f,"radix_scaled_growth":${xSc / xS}%.2f,"dedup_growth":${dL / dS}%.2f,"ann_growth":${aL / aS}%.2f,"tri_growth":${tL / tS}%.2f,"galen_growth":${gLpf / gSpf}%.2f}"""
+    // "stat" labels the *_sec figures: per-step FLOORS (one seeded run per
+    // config, 3×steps post-warmup samples — 5× for upsert/tri), not medians
+    // — the growth gate compares best-case step costs
+    f"""{"stat":"per_step_floor_one_seed_3x_steps_upsert_tri_5x","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"keyed_small_sec":$kS%.3f,"keyed_large_sec":$kL%.3f,"naive_small_sec":$nS%.3f,"naive_large_sec":$nL%.3f,"upsert_small_sec":$uS%.3f,"upsert_large_sec":$uL%.3f,"rolling_small_sec":$rS%.3f,"rolling_large_sec":$rL%.3f,"radix_small_sec":$xS%.3f,"radix_large_sec":$xL%.3f,"radix_scaled_large_sec":$xSc%.3f,"dedup_small_sec":$dS%.3f,"dedup_large_sec":$dL%.3f,"ann_small_sec":$aS%.3f,"ann_large_sec":$aL%.3f,"tri_small_sec":$tS%.3f,"tri_large_sec":$tL%.3f,"tfidf_small_sec":$tfS%.3f,"tfidf_large_sec":$tfL%.3f,"tfidf_prune_small":${tfSp.max}%.4f,"tfidf_prune_large":${tfLp.max}%.4f,"galen_small_sec":$gS%.3f,"galen_large_sec":$gL%.3f,"galen_small_sec_per_mfact":${gSpf * 1e6}%.3f,"galen_large_sec_per_mfact":${gLpf * 1e6}%.3f,"keyed_growth":${kL / kS}%.2f,"naive_growth":${nL / nS}%.2f,"upsert_growth":${uL / uS}%.2f,"rolling_growth":${rL / rS}%.2f,"radix_growth":${xL / xS}%.2f,"radix_scaled_growth":${xSc / xS}%.2f,"dedup_growth":${dL / dS}%.2f,"ann_growth":${aL / aS}%.2f,"tri_growth":${tL / tS}%.2f,"tfidf_growth":${tfL / tfS}%.2f,"galen_growth":${gLpf / gSpf}%.2f}"""
   }
 
   /** The XL tier (VERDICT r10 #1): the same flat-growth claims one decade
@@ -436,25 +527,26 @@ object StepBench {
     * tracks exist to avoid). */
   def jsonXl(spark: SparkSession, base: Long, steps: Int): String = {
     val nKeys = base / 50
-    def floorOf(xs0: Seq[Double]): Double =
-      (if (xs0.size > 2) xs0.drop(1) else xs0).min
-    def floorN(n: Int)(run: () => Seq[Double]): Double = {
-      def once(): Double = {
-        val f = floorOf(run())
-        graft.incremental.Pinned.sweepSession(spark.sparkContext)
-        f
-      }
-      Seq.fill(n)(once()).min
-    }
-    val kS = floorN(3)(() => runKeyed(spark, base, nKeys, steps, 256))
-    val kL = floorN(3)(() => runKeyed(spark, base * 10, nKeys * 10, steps, 2560))
-    val kLfix = floorN(2)(() => runKeyed(spark, base * 10, nKeys * 10, steps, 256))
-    val uS = floorN(3)(() => runUpsert(spark, base, steps, 32))
-    val uL = floorN(3)(() => runUpsert(spark, base * 10, steps, 320))
-    val rS = floorN(3)(() => runRolling(spark, base, nKeys, steps, 256))
-    val rL = floorN(3)(() => runRolling(spark, base * 10, nKeys * 10, steps, 2560))
-    val xS = floorN(3)(() => runRadix(spark, base, nKeys, steps, 2560))
-    val xL = floorN(3)(() => runRadix(spark, base * 10, nKeys * 10, steps, 25600))
+    def floor(label: String)(run: () => Seq[Double]): Double =
+      floorRun(spark, label)(run)
+    // BUDGET (VERDICT r12 #1): one seed per config — a 50M-row seed is the
+    // dominant cost up here, and the former 3-runs-each discipline (≈15
+    // fifty-M seeds) is what pushed the full bench past the driver's
+    // budget. 2×steps post-warmup samples per gated config keep the floor
+    // tail tight; the two CONTROLS (keyed_xl_fixed, naive_xl) run the
+    // minimum that still shows their one fact ("bucket-size term exists" /
+    // "super-linear"), because a 50M full recompute per step is exactly
+    // the cost the gated tracks exist to avoid.
+    val s2 = steps * 2
+    val kS = floor("keyed_xl_s")(() => runKeyed(spark, base, nKeys, s2, 256))
+    val kL = floor("keyed_xl_l")(() => runKeyed(spark, base * 10, nKeys * 10, s2, 2560))
+    val kLfix = floor("keyed_xl_fix")(() => runKeyed(spark, base * 10, nKeys * 10, steps, 256))
+    val uS = floor("upsert_xl_s")(() => runUpsert(spark, base, s2, 32))
+    val uL = floor("upsert_xl_l")(() => runUpsert(spark, base * 10, s2, 320))
+    val rS = floor("rolling_xl_s")(() => runRolling(spark, base, nKeys, s2, 256))
+    val rL = floor("rolling_xl_l")(() => runRolling(spark, base * 10, nKeys * 10, s2, 2560))
+    val xS = floor("radix_xl_s")(() => runRadix(spark, base, nKeys, s2, 2560))
+    val xL = floor("radix_xl_l")(() => runRadix(spark, base * 10, nKeys * 10, s2, 25600))
     // the radix decomposition pivot: SMALL state on the LARGE bucket count.
     // Diagnosed r11: the scaled-config ratio xL/xS conflates state growth
     // with a per-step bucket-COUNT metadata constant (measured at constant
@@ -462,11 +554,12 @@ object StepBench {
     // xL/xMid = state growth at a fixed deployment config (the flatness
     // claim); xMid/xS = what 10× partitions cost per step at CONSTANT
     // data (a config constant a deployment pays by sizing buckets once,
-    // not a function of state).
-    val xMid = floorN(2)(() => runRadix(spark, base, nKeys, steps, 25600))
-    val nS = floorN(2)(() => runNaive(spark, base, nKeys, math.min(steps, 4)))
-    val nL = floorN(1)(() => runNaive(spark, base * 10, nKeys * 10, 3))
-    f"""{"stat":"xl_per_step_floor_of_3_runs_controls_fewer","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"bucket_bytes":"constant (10x buckets at 10x state; keyed_xl_fixed is the unscaled control)","keyed_xl_small_sec":$kS%.3f,"keyed_xl_large_sec":$kL%.3f,"keyed_xl_fixed_large_sec":$kLfix%.3f,"upsert_xl_small_sec":$uS%.3f,"upsert_xl_large_sec":$uL%.3f,"rolling_xl_small_sec":$rS%.3f,"rolling_xl_large_sec":$rL%.3f,"radix_scaled_xl_small_sec":$xS%.3f,"radix_scaled_xl_mid_sec":$xMid%.3f,"radix_scaled_xl_large_sec":$xL%.3f,"naive_xl_small_sec":$nS%.3f,"naive_xl_large_sec":$nL%.3f,"keyed_xl_growth":${kL / kS}%.2f,"keyed_xl_fixed_growth":${kLfix / kS}%.2f,"upsert_xl_growth":${uL / uS}%.2f,"rolling_xl_growth":${rL / rS}%.2f,"radix_scaled_xl_growth":${xL / xS}%.2f,"radix_xl_samecfg_growth":${xL / xMid}%.2f,"radix_xl_bucketcount_ratio":${xMid / xS}%.2f,"naive_xl_growth":${nL / nS}%.2f}"""
+    // not a function of state). xMid gets the same 2×steps sample count as
+    // xL — the samecfg gate is a ratio of exactly these two floors.
+    val xMid = floor("radix_xl_mid")(() => runRadix(spark, base, nKeys, s2, 25600))
+    val nS = floor("naive_xl_s")(() => runNaive(spark, base, nKeys, math.min(steps, 4)))
+    val nL = floor("naive_xl_l")(() => runNaive(spark, base * 10, nKeys * 10, 3))
+    f"""{"stat":"xl_per_step_floor_one_seed_2x_steps_controls_fewer","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"bucket_bytes":"constant (10x buckets at 10x state; keyed_xl_fixed is the unscaled control)","keyed_xl_small_sec":$kS%.3f,"keyed_xl_large_sec":$kL%.3f,"keyed_xl_fixed_large_sec":$kLfix%.3f,"upsert_xl_small_sec":$uS%.3f,"upsert_xl_large_sec":$uL%.3f,"rolling_xl_small_sec":$rS%.3f,"rolling_xl_large_sec":$rL%.3f,"radix_scaled_xl_small_sec":$xS%.3f,"radix_scaled_xl_mid_sec":$xMid%.3f,"radix_scaled_xl_large_sec":$xL%.3f,"naive_xl_small_sec":$nS%.3f,"naive_xl_large_sec":$nL%.3f,"keyed_xl_growth":${kL / kS}%.2f,"keyed_xl_fixed_growth":${kLfix / kS}%.2f,"upsert_xl_growth":${uL / uS}%.2f,"rolling_xl_growth":${rL / rS}%.2f,"radix_scaled_xl_growth":${xL / xS}%.2f,"radix_xl_samecfg_growth":${xL / xMid}%.2f,"radix_xl_bucketcount_ratio":${xMid / xS}%.2f,"naive_xl_growth":${nL / nS}%.2f}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -515,6 +608,15 @@ object StepBench {
         val ts = runRadix(spark, n, n / 50, steps, nb)
         System.err.println(
           f"[stepbench radixsc n=$n nb=$nb] " + ts.map(t => f"$t%.3f").mkString(" "))
+        graft.incremental.Pinned.sweepSession(spark.sparkContext)
+      }
+    } else if (args.length > 2 && args(2) == "tfidf") {
+      // diagnostic mode: one tfidf run per scale, per-step times + prune
+      Seq(base, base * 10).foreach { n =>
+        val (ts, pr) = runTfIdf(spark, n, steps)
+        System.err.println(
+          f"[stepbench tfidf n=$n] " + ts.map(t => f"$t%.2f").mkString(" ") +
+            " | prune " + pr.map(p => f"$p%.4f").mkString(" "))
         graft.incremental.Pinned.sweepSession(spark.sparkContext)
       }
     } else if (args.length > 2 && args(2) == "tri") {

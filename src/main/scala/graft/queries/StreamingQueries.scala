@@ -165,10 +165,14 @@ object StreamingQueries extends QueryModule {
   /** General form: `sliceOf` maps a row to its batch index in [0, k) —
     * key-mod splits (q65/q66 arrival batches) or TIME slices (q87's
     * in-order CDC replay, where ascending file mtimes make the file source
-    * deliver batches in event-time order). */
+    * deliver batches in event-time order). `xform` reshapes the table
+    * BEFORE slicing (default identity) — q88 uses it to append a
+    * retraction slice (the same rows again with weight −1), which a pure
+    * row→slice map cannot express. */
   private[graft] def stageSlicedDir(s: SparkSession, dir: String,
                                     table: String, tag: String, k: Int,
-                                    sliceOf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column): String = {
+                                    sliceOf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column,
+                                    xform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity): String = {
     import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     val stamp = Files.getLastModifiedTime(
       Paths.get(s"$dir/$table.parquet")).toMillis.toHexString
@@ -187,7 +191,7 @@ object StreamingQueries extends QueryModule {
       val build = staged.resolveSibling(
         s"${staged.getFileName}_build_${java.util.UUID.randomUUID().toString.take(8)}")
       Files.createDirectories(build)
-      val docs = s.read.parquet(s"$dir/$table.parquet")
+      val docs = xform(s.read.parquet(s"$dir/$table.parquet"))
       for (i <- 0 until k) {
         val tmp = build.resolve(s"tmp$i")
         docs.where(sliceOf(docs) === i)
@@ -817,10 +821,95 @@ object StreamingQueries extends QueryModule {
         .localCheckpoint(true)
       st.close()
       res
+    }),
+
+    // STREAMING INCREMENTAL TF-IDF (q88, VERDICT r12 #8 — the streaming
+    // rendition of t12; reference: operator/upsert.rs:21-60 command-stream
+    // maintenance): the documents table replays as FIVE staged files — four
+    // insert epochs (doc_id mod 4, weight +1) then a RETRACTION epoch
+    // re-shipping the doc_id%10==3 rows with weight −1 (a CDC delete
+    // command; xform-staged, since a delete re-ships rows a row→slice map
+    // cannot duplicate) — and a checkpointed foreachBatch drives the SAME
+    // TfIdfState t12 certifies: per trigger, tokenize the batch into
+    // (doc_id, term, tf, ±w) postings and step the four-trace index. The
+    // retraction epoch exercises the df-index downward maintenance and the
+    // screening's retract-side floor crossings. Unlike t12 (which threads
+    // CDC bucket spans driver-side), the stream derives spans at runtime
+    // through the partition-pruned PROBE path — the two queries certify
+    // both span-acquisition modes. Integrated output ≡ the batch top-term
+    // query over the surviving corpus (t12's oracle verbatim).
+    "q88_stream_inc_tfidf" -> ((s, dir) => {
+      import java.nio.file.Files
+      import graft.core.ZSetFrame
+      import graft.incremental.TfIdfState
+      val E = 4
+      val staged = stageSlicedDir(s, dir, "documents", "dtfidf5", E + 1,
+        _ => col("slice"),
+        xform = df => df.select(col("doc_id"), col("text"),
+            pmod(col("doc_id"), lit(E)).cast("int").as("slice"),
+            lit(1L).as("w"))
+          .unionByName(df.where(pmod(col("doc_id"), lit(10)) === 3)
+            .select(col("doc_id"), col("text"), lit(E).as("slice"),
+              lit(-1L).as("w"))))
+      def toPostings(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), col("w"),
+          explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term", "w").agg(count(lit(1)).as("tf"))
+        .select(col("doc_id"), col("term"), col("tf"),
+          col("w").as(ZSetFrame.W))
+      val template = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("w", lit(1L))
+      val st = new TfIdfState(
+        ZSetFrame.fromDelta(toPostings(template.where(lit(false)))), 32)
+      val acc = new graft.incremental.Incremental.State(ZSetFrame.fromDelta(
+        toPostings(template.where(lit(false)))
+          .select(col("doc_id"), col("term"), col("tf"),
+            lit(0L).as("score_q"), col(ZSetFrame.W))))
+      val schema = s.read.parquet(staged).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+      val ck = Files.createTempDirectory("graft_stfidf_ck")
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            acc.update(st.step(ZSetFrame.fromDelta(toPostings(batch))))
+        }
+        .option("checkpointLocation", ck.toString)
+        .start()
+      q.processAllAvailable(); q.stop()
+      val walk = Files.walk(ck)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(Files.deleteIfExists(_))
+      finally walk.close()
+      val res = acc.acc.consolidate.toDF
+        .select("doc_id", "term", "tf", "score_q")
+        .localCheckpoint(true)
+      st.close()
+      res
     })
   )
 
   override def oracle: Map[String, String] = Map(
+    // t12's oracle verbatim: batch top-term over the surviving corpus
+    // (doc_id%10<>3) with the N-free quantized score floor(tf*10000/df)
+    "q88_stream_inc_tfidf" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents WHERE doc_id % 10 <> 3),
+         tf AS (
+           SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+         df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         sc AS (
+           SELECT tf.doc_id, tf.term, tf.tf,
+             CAST(FLOOR(CAST(tf.tf * 10000 AS DOUBLE) / df.df) AS BIGINT)
+               AS score_q
+           FROM tf JOIN df USING (term)),
+         r AS (
+           SELECT *, row_number() OVER
+             (PARTITION BY doc_id ORDER BY score_q DESC, term ASC) AS rn
+           FROM sc)
+         SELECT doc_id, term, tf, score_q FROM r WHERE rn = 1""",
     "q33_stream_tumble" ->
       s"""SELECT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS wstart, event_type,
             count(*) AS n, ${oSum("value")} AS sum_value

@@ -43,7 +43,7 @@ class BenchArtifactSpec extends AnyFunSuite {
     val text = java.nio.file.Files.readString(artifact.toPath)
     val tracks = Seq("keyed_growth", "naive_growth", "upsert_growth",
       "rolling_growth", "radix_growth", "radix_scaled_growth", "dedup_growth", "ann_growth",
-      "tri_growth", "galen_growth",
+      "tri_growth", "tfidf_growth", "galen_growth",
       // the XL decade (5M→50M; VERDICT r10 #1)
       "keyed_xl_growth", "upsert_xl_growth", "rolling_xl_growth",
       "radix_scaled_xl_growth", "naive_xl_growth")
