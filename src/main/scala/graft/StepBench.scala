@@ -373,13 +373,12 @@ object StepBench {
     * affected-fraction per step); the fraction certifies the screening
     * prunes (≪ 1) at both sizes. */
   def runTfIdf(spark: SparkSession, n: Long,
-               steps: Int): (Seq[Double], Seq[Double]) = {
+               steps: Int, nB: Int): (Seq[Double], Seq[Double]) = {
     import spark.implicits._
     import graft.incremental.TfIdfState
     val tpd = 20L
     val nDocs = n / tpd
     val vocab = math.max(nDocs / 50L, 100L) // df ≈ 20·nDocs/vocab ≈ 1000
-    val nB = 64
     val D = 2L // docs inserted (and retracted) per step
     def termOf(p: Long): Long = {
       val m = (p * 2654435761L) % vocab
@@ -464,13 +463,21 @@ object StepBench {
     // ratio (affected docs / live corpus) is logged per size: the flatness
     // claim REQUIRES the screening to confine the recompute (affected count
     // is O(Δ·C/df), independent of corpus size — see runTfIdf).
+    // buckets scale with the corpus (64 → 640, Spark's partitions-∝-data
+    // rule, the same shape every other scaled config uses): the screening
+    // probe's span is the delta's ~80 term buckets, so at 10× corpus with
+    // 10× buckets the scan reads a 10×-smaller FRACTION of a 10×-bigger
+    // index — constant bytes. The first committed run held nB=64 at both
+    // sizes and read growth 1.29: a fixed-bucket artifact (the probe span
+    // was ALL 64 buckets, i.e. a full-index scan growing with the corpus),
+    // the same term the fixed-256 radix control documents.
     val (tfSt, tfSp) = {
-      val r = runTfIdf(spark, base, steps)
+      val r = runTfIdf(spark, base, steps, 64)
       graft.incremental.Pinned.sweepSession(spark.sparkContext)
       r
     }
     val (tfLt, tfLp) = {
-      val r = runTfIdf(spark, base * 10, steps)
+      val r = runTfIdf(spark, base * 10, steps, 640)
       graft.incremental.Pinned.sweepSession(spark.sparkContext)
       r
     }
@@ -612,8 +619,8 @@ object StepBench {
       }
     } else if (args.length > 2 && args(2) == "tfidf") {
       // diagnostic mode: one tfidf run per scale, per-step times + prune
-      Seq(base, base * 10).foreach { n =>
-        val (ts, pr) = runTfIdf(spark, n, steps)
+      Seq((base, 64), (base * 10, 640)).foreach { case (n, nb) =>
+        val (ts, pr) = runTfIdf(spark, n, steps, nb)
         System.err.println(
           f"[stepbench tfidf n=$n] " + ts.map(t => f"$t%.2f").mkString(" ") +
             " | prune " + pr.map(p => f"$p%.4f").mkString(" "))

@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The log-free rational BM25 surrogate's per-posting quantized
+  * contribution, shared by the batch ranking query (t11) and the
+  * incremental retrieval state ([[graft.incremental.Bm25State]]) — the two
+  * MUST evaluate the identical IEEE double sequence or the incremental
+  * path's integrated answer cannot be bit-compared against the batch
+  * oracle.
+  *
+  * The function (k1 = 1.2, b = 0.75, both cleared to BIGINT rationals):
+  *
+  *   sq = floor( (2N − 2df + 1)/(2df + 1)            — raw Robertson idf
+  *             · 44·T·tf / (20·T·tf + 6·T + 18·dl·N) — tf saturation
+  *             · 1e6 )                                — quantization grid
+  *
+  * where N = corpus doc count, T = corpus token count, dl = doc length.
+  * All four products stay inside Long (44·T·tf < 2^63 up to T ~ 1e13
+  * tokens × tf ~ 1e4 — comfortably past a 100 TB corpus); the two
+  * divisions are each a ratio of exactly-represented BIGINTs (< 2^53),
+  * so both engines produce the same correctly-rounded doubles and the
+  * same floor. The per-DOC score is the exact BIGINT sum of these
+  * per-posting sq values (quantize-before-sum, order-free under any
+  * partitioning) — which is also what makes the incremental screening
+  * induction work: a doc's stored score is unchanged iff no posting's sq
+  * moved, a per-posting predicate.
+  */
+object Bm25 {
+  /** `grid` is the quantization constant (1e6 in production — the value
+    * the oracle SQL hard-codes). Tests pass a coarse grid to reach the
+    * pruning regime at toy corpus sizes, exactly like TfIdfState's C. */
+  def sq(tf: Column, dl: Column, df: Column,
+         nDocs: Column, tToks: Column, grid: Double = 1e6): Column =
+    floor(
+      ((lit(2L) * nDocs - lit(2L) * df + lit(1L)).cast("double")
+        / (lit(2L) * df + lit(1L)).cast("double"))
+      * ((lit(44L) * tToks * tf).cast("double")
+        / (lit(20L) * tToks * tf + lit(6L) * tToks
+           + lit(18L) * dl * nDocs).cast("double"))
+      * lit(grid)).cast("long")
+}

@@ -1,0 +1,216 @@
+package graft.incremental
+
+import org.apache.spark.sql.{Column, DataFrame, Observation}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.ZSetFrame
+import graft.functions.Bm25
+
+/** Incrementally maintained BM25-surrogate top-k retrieval for a FIXED
+  * query-term set under document inserts AND deletes — the "standing
+  * ranked query" behind a continuously refreshed retrieval corpus. This is
+  * strictly harsher coupling than [[TfIdfState]]'s: there only df(term)
+  * couples documents, here the corpus constants N (doc count) and T (token
+  * count) enter EVERY posting's score through the idf and length-
+  * normalization factors, so every single insert moves, in principle, every
+  * matching document's score. The reference's answer to non-linear
+  * aggregates is touched-key recompute
+  * (reference: crates/dbsp/src/operator/aggregate/mod.rs:204-244); the
+  * touched set here is again QUANTIZATION-AWARE: scores are sums of
+  * floor-quantized per-posting contributions ([[Bm25.sq]], quantize-before-
+  * sum), and a stored document's score only moves when some posting's floor
+  * CROSSES under this step's (N, T, df) transition. On a large corpus the
+  * per-step relative drift of N, T, and any hot term's df is tiny, so
+  * floors almost never cross — the grid absorbs the global coupling exactly
+  * where it is most expensive.
+  *
+  * Per-step shape (the 100 TB story):
+  *   - O(Δ) scalar maintenance: N, T, and the |Q| df values advance by two
+  *     small aggregations over the delta (driver-held scalars — they are
+  *     the operator's broadcast constants, the reference keeps the same
+  *     integrals as circuit scalars).
+  *   - One NO-SHUFFLE screening scan of the QUERY-RESTRICTED inverted
+  *     index: storage is O(postings of Q's terms) — the match set, never
+  *     the corpus — and the screen is a scan-in-place of that trace with
+  *     the 4-row old/new df table broadcast. No job is proportional to the
+  *     corpus.
+  *   - O(affected) rescore: exactly the docs with a crossed floor plus the
+  *     delta's matching docs, partition-pruned by the affected bucket span
+  *     (acquired via an Observation riding the checkpoint — the d31
+  *     discipline, no extra job).
+  *   - O(touched buckets) top-k maintenance: a two-level winner structure —
+  *     per-bucket top-k recomputed only for touched buckets, global top-k
+  *     re-derived from the ≤ nBuckets·k per-bucket winners (a tiny
+  *     dimension trace, scan-in-place).
+  *
+  * State, each a bucket-partitioned [[KeyedState]] trace keyed by doc_id:
+  *   - qIdx:      query-restricted postings (doc_id, term, tf, dl);
+  *                O(Δ∩Q) spine-append per step
+  *   - scoreIdx:  doc → current quantized score (sum of posting sq's)
+  *   - bucketTop: per-bucket top-k winner rows (⊆ scoreIdx, same bucketing)
+  *   - topIdx:    the global top-k answer (doc_id, score_q, rnk) — its
+  *                −old/+new replacement delta IS the emitted output
+  *
+  * Exactness induction (mirrors TfIdfState): a doc's stored score is the
+  * exact BIGINT sum of per-posting sq's under the constants at its last
+  * rescore; each step's screen certifies per posting that
+  * sq(prev constants) == sq(new constants) for every unaffected doc, so by
+  * induction the stored sums stay equal to a from-scratch batch evaluation
+  * under the CURRENT constants. The emitted deltas therefore integrate to
+  * the batch top-k (t13's DuckDB oracle gates this bit-for-bit).
+  */
+final class Bm25State(emptyPosting: ZSetFrame, val qterms: Seq[String],
+                      val nBuckets: Int, val topK: Int = 10,
+                      /** Quantization grid (1e6 in production — the value
+                        * the t13 oracle hard-codes via [[Bm25.sq]]'s
+                        * default). Tests shrink it to reach the pruning
+                        * regime at toy corpus sizes, TfIdfState's C. */
+                      val grid: Double = 1e6) {
+  import ZSetFrame.W
+
+  private val spark = emptyPosting.spark
+
+  private val qIdx = new KeyedState(Seq("doc_id"), nBuckets, emptyPosting)
+  private val scoreIdx = new KeyedState(Seq("doc_id"), nBuckets,
+    ZSetFrame.fromDelta(emptyPosting.df.select(col("doc_id"),
+      lit(0L).as("score_q"), col(W))))
+  private val bucketTop = new KeyedState(Seq("doc_id"), nBuckets,
+    ZSetFrame.fromDelta(emptyPosting.df.select(col("doc_id"),
+      lit(0L).as("score_q"), col(W))))
+  private val topIdx = new KeyedState(Seq("doc_id"), nBuckets,
+    ZSetFrame.fromDelta(emptyPosting.df.select(col("doc_id"),
+      lit(0L).as("score_q"), lit(0).as("rnk"), col(W))))
+
+  // corpus constants and the |Q| df values — driver-held scalars, advanced
+  // O(Δ) per step and broadcast into the screen/rescore expressions
+  private var nDocs = 0L
+  private var tToks = 0L
+  private val dfQ = scala.collection.mutable.Map[String, Long]()
+
+  /** Diagnostic: last step's affected-doc set (pinned; tests count it to
+    * certify the screening prunes — affected ≪ match set on steps whose
+    * constant drift stays inside the quantization grid). */
+  private[graft] var lastAffected: DataFrame = _
+  private var prevStepPins: Seq[DataFrame] = Nil
+
+  private def qlits: Seq[Any] = qterms.map(_.asInstanceOf[Any])
+
+  /** One step. `delta` holds consolidated (doc_id, term, tf, dl) posting
+    * rows with ±1 weights — a doc's FULL posting set on insert (+1) or
+    * retract (−1); non-matching terms contribute only to the N/T scalar
+    * maintenance and are not stored. Returns the −old/+new top-k
+    * replacement delta; the emitted rows integrate to
+    * (doc_id, score_q, rnk). */
+  def step(delta: ZSetFrame): ZSetFrame = {
+    prevStepPins.foreach(Pinned.release)
+    prevStepPins = Nil
+    // 1. O(Δ) scalar maintenance — two bounded jobs over the delta: per-doc
+    //    distinct rows give ΔN = Σ_docs w and ΔT = Σ_docs dl·w; the
+    //    query-restricted term groups give Δdf per query term (≤ |Q| rows)
+    val docStats = delta.df.select(col("doc_id"), col("dl"), col(W))
+      .distinct()
+      .agg(coalesce(sum(col(W)), lit(0L)).as("dn"),
+        coalesce(sum(col("dl") * col(W)), lit(0L)).as("dt"))
+      .first()
+    val ddfRows = delta.df.where(col("term").isin(qlits: _*))
+      .groupBy("term").agg(sum(col(W)).as("ddf"))
+      .where(col("ddf") =!= 0L).collect()
+    val nOld = nDocs; val tOld = tToks
+    val dfOld = dfQ.toMap
+    nDocs += docStats.getLong(0)
+    tToks += docStats.getLong(1)
+    ddfRows.foreach { r =>
+      dfQ(r.getString(0)) = dfQ.getOrElse(r.getString(0), 0L) + r.getLong(1)
+    }
+    // 2. the old/new constant table for the screen — |Q| rows, broadcast
+    import spark.implicits._
+    val dfTab = qterms.map(t =>
+        (t, dfOld.getOrElse(t, 0L), dfQ.getOrElse(t, 0L)))
+      .toDF("term", "df_old", "df_new")
+    // 3. screen: ONE no-shuffle scan of the query-restricted index — every
+    //    stored posting's floor under (N,T,df)_old vs (N,T,df)_new. A
+    //    posting with df_new == 0 has all its docs in this step's delta
+    //    (its term vanished from the corpus); MinValue marks it moved
+    //    defensively.
+    def sqAt(df: Column, n: Long, t: Long): Column =
+      if (n <= 0L || t <= 0L) lit(Long.MinValue)
+      else when(df <= 0L, lit(Long.MinValue))
+        .otherwise(Bm25.sq(col("tf"), col("dl"), df, lit(n), lit(t), grid))
+    val postings = qIdx.view(0 until nBuckets).consolidate.df
+    val screened = postings.join(broadcast(dfTab), Seq("term"))
+      .where(sqAt(col("df_old"), nOld, tOld)
+        =!= sqAt(col("df_new"), nDocs, tToks))
+      .select(col("doc_id"))
+    // 4. affected = crossed docs ∪ the delta's matching docs; the bucket
+    //    span rides the checkpoint via an Observation (d31 discipline)
+    val obs = new Observation()
+    val affected = screened
+      .union(delta.df.where(col("term").isin(qlits: _*)).select("doc_id"))
+      .distinct()
+      .observe(obs, collect_set(
+        pmod(hash(col("doc_id")), lit(nBuckets))).as("bks"))
+      .localCheckpoint(true)
+    lastAffected = affected
+    val affB = obs.get("bks").asInstanceOf[Seq[Int]].sorted
+    // 5. index maintenance: O(Δ∩Q) spine-append — the delta's matching
+    //    docs are in `affected`, so affB covers the merge's touched buckets
+    qIdx.merge(ZSetFrame.fromDelta(delta.df.where(col("term").isin(qlits: _*))),
+      checkpointDelta = false, knownTouched = Some(affB), append = true)
+    // 6. rescore the affected docs against the post-merge index under the
+    //    NEW constants; a fully retracted doc yields no row, so its old
+    //    score is retracted by the replacement delta
+    val dfNewTab = dfTab.select(col("term"), col("df_new").as("df"))
+    val rows = qIdx.view(affB).consolidate.df.join(affected, Seq("doc_id"))
+    val newScores = rows.join(broadcast(dfNewTab), Seq("term"))
+      .select(col("doc_id"),
+        Bm25.sq(col("tf"), col("dl"), col("df"),
+          lit(nDocs), lit(tToks), grid).as("sq"))
+      .groupBy("doc_id").agg(sum(col("sq")).as("score_q"))
+    val oldScores = scoreIdx.view(affB).consolidate.df
+      .join(affected, Seq("doc_id"))
+      .select("doc_id", "score_q")
+    val scDelta = (ZSetFrame.fromTable(newScores)
+      - ZSetFrame.fromTable(oldScores)).consolidate
+    scoreIdx.merge(scDelta, checkpointDelta = false, knownTouched = Some(affB))
+    // 7. two-level top-k, level 1: per-bucket winners replaced for exactly
+    //    the touched buckets — O(touched bucket rows)
+    val bEx = pmod(hash(col("doc_id")), lit(nBuckets))
+    val newBT = scoreIdx.view(affB).consolidate.df
+      .select("doc_id", "score_q")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(bEx)
+          .orderBy(col("score_q").desc, col("doc_id").asc)))
+      .where(col("rn") <= topK).drop("rn")
+    val oldBT = bucketTop.view(affB).consolidate.df
+      .select("doc_id", "score_q")
+    val btDelta = (ZSetFrame.fromTable(newBT)
+      - ZSetFrame.fromTable(oldBT)).consolidate
+    bucketTop.merge(btDelta, checkpointDelta = false,
+      knownTouched = Some(affB))
+    // 8. level 2: global top-k over the ≤ nBuckets·k per-bucket winners —
+    //    a dimension-sized trace, scan-in-place (the single-partition
+    //    window sorts ≤ nBuckets·k rows, never data)
+    val cand = bucketTop.view(0 until nBuckets).consolidate.df
+      .select("doc_id", "score_q")
+    val newTop = cand.withColumn("rnk", row_number().over(
+        Window.orderBy(col("score_q").desc, col("doc_id").asc)))
+      .where(col("rnk") <= topK)
+    val oldTop = topIdx.view(0 until nBuckets).consolidate.df
+      .select("doc_id", "score_q", "rnk")
+    val out = (ZSetFrame.fromTable(newTop) - ZSetFrame.fromTable(oldTop))
+      .consolidate.localCheckpoint()
+    // knownTouched deliberately NOT passed for topIdx: a displaced former
+    // winner can live in an untouched bucket, so the touched set must be
+    // computed from the (tiny, ≤ 2k-row) replacement delta itself
+    topIdx.merge(out, checkpointDelta = false)
+    prevStepPins = Seq(affected)
+    out
+  }
+
+  def close(): Unit = {
+    prevStepPins.foreach(Pinned.release)
+    prevStepPins = Nil
+    qIdx.close(); scoreIdx.close(); bucketTop.close(); topIdx.close()
+  }
+}

@@ -391,4 +391,87 @@ class IncrementalSpec extends SparkSpec {
     }
     assert(coupledOnce, "screening never pulled in a non-delta doc — the idf-coupling path is untested")
   }
+
+  test("Bm25State: mixed insert/retract steps ≡ batch top-k; N/T/df screening prunes and couples") {
+    import graft.incremental.Bm25State
+    val qterms = Seq("spark", "query", "merge", "window")
+    val filler = Vector.tabulate(10)(i => s"f$i")
+    // doc i → (dl, full tf map): a mix of query terms and filler; some docs
+    // match no query term at all (they must still move N and T)
+    def docTf(i: Int): Map[String, Long] = {
+      val r = new scala.util.Random(700 + i)
+      val pool = if (i % 5 == 4) filler else qterms ++ filler
+      Seq.fill(4 + r.nextInt(6))(pool(r.nextInt(pool.size)))
+        .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    }
+    def dlOf(i: Int): Long = docTf(i).values.sum
+    def postings(ids: Seq[Int], w: Long): Seq[(Long, String, Long, Long, Long)] =
+      ids.flatMap(i => docTf(i).toSeq.map { case (t, tf) =>
+        (i.toLong, t, tf, dlOf(i), w) })
+    val steps = Seq(
+      postings(0 until 10, 1L),
+      postings(10 until 20, 1L),
+      postings(Seq(2, 8, 13), -1L),
+      postings(20 until 26, 1L) ++ postings(Seq(4, 17), -1L),
+      // small tail delta against the now-wide corpus: relative N/T/df
+      // movement is tiny, so on a coarse grid floors sit still — the step
+      // that must PRUNE
+      postings(Seq(26), 1L))
+    import spark.implicits._
+    val empty = ZSetFrame.fromTable(
+      Seq.empty[(Long, String, Long, Long)].toDF("doc_id", "term", "tf", "dl"))
+    // grid=1e6 is the production/oracle grid (at toy corpus sizes every
+    // constant move crosses floors — correctness through the
+    // recompute-heavy regime); grid=8 is coarse enough that the final
+    // small step's drift stays inside a floor cell for most postings,
+    // forcing the pruning regime the scaladoc's induction exists for.
+    var coupledOnce = false
+    for (grid <- Seq(1e6, 8.0)) {
+      val st = new Bm25State(empty, qterms, nBuckets = 8, topK = 5,
+        grid = grid)
+      var live = Set.empty[Int]
+      var prunedOnce = false
+      val outs = steps.map { rows =>
+        val deltaDocs = rows.map(_._1).toSet
+        live = live ++ rows.filter(_._5 > 0).map(_._1.toInt) --
+          rows.filter(_._5 < 0).map(_._1.toInt)
+        val out = st.step(ZSetFrame.fromDelta(
+          rows.toDF("doc_id", "term", "tf", "dl", ZSetFrame.W)))
+        val affected = st.lastAffected.collect().map(_.getLong(0)).toSet
+        val matching = live.filter(i => docTf(i).keys.exists(qterms.contains))
+        if (affected.size < matching.size) prunedOnce = true
+        if ((affected -- deltaDocs).nonEmpty) coupledOnce = true
+        out
+      }
+      st.close()
+      // brute-force batch model over the surviving corpus — the SAME IEEE
+      // sequence as Bm25.sq: two long-ratio doubles, left-assoc multiply
+      val n = live.size.toLong
+      val tt = live.toSeq.map(dlOf).sum
+      val dfm = live.toSeq.flatMap(i => docTf(i).keys.filter(qterms.contains))
+        .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val scored = live.toSeq.flatMap { i =>
+        val dl = dlOf(i)
+        docTf(i).toSeq.collect { case (t, tf) if qterms.contains(t) =>
+          val df = dfm(t)
+          val r1 = (2L * n - 2L * df + 1L).toDouble / (2L * df + 1L).toDouble
+          val r2 = (44L * tt * tf).toDouble /
+            (20L * tt * tf + 6L * tt + 18L * dl * n).toDouble
+          (i.toLong, math.floor(r1 * r2 * grid).toLong)
+        }
+      }
+      val expected = scored.groupBy(_._1).toSeq
+        .map { case (d, xs) => (d, xs.map(_._2).sum) }
+        .sortBy { case (d, s) => (-s, d) }.take(5).zipWithIndex
+        .map { case ((d, s), r) => (d, s, r + 1) }
+      assertSameRows(ZSetFrame.sumAll(outs).consolidate.df,
+        ZSetFrame.fromTable(
+          expected.toDF("doc_id", "score_q", "rnk")).df)
+      if (grid < 1e6)
+        assert(prunedOnce,
+          s"grid=$grid: screening never pruned — affected == match set on every step")
+    }
+    assert(coupledOnce,
+      "screening never pulled in a non-delta doc — the N/T/df coupling path is untested")
+  }
 }
