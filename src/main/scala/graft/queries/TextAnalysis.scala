@@ -113,13 +113,11 @@ object TextAnalysis extends QueryModule {
       val scored = tf.join(broadcast(dft), Seq("term"))
         .crossJoin(broadcast(consts))
         .select(col("doc_id"),
-          floor(
-            ((lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)).cast("double")
-              / (lit(2L) * col("df") + lit(1L)).cast("double"))
-            * ((lit(44L) * col("t_toks") * col("tf")).cast("double")
-              / (lit(20L) * col("t_toks") * col("tf") + lit(6L) * col("t_toks")
-                 + lit(18L) * col("dl") * col("n_docs")).cast("double"))
-            * lit(1e6)).cast("long").as("sq"))
+          // the per-posting quantized contribution — shared with the
+          // incremental retrieval state (Bm25State), which must evaluate
+          // the identical IEEE sequence for its integrated answer to match
+          graft.functions.Bm25.sq(col("tf"), col("dl"), col("df"),
+            col("n_docs"), col("t_toks")).as("sq"))
       val tot = scored.groupBy("doc_id").agg(sum(col("sq")).as("score_q"))
       val top = tot.orderBy(col("score_q").desc, col("doc_id")).limit(10)
       top.withColumn("rnk", row_number().over(
@@ -178,6 +176,44 @@ object TextAnalysis extends QueryModule {
       st.close()
       ZSetFrame.sumAll(outs).consolidate.toDF
         .select("doc_id", "term", "tf", "score_q")
+    }),
+
+    // INCREMENTAL BM25 top-k retrieval (t13) — t11's standing ranked query
+    // kept exact while documents arrive AND leave. Strictly harsher
+    // coupling than t12's: the corpus constants N and T enter EVERY
+    // posting's score (idf + length normalization), so each insert moves,
+    // in principle, every matching doc. Bm25State confines the step to one
+    // no-shuffle screen of the QUERY-RESTRICTED index (storage = the match
+    // set, never the corpus) for quantized floor crossings under the step's
+    // (N, T, df) transition, an O(affected) rescore, and O(touched-bucket)
+    // two-level top-k maintenance. Replay mirrors t12: 4 insert epochs
+    // (doc_id mod 4) then a retraction epoch deleting doc_id%10==3; the
+    // integrated −old/+new output must equal t11's batch top-10 over the
+    // surviving corpus.
+    "t13_inc_bm25" -> ((s, dir) => {
+      import graft.core.ZSetFrame
+      val E = 4
+      val nB = 32
+      val qterms = Seq("spark", "query", "merge", "window")
+      val tfAll = t(s, dir, "documents")
+        .select(col("doc_id"), size(toks(col("text"))).as("dl"),
+          explode(toks(col("text"))).as("term"))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+        .select("doc_id", "term", "tf", "dl")
+        .localCheckpoint(true)
+      val st = new graft.incremental.Bm25State(
+        ZSetFrame.fromTable(tfAll.where(lit(false))), qterms, nB)
+      val outs =
+        (0 until E).map { i =>
+          st.step(ZSetFrame.fromTable(
+            tfAll.where(pmod(col("doc_id"), lit(E)) === i)))
+        } :+
+        st.step(ZSetFrame.fromDelta(
+          tfAll.where(pmod(col("doc_id"), lit(10)) === 3)
+            .withColumn(ZSetFrame.W, lit(-1L))))
+      st.close()
+      ZSetFrame.sumAll(outs).consolidate.toDF
+        .select("doc_id", "score_q", "rnk")
     }),
 
     // token / char counting
@@ -640,6 +676,43 @@ object TextAnalysis extends QueryModule {
         """WITH base AS (
              SELECT doc_id, len(string_split(text, ' ')) AS dl, text
              FROM documents),
+           consts AS (
+             SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS t_toks FROM base),
+           tf AS (
+             SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM (
+               SELECT doc_id, dl, unnest(string_split(text, ' ')) AS term
+               FROM base)
+             WHERE term IN ('spark', 'query', 'merge', 'window')
+             GROUP BY 1, 2, 3),
+           dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+           scored AS (
+             SELECT f.doc_id,
+               CAST(FLOOR(
+                 (CAST(2 * c.n_docs - 2 * d.df + 1 AS DOUBLE)
+                   / CAST(2 * d.df + 1 AS DOUBLE))
+                 * (CAST(44 * c.t_toks * f.tf AS DOUBLE)
+                   / CAST(20 * c.t_toks * f.tf + 6 * c.t_toks
+                          + 18 * f.dl * c.n_docs AS DOUBLE))
+                 * 1e6) AS BIGINT) AS sq
+             FROM tf f JOIN dft d USING (term) CROSS JOIN consts c),
+           tot AS (
+             SELECT doc_id, CAST(sum(sq) AS BIGINT) AS score_q
+             FROM scored GROUP BY 1)
+           SELECT doc_id, score_q, rnk FROM (
+             SELECT doc_id, score_q,
+               row_number() OVER (ORDER BY score_q DESC, doc_id) AS rnk
+             FROM tot)
+           WHERE rnk <= 10""",
+
+      // t11's batch ranking over the SURVIVING corpus (doc_id%10<>3) —
+      // the incremental state's integrated top-k replacement deltas must
+      // match it bit-for-bit (same factor-by-factor IEEE sequence via the
+      // shared Bm25.sq expression, sq quantized BEFORE the per-doc sum)
+      "t13_inc_bm25" ->
+        """WITH base AS (
+             SELECT doc_id, len(string_split(text, ' ')) AS dl, text
+             FROM documents WHERE doc_id % 10 <> 3),
            consts AS (
              SELECT CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(dl) AS BIGINT) AS t_toks FROM base),
