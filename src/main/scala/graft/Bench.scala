@@ -126,8 +126,8 @@ object Bench {
     // lands on q33's first rep (~6 s of staging measured as query time)
     section("warmup") {
       Seq("q01_project", "t02_quality", "d06_ann_lsh", "q33_stream_tumble",
-          "q87_stream_rolling_radix", // q87/q88 stage their own slice dirs
-          "q88_stream_inc_tfidf")
+          "q87_stream_rolling_radix", // q87-q89 stage their own slice dirs
+          "q88_stream_inc_tfidf", "q89_stream_inc_bm25")
         .foreach { w =>
         SparkEntry.queries.get(w).foreach { fn =>
           try fn(spark, sfDir).count() catch { case _: Throwable => () }

@@ -886,6 +886,71 @@ object StreamingQueries extends QueryModule {
         .localCheckpoint(true)
       st.close()
       res
+    }),
+
+    // STREAMING INCREMENTAL BM25 (q89) — t13's Bm25State driven by the
+    // real streaming engine, the q88 pattern on the harsher-coupled
+    // state: five staged epochs (4 inserts then a CDC retraction epoch
+    // re-shipping doc_id%10==3 rows at weight −1) through a checkpointed
+    // foreachBatch. Each micro-batch advances the driver-held corpus
+    // constants (N, T, per-term df), screens the query-restricted index
+    // for quantized floor crossings, and emits the top-k replacement
+    // delta; the integrated deltas must equal t11's batch top-10 over the
+    // surviving corpus (t13's oracle verbatim). Certifies the state's
+    // runtime path: constant maintenance from micro-batch aggregations,
+    // affected-span Observation under the streaming scheduler, and
+    // downward df/N/T maintenance on the retraction epoch.
+    "q89_stream_inc_bm25" -> ((s, dir) => {
+      import java.nio.file.Files
+      import graft.core.ZSetFrame
+      import graft.incremental.Bm25State
+      val E = 4
+      val qterms = Seq("spark", "query", "merge", "window")
+      val staged = stageSlicedDir(s, dir, "documents", "dbm255", E + 1,
+        _ => col("slice"),
+        xform = df => df.select(col("doc_id"), col("text"),
+            pmod(col("doc_id"), lit(E)).cast("int").as("slice"),
+            lit(1L).as("w"))
+          .unionByName(df.where(pmod(col("doc_id"), lit(10)) === 3)
+            .select(col("doc_id"), col("text"), lit(E).as("slice"),
+              lit(-1L).as("w"))))
+      def toPostings(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), col("w"),
+          size(split(col("text"), " ")).as("dl"),
+          explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "dl", "term", "w").agg(count(lit(1)).as("tf"))
+        .select(col("doc_id"), col("term"), col("tf"), col("dl"),
+          col("w").as(ZSetFrame.W))
+      val template = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("w", lit(1L))
+      val st = new Bm25State(
+        ZSetFrame.fromDelta(toPostings(template.where(lit(false)))),
+        qterms, 32)
+      val acc = new graft.incremental.Incremental.State(ZSetFrame.fromDelta(
+        toPostings(template.where(lit(false)))
+          .select(col("doc_id"), lit(0L).as("score_q"), lit(0).as("rnk"),
+            col(ZSetFrame.W))))
+      val schema = s.read.parquet(staged).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+      val ck = Files.createTempDirectory("graft_sbm25_ck")
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            acc.update(st.step(ZSetFrame.fromDelta(toPostings(batch))))
+        }
+        .option("checkpointLocation", ck.toString)
+        .start()
+      q.processAllAvailable(); q.stop()
+      val walk = Files.walk(ck)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(Files.deleteIfExists(_))
+      finally walk.close()
+      val res = acc.acc.consolidate.toDF
+        .select("doc_id", "score_q", "rnk")
+        .localCheckpoint(true)
+      st.close()
+      res
     })
   )
 
@@ -910,6 +975,41 @@ object StreamingQueries extends QueryModule {
              (PARTITION BY doc_id ORDER BY score_q DESC, term ASC) AS rn
            FROM sc)
          SELECT doc_id, term, tf, score_q FROM r WHERE rn = 1""",
+    // t13's oracle verbatim: t11's batch BM25-surrogate top-10 over the
+    // surviving corpus (doc_id%10<>3), identical IEEE sequence via the
+    // shared Bm25.sq expression, sq quantized before the per-doc sum
+    "q89_stream_inc_bm25" ->
+      """WITH base AS (
+           SELECT doc_id, len(string_split(text, ' ')) AS dl, text
+           FROM documents WHERE doc_id % 10 <> 3),
+         consts AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS t_toks FROM base),
+         tf AS (
+           SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM (
+             SELECT doc_id, dl, unnest(string_split(text, ' ')) AS term
+             FROM base)
+           WHERE term IN ('spark', 'query', 'merge', 'window')
+           GROUP BY 1, 2, 3),
+         dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         scored AS (
+           SELECT f.doc_id,
+             CAST(FLOOR(
+               (CAST(2 * c.n_docs - 2 * d.df + 1 AS DOUBLE)
+                 / CAST(2 * d.df + 1 AS DOUBLE))
+               * (CAST(44 * c.t_toks * f.tf AS DOUBLE)
+                 / CAST(20 * c.t_toks * f.tf + 6 * c.t_toks
+                        + 18 * f.dl * c.n_docs AS DOUBLE))
+               * 1e6) AS BIGINT) AS sq
+           FROM tf f JOIN dft d USING (term) CROSS JOIN consts c),
+         tot AS (
+           SELECT doc_id, CAST(sum(sq) AS BIGINT) AS score_q
+           FROM scored GROUP BY 1)
+         SELECT doc_id, score_q, rnk FROM (
+           SELECT doc_id, score_q,
+             row_number() OVER (ORDER BY score_q DESC, doc_id) AS rnk
+           FROM tot)
+         WHERE rnk <= 10""",
     "q33_stream_tumble" ->
       s"""SELECT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS wstart, event_type,
             count(*) AS n, ${oSum("value")} AS sum_value

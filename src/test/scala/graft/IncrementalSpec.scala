@@ -474,4 +474,36 @@ class IncrementalSpec extends SparkSpec {
     assert(coupledOnce,
       "screening never pulled in a non-delta doc — the N/T/df coupling path is untested")
   }
+
+  test("Bm25State screen shape: match-set scan + broadcast constants, ZERO shuffles") {
+    // mirror of the step's screening composition: a doc-keyed posting
+    // trace view, consolidated, joined to the broadcast |Q|-row old/new df
+    // table, filtered on the floor-crossing predicate. The whole screen
+    // must plan as scan-in-place + BroadcastHashJoin — any
+    // ShuffleExchange would mean the per-step screen re-partitions the
+    // match set, breaking the "one no-shuffle scan" cost claim.
+    import graft.incremental.KeyedState
+    import graft.functions.Bm25
+    val rows = (1L to 300L).map(i =>
+      (i, s"w${i % 7}", 1L + i % 3, 10L + i % 5, 1L))
+    val d0 = ZSetFrame.fromDelta(
+      rows.toDF("doc_id", "term", "tf", "dl", ZSetFrame.W))
+    val st = new KeyedState(Seq("doc_id"), 8, Incremental.emptyLike(d0))
+    st.merge(d0)
+    val dfTab = Seq(("w1", 3L, 4L), ("w2", 5L, 5L))
+      .toDF("term", "df_old", "df_new")
+    val screen = st.view(0 until 8).consolidate.df
+      .join(broadcast(dfTab), Seq("term"))
+      .where(Bm25.sq(col("tf"), col("dl"), col("df_old"), lit(100L), lit(1000L))
+        =!= Bm25.sq(col("tf"), col("dl"), col("df_new"), lit(101L), lit(1010L)))
+      .select("doc_id")
+    screen.count() // materialize through AQE so the final plan is real
+    val plan = screen.queryExecution.executedPlan.toString
+    val shuffles = plan.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+      .toSeq
+    assert(shuffles.isEmpty,
+      s"screen must be shuffle-free (broadcast-only), got:\n$plan")
+    st.close()
+  }
 }
