@@ -404,15 +404,33 @@ class IncrementalSpec extends SparkSpec {
       Seq.fill(4 + r.nextInt(6))(pool(r.nextInt(pool.size)))
         .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
     }
-    def dlOf(i: Int): Long = docTf(i).values.sum
-    def postings(ids: Seq[Int], w: Long): Seq[(Long, String, Long, Long, Long)] =
-      ids.flatMap(i => docTf(i).toSeq.map { case (t, tf) =>
-        (i.toLong, t, tf, dlOf(i), w) })
+    // v2 content for UPDATED docs (same doc_id, different text): distinct
+    // seed, same pool rule — a same-step retract(v1)+insert(v2) exercises
+    // ΔN=0 with ΔT≠0, Δdf of both signs, and in-spine cancellation
+    def docTf2(i: Int): Map[String, Long] = {
+      val r = new scala.util.Random(7700 + i)
+      val pool = qterms ++ filler
+      Seq.fill(4 + r.nextInt(6))(pool(r.nextInt(pool.size)))
+        .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    }
+    val updated = Set(5, 11)
+    def tfOf(i: Int): Map[String, Long] =
+      if (updated(i)) docTf2(i) else docTf(i)
+    def mkPostings(ids: Seq[Int], w: Long, tf: Int => Map[String, Long])
+      : Seq[(Long, String, Long, Long, Long)] =
+      ids.flatMap { i =>
+        val m = tf(i); val dl = m.values.sum
+        m.toSeq.map { case (t, c) => (i.toLong, t, c, dl, w) }
+      }
+    def postings(ids: Seq[Int], w: Long) = mkPostings(ids, w, docTf)
     val steps = Seq(
       postings(0 until 10, 1L),
       postings(10 until 20, 1L),
       postings(Seq(2, 8, 13), -1L),
       postings(20 until 26, 1L) ++ postings(Seq(4, 17), -1L),
+      // UPDATE step: docs 5 and 11 re-shipped as retract-old + insert-new
+      // in ONE delta (the CDC update shape)
+      mkPostings(Seq(5, 11), -1L, docTf) ++ mkPostings(Seq(5, 11), 1L, docTf2),
       // small tail delta against the now-wide corpus: relative N/T/df
       // movement is tiny, so on a coarse grid floors sit still — the step
       // that must PRUNE
@@ -433,26 +451,29 @@ class IncrementalSpec extends SparkSpec {
       var prunedOnce = false
       val outs = steps.map { rows =>
         val deltaDocs = rows.map(_._1).toSet
-        live = live ++ rows.filter(_._5 > 0).map(_._1.toInt) --
-          rows.filter(_._5 < 0).map(_._1.toInt)
+        val ins = rows.filter(_._5 > 0).map(_._1.toInt).toSet
+        val rets = rows.filter(_._5 < 0).map(_._1.toInt).toSet
+        // a doc in BOTH polarities (the update shape) stays live
+        live = live ++ ins -- (rets -- ins)
         val out = st.step(ZSetFrame.fromDelta(
           rows.toDF("doc_id", "term", "tf", "dl", ZSetFrame.W)))
         val affected = st.lastAffected.collect().map(_.getLong(0)).toSet
-        val matching = live.filter(i => docTf(i).keys.exists(qterms.contains))
+        val matching = live.filter(i => tfOf(i).keys.exists(qterms.contains))
         if (affected.size < matching.size) prunedOnce = true
         if ((affected -- deltaDocs).nonEmpty) coupledOnce = true
         out
       }
       st.close()
-      // brute-force batch model over the surviving corpus — the SAME IEEE
-      // sequence as Bm25.sq: two long-ratio doubles, left-assoc multiply
+      // brute-force batch model over the surviving corpus (updated docs at
+      // their CURRENT version) — the SAME IEEE sequence as Bm25.sq: two
+      // long-ratio doubles, left-assoc multiply
       val n = live.size.toLong
-      val tt = live.toSeq.map(dlOf).sum
-      val dfm = live.toSeq.flatMap(i => docTf(i).keys.filter(qterms.contains))
+      val tt = live.toSeq.map(i => tfOf(i).values.sum).sum
+      val dfm = live.toSeq.flatMap(i => tfOf(i).keys.filter(qterms.contains))
         .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
       val scored = live.toSeq.flatMap { i =>
-        val dl = dlOf(i)
-        docTf(i).toSeq.collect { case (t, tf) if qterms.contains(t) =>
+        val dl = tfOf(i).values.sum
+        tfOf(i).toSeq.collect { case (t, tf) if qterms.contains(t) =>
           val df = dfm(t)
           val r1 = (2L * n - 2L * df + 1L).toDouble / (2L * df + 1L).toDouble
           val r2 = (44L * tt * tf).toDouble /
