@@ -335,8 +335,22 @@ class IncrementalSpec extends SparkSpec {
       Seq.fill(3 + r.nextInt(5))(vocab(r.nextInt(vocab.size)))
         .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
     }
+    // v2 content for UPDATED docs (same doc_id, different text): a
+    // same-step retract(v1)+insert(v2) is the CDC update shape — df moves
+    // both directions from one doc, postings cancel in-spine
+    def docTf2(i: Int): Map[String, Long] = {
+      val r = new scala.util.Random(9900 + i)
+      Seq.fill(3 + r.nextInt(5))(vocab(r.nextInt(vocab.size)))
+        .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    }
+    val updated = Set(4, 10)
+    def tfOf(i: Int): Map[String, Long] =
+      if (updated(i)) docTf2(i) else docTf(i)
+    def mk(ids: Seq[Int], w: Long, tf: Int => Map[String, Long])
+      : Seq[(Long, String, Long, Long)] =
+      ids.flatMap(i => tf(i).toSeq.map { case (t, c) => (i.toLong, t, c, w) })
     def postings(ids: Seq[Int], w: Long): Seq[(Long, String, Long, Long)] =
-      ids.flatMap(i => docTf(i).toSeq.map { case (t, tf) => (i.toLong, t, tf, w) })
+      mk(ids, w, docTf)
     // step plan: inserts widen the corpus, later steps retract earlier docs
     // (one step mixes both polarities in a single delta)
     val steps = Seq(
@@ -344,6 +358,9 @@ class IncrementalSpec extends SparkSpec {
       postings(8 until 16, 1L),
       postings(Seq(3, 7, 12), -1L),
       postings(16 until 22, 1L) ++ postings(Seq(1, 15), -1L),
+      // UPDATE step: docs 4 and 10 re-shipped retract-old + insert-new in
+      // ONE delta
+      mk(Seq(4, 10), -1L, docTf) ++ mk(Seq(4, 10), 1L, docTf2),
       // small tail delta against the now-wide corpus: relative df movement
       // is tiny, so on the coarse grid hot terms' floors sit still — the
       // step that must PRUNE
@@ -362,8 +379,10 @@ class IncrementalSpec extends SparkSpec {
       var prunedOnce = false
       val outs = steps.map { rows =>
         val deltaDocs = rows.map(_._1).toSet
-        live = live ++ rows.filter(_._4 > 0).map(_._1.toInt) --
-          rows.filter(_._4 < 0).map(_._1.toInt)
+        val ins = rows.filter(_._4 > 0).map(_._1.toInt).toSet
+        val rets = rows.filter(_._4 < 0).map(_._1.toInt).toSet
+        // a doc in BOTH polarities (the update shape) stays live
+        live = live ++ ins -- (rets -- ins)
         val out = st.step(ZSetFrame.fromDelta(
           rows.toDF("doc_id", "term", "tf", ZSetFrame.W)))
         val affected = st.lastAffected.collect().map(_.getLong(0)).toSet
@@ -374,8 +393,8 @@ class IncrementalSpec extends SparkSpec {
         out
       }
       st.close()
-      // batch model over the surviving corpus
-      val tfRows = postings(live.toSeq.sorted, 1L).map(r => (r._1, r._2, r._3))
+      // batch model over the surviving corpus (updated docs at v2)
+      val tfRows = mk(live.toSeq.sorted, 1L, tfOf).map(r => (r._1, r._2, r._3))
       val df = tfRows.groupBy(_._2).map { case (t, xs) => t -> xs.size.toLong }
       val expected = tfRows.groupBy(_._1).toSeq.map { case (d, xs) =>
         val scored = xs.map { case (_, t, tf) =>
