@@ -17,11 +17,19 @@ import org.apache.spark.sql.functions._
   *             · 1e6 )                                — quantization grid
   *
   * where N = corpus doc count, T = corpus token count, dl = doc length.
-  * All four products stay inside Long (44·T·tf < 2^63 up to T ~ 1e13
-  * tokens × tf ~ 1e4 — comfortably past a 100 TB corpus); the two
-  * divisions are each a ratio of exactly-represented BIGINTs (< 2^53),
-  * so both engines produce the same correctly-rounded doubles and the
-  * same floor. The per-DOC score is the exact BIGINT sum of these
+  * Numeric envelope (stated precisely, r13): the cross-engine
+  * bit-identity argument — each division a ratio of EXACTLY-represented
+  * BIGINTs, so both engines compute the same correctly-rounded doubles —
+  * holds while every product stays under 2^53, i.e. 44·T·tf < 2^53
+  * (T·tf ≲ 2·10^14; e.g. T = 10^12 tokens with tf ≤ 100). Past 2^53 the
+  * long→double casts round and bit-identity rests on both engines
+  * casting identically (still true for Spark/DuckDB IEEE casts, but no
+  * longer provable from exactness); past 2^63 the products overflow —
+  * Spark wraps silently while DuckDB raises, so the oracle gate would
+  * fail HARD there, not silently drift. A deployment past the envelope
+  * needs the T-heavy products evaluated in DOUBLE on both sides (one
+  * consistent cast point) rather than Long multiplies.
+  * The per-DOC score is the exact BIGINT sum of these
   * per-posting sq values (quantize-before-sum, order-free under any
   * partitioning) — which is also what makes the incremental screening
   * induction work: a doc's stored score is unchanged iff no posting's sq

@@ -62,12 +62,15 @@ final class TfIdfState(emptyTf: ZSetFrame, val nBuckets: Int,
     * divisible by df, so the IEEE division is integer/integer with an
     * integral quotient — exact whenever tf·C < 2^53 and df < 2^53 (both
     * hold by orders of magnitude: tf is one document's term count, df a
-    * corpus doc count). The former floor((tf·C)/df) on the RAW quotient
-    * needed the much stronger tf·C·df < 2^53 (the division's relative
-    * error ~2^-53 had to stay under the 1/df gap to the nearest integer) —
-    * at 100 TB corpora (df ~ 1e9, C = 1e4) that bound is approached and a
-    * silent mis-floor would break the screening's exactness induction
-    * (ADVICE r12). The subtraction form has no df-dependent error term. */
+    * corpus doc count). Precision note (corrected r13): the RAW quotient
+    * floor((tf·C)/df) is ALSO exact under the same tf·C < 2^53 bound —
+    * a correctly-rounded division errs by ≤ q·2^-53 and the quotient's
+    * gap to the nearest integer is ≥ 1/df, so a mis-floor needs
+    * q·df = tf·C ≥ 2^53 (ADVICE r12 claimed the stronger tf·C·df < 2^53
+    * was required; that analysis double-counted df). The two forms are
+    * therefore equivalent in every reachable regime — which is exactly
+    * why the DuckDB oracles may keep the raw form — and the subtraction
+    * form is kept as the self-evidently integral one. */
   private def scoreQ(tf: Column, df: Column): Column = {
     val tfc = tf * lit(C)
     ((tfc - pmod(tfc, df)).cast("double") / df).cast("long")
