@@ -471,13 +471,17 @@ object StepBench {
     // sizes and read growth 1.29: a fixed-bucket artifact (the probe span
     // was ALL 64 buckets, i.e. a full-index scan growing with the corpus),
     // the same term the fixed-256 radix control documents.
+    // s3 samples like every other gated track (the first committed tfidf
+    // figures ran plain `steps`=10 samples while the artifact's stat label
+    // claimed 3× — the same floor-sample scarcity the one-seed rationale
+    // calls out; code-review r13)
     val (tfSt, tfSp) = {
-      val r = runTfIdf(spark, base, steps, 64)
+      val r = runTfIdf(spark, base, s3, 64)
       graft.incremental.Pinned.sweepSession(spark.sparkContext)
       r
     }
     val (tfLt, tfLp) = {
-      val r = runTfIdf(spark, base * 10, steps, 640)
+      val r = runTfIdf(spark, base * 10, s3, 640)
       graft.incremental.Pinned.sweepSession(spark.sparkContext)
       r
     }

@@ -869,23 +869,29 @@ object StreamingQueries extends QueryModule {
       val src = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(staged)
       val ck = Files.createTempDirectory("graft_stfidf_ck")
-      val q = src.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty)
-            acc.update(st.step(ZSetFrame.fromDelta(toPostings(batch))))
+      // exception-safe drive: a failing micro-batch must still stop the
+      // query, delete the /tmp checkpoint dir, and close the state's
+      // pinned traces (code-review r13)
+      try {
+        val q = src.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty)
+              acc.update(st.step(ZSetFrame.fromDelta(toPostings(batch))))
+          }
+          .option("checkpointLocation", ck.toString)
+          .start()
+        try q.processAllAvailable()
+        finally {
+          q.stop()
+          val walk = Files.walk(ck)
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(Files.deleteIfExists(_))
+          finally walk.close()
         }
-        .option("checkpointLocation", ck.toString)
-        .start()
-      q.processAllAvailable(); q.stop()
-      val walk = Files.walk(ck)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(Files.deleteIfExists(_))
-      finally walk.close()
-      val res = acc.acc.consolidate.toDF
-        .select("doc_id", "term", "tf", "score_q")
-        .localCheckpoint(true)
-      st.close()
-      res
+        acc.acc.consolidate.toDF
+          .select("doc_id", "term", "tf", "score_q")
+          .localCheckpoint(true)
+      } finally st.close()
     }),
 
     // STREAMING INCREMENTAL BM25 (q89) — t13's Bm25State driven by the
@@ -934,23 +940,29 @@ object StreamingQueries extends QueryModule {
       val src = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(staged)
       val ck = Files.createTempDirectory("graft_sbm25_ck")
-      val q = src.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty)
-            acc.update(st.step(ZSetFrame.fromDelta(toPostings(batch))))
+      // exception-safe drive: a failing micro-batch must still stop the
+      // query, delete the /tmp checkpoint dir, and close the state's
+      // pinned traces (code-review r13)
+      try {
+        val q = src.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty)
+              acc.update(st.step(ZSetFrame.fromDelta(toPostings(batch))))
+          }
+          .option("checkpointLocation", ck.toString)
+          .start()
+        try q.processAllAvailable()
+        finally {
+          q.stop()
+          val walk = Files.walk(ck)
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(Files.deleteIfExists(_))
+          finally walk.close()
         }
-        .option("checkpointLocation", ck.toString)
-        .start()
-      q.processAllAvailable(); q.stop()
-      val walk = Files.walk(ck)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(Files.deleteIfExists(_))
-      finally walk.close()
-      val res = acc.acc.consolidate.toDF
-        .select("doc_id", "score_q", "rnk")
-        .localCheckpoint(true)
-      st.close()
-      res
+        acc.acc.consolidate.toDF
+          .select("doc_id", "score_q", "rnk")
+          .localCheckpoint(true)
+      } finally st.close()
     })
   )
 
