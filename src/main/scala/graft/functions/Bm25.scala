@@ -17,14 +17,20 @@ import org.apache.spark.sql.functions._
   *             · 1e6 )                                — quantization grid
   *
   * where N = corpus doc count, T = corpus token count, dl = doc length.
-  * Numeric envelope (stated precisely, r13): the cross-engine
+  * Numeric envelope (completed r14, ADVICE r13): the cross-engine
   * bit-identity argument — each division a ratio of EXACTLY-represented
   * BIGINTs, so both engines compute the same correctly-rounded doubles —
-  * holds while every product stays under 2^53, i.e. 44·T·tf < 2^53
-  * (T·tf ≲ 2·10^14; e.g. T = 10^12 tokens with tf ≤ 100). Past 2^53 the
-  * long→double casts round and bit-identity rests on both engines
-  * casting identically (still true for Spark/DuckDB IEEE casts, but no
-  * longer provable from exactness); past 2^63 the products overflow —
+  * holds while EVERY Long term stays under 2^53, i.e. BOTH
+  * 44·T·tf < 2^53 (T·tf ≲ 2·10^14; e.g. T = 10^12 tokens with tf ≤ 100)
+  * AND 20·T·tf + 6·T + 18·dl_max·N < 2^53 — the denominator's dl·N term
+  * can cross FIRST in dl-skewed corpora (N = 10^9 docs containing one
+  * dl = 10^7 doc gives 18·dl·N ≈ 1.8·10^17 > 2^53 while 44·T·tf may
+  * still be small), so the numerator bound alone is not the envelope.
+  * (The idf factors 2N−2df+1 and 2df+1 are ≤ 2N+1 and never bind before
+  * the dl·N term does.) Past 2^53 the long→double casts round and
+  * bit-identity rests on both engines casting identically (still true
+  * for Spark/DuckDB IEEE casts, but no longer provable from exactness);
+  * past 2^63 the products overflow —
   * Spark wraps silently while DuckDB raises, so the oracle gate would
   * fail HARD there, not silently drift. A deployment past the envelope
   * needs the T-heavy products evaluated in DOUBLE on both sides (one

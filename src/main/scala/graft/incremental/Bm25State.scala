@@ -26,10 +26,10 @@ import graft.functions.Bm25
   * where it is most expensive.
   *
   * Per-step shape (the 100 TB story):
-  *   - O(Δ) scalar maintenance: N, T, and the |Q| df values advance by two
-  *     small aggregations over the delta (driver-held scalars — they are
-  *     the operator's broadcast constants, the reference keeps the same
-  *     integrals as circuit scalars).
+  *   - O(Δ) scalar maintenance: N, T, and the |Q| df values advance by ONE
+  *     small ≤ |Q|+1-row aggregation action over the delta (driver-held
+  *     scalars — they are the operator's broadcast constants, the reference
+  *     keeps the same integrals as circuit scalars).
   *   - One NO-SHUFFLE screening scan of the QUERY-RESTRICTED inverted
   *     index: storage is O(postings of Q's terms) — the match set, never
   *     the corpus — and the screen is a scan-in-place of that trace with
@@ -105,23 +105,44 @@ final class Bm25State(emptyPosting: ZSetFrame, val qterms: Seq[String],
   def step(delta: ZSetFrame): ZSetFrame = {
     prevStepPins.foreach(Pinned.release)
     prevStepPins = Nil
-    // 1. O(Δ) scalar maintenance — two bounded jobs over the delta: per-doc
-    //    distinct rows give ΔN = Σ_docs w and ΔT = Σ_docs dl·w; the
-    //    query-restricted term groups give Δdf per query term (≤ |Q| rows)
-    val docStats = delta.df.select(col("doc_id"), col("dl"), col(W))
+    // 1. O(Δ) scalar maintenance — ONE bounded action over the delta
+    //    (VERDICT r13 #2: this was two driver-synchronous jobs, a first()
+    //    for ΔN/ΔT plus a collect() for Δdf — each a ~0.15 s local-mode
+    //    barrier on every step): per-doc distinct rows give ΔN = Σ_docs w
+    //    and ΔT = Σ_docs dl·w; the query-restricted term groups give Δdf
+    //    per query term. The two aggregates union into one ≤ |Q|+1-row
+    //    collect. The doc row also carries the step-contract check
+    //    (ADVICE r13): dl must be constant per (doc_id, w) within a delta —
+    //    a violation would silently corrupt the N/T induction, so it fails
+    //    loudly here, riding the same action. (The OTHER contract — a doc's
+    //    posting set shipped at most once per polarity — stays UNCHECKED:
+    //    detecting a duplicate shipment needs a per-(doc,term) groupBy over
+    //    the delta, a second shuffle the scalar path deliberately avoids;
+    //    callers own it, as the reference's upsert sources own key
+    //    uniqueness.)
+    val docAgg = delta.df.select(col("doc_id"), col("dl"), col(W))
       .distinct()
-      .agg(coalesce(sum(col(W)), lit(0L)).as("dn"),
-        coalesce(sum(col("dl") * col(W)), lit(0L)).as("dt"))
-      .first()
-    val ddfRows = delta.df.where(col("term").isin(qlits: _*))
-      .groupBy("term").agg(sum(col(W)).as("ddf"))
-      .where(col("ddf") =!= 0L).collect()
+      .agg(coalesce(sum(col(W)), lit(0L)).as("a"),
+        coalesce(sum(col("dl") * col(W)), lit(0L)).as("b"),
+        (count(lit(1)) - count_distinct(col("doc_id"), col(W))).as("viol"))
+      .select(lit(null).cast("string").as("term"), col("a"), col("b"),
+        col("viol"))
+    val ddfAgg = delta.df.where(col("term").isin(qlits: _*))
+      .groupBy("term").agg(sum(col(W)).as("a"))
+      .where(col("a") =!= 0L)
+      .select(col("term"), col("a"), lit(0L).as("b"), lit(0L).as("viol"))
+    val statRows = docAgg.unionByName(ddfAgg).collect()
     val nOld = nDocs; val tOld = tToks
     val dfOld = dfQ.toMap
-    nDocs += docStats.getLong(0)
-    tToks += docStats.getLong(1)
-    ddfRows.foreach { r =>
-      dfQ(r.getString(0)) = dfQ.getOrElse(r.getString(0), 0L) + r.getLong(1)
+    statRows.foreach { r =>
+      if (r.isNullAt(0)) {
+        require(r.getLong(3) == 0L,
+          "graft: Bm25State step contract violated — a (doc_id, w) pair in " +
+            "the delta carries more than one distinct dl; N/T maintenance " +
+            "would be silently corrupted")
+        nDocs += r.getLong(1); tToks += r.getLong(2)
+      } else
+        dfQ(r.getString(0)) = dfQ.getOrElse(r.getString(0), 0L) + r.getLong(1)
     }
     // 2. the old/new constant table for the screen — |Q| rows, broadcast
     import spark.implicits._
@@ -198,12 +219,21 @@ final class Bm25State(emptyPosting: ZSetFrame, val qterms: Seq[String],
       .where(col("rnk") <= topK)
     val oldTop = topIdx.view(0 until nBuckets).consolidate.df
       .select("doc_id", "score_q", "rnk")
-    val out = (ZSetFrame.fromTable(newTop) - ZSetFrame.fromTable(oldTop))
-      .consolidate.localCheckpoint()
-    // knownTouched deliberately NOT passed for topIdx: a displaced former
-    // winner can live in an untouched bucket, so the touched set must be
-    // computed from the (tiny, ≤ 2k-row) replacement delta itself
-    topIdx.merge(out, checkpointDelta = false)
+    // topIdx's touched span cannot ride affB: a displaced former winner can
+    // live in an untouched bucket — it must come from the (tiny, ≤ 2k-row)
+    // replacement delta itself. An Observation on the delta's own eager
+    // checkpoint hands the span over for free (the d31 discipline), instead
+    // of the dedicated touchedBuckets discovery job merge() would launch
+    // (VERDICT r13 #2 — one fewer per-step barrier).
+    val obsOut = new Observation()
+    val out = ZSetFrame.fromDelta(
+      (ZSetFrame.fromTable(newTop) - ZSetFrame.fromTable(oldTop))
+        .consolidate.df
+        .observe(obsOut, collect_set(
+          pmod(hash(col("doc_id")), lit(nBuckets))).as("bks"))
+        .localCheckpoint(true))
+    val outB = obsOut.get("bks").asInstanceOf[Seq[Int]].sorted
+    topIdx.merge(out, checkpointDelta = false, knownTouched = Some(outB))
     prevStepPins = Seq(affected)
     out
   }

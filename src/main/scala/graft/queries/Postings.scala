@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** THE posting builder — the single tokenize/tf/dl implementation behind
+  * every retrieval query (t10/t11 batch, t12/t13 step-loop, q88/q89
+  * streaming CDC) and the single SQL-mirror generator behind their DuckDB
+  * oracles (VERDICT r13 #3: five hand-kept copies of this logic meant one
+  * drifted copy would trigger a hash-mismatch hunt across five queries).
+  *
+  * Corpus contract: single-space-separated text; tf is the exact per-
+  * (doc, term) token count; dl is the doc's total token count. The SQL
+  * mirrors MUST stay expression-for-expression equivalent to `build` —
+  * the oracle gate compares result hashes bit-for-bit.
+  */
+object Postings {
+
+  /** The standing query-term set shared by t11/t13/q89 and their oracles. */
+  val QueryTerms: Seq[String] = Seq("spark", "query", "merge", "window")
+
+  /** Term-frequency postings of a documents frame. `docs` must carry
+    * (doc_id, text) and MAY carry a CDC weight column `w` (constant per doc
+    * within a delta — a doc's full posting set ships at one polarity);
+    * every carried dimension rides the grouping. Output columns:
+    * doc_id[, dl][, w], term, tf.
+    *
+    * `termFilter`: optional pre-aggregation restriction on `term` (the
+    * query-restricted batch path, t11). Filtering before vs after the
+    * groupBy is equivalent for a term-keyed predicate; before is cheaper —
+    * the non-matching postings never shuffle. */
+  def build(docs: DataFrame, withDl: Boolean,
+            termFilter: Option[Column] = None): DataFrame = {
+    val hasW = docs.columns.contains("w")
+    val t = split(col("text"), " ")
+    val dims = Seq(col("doc_id")) ++
+      (if (withDl) Seq(size(t).as("dl")) else Nil) ++
+      (if (hasW) Seq(col("w")) else Nil)
+    val exploded = docs.select(dims :+ explode(t).as("term"): _*)
+    val filtered = termFilter.fold(exploded)(exploded.where)
+    val gcols = Seq("doc_id") ++ (if (withDl) Seq("dl") else Nil) ++
+      (if (hasW) Seq("w") else Nil) :+ "term"
+    filtered.groupBy(gcols.map(col): _*).agg(count(lit(1)).as("tf"))
+  }
+
+  /** The corpus constants of the BM25 surrogate — N docs and T total
+    * tokens — over the (possibly restricted) documents frame; broadcast by
+    * callers. Matches the `consts` CTE of `bm25Top10OracleSql`. */
+  def corpusConsts(docs: DataFrame): DataFrame =
+    docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " "))).as("t_toks"))
+
+  /** SQL mirror (DuckDB) of `build(withDl = false)`: the `tok`/`tf` CTE
+    * pair over `documents` restricted by `pred` (use "TRUE" for the full
+    * corpus). */
+  def tfSqlCtes(pred: String): String =
+    s"""tok AS (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents WHERE $pred),
+           tf AS (
+             SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             FROM tok GROUP BY 1, 2)"""
+
+  /** Full DuckDB oracle for the t12/q88 incremental TF-IDF top-term answer:
+    * batch top-term per doc over the `pred`-surviving corpus with the
+    * N-free quantized score floor(tf·C/df). The raw-quotient floor is exact
+    * under tf·C < 2^53 (see TfIdfState.scoreQ's precision note), which is
+    * why the oracle may keep the plain form. */
+  def tfidfTop1OracleSql(pred: String, c: Long = 10000L): String =
+    s"""WITH ${tfSqlCtes(pred)},
+         df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         sc AS (
+           SELECT tf.doc_id, tf.term, tf.tf,
+             CAST(FLOOR(CAST(tf.tf * $c AS DOUBLE) / df.df) AS BIGINT)
+               AS score_q
+           FROM tf JOIN df USING (term)),
+         r AS (
+           SELECT *, row_number() OVER
+             (PARTITION BY doc_id ORDER BY score_q DESC, term ASC) AS rn
+           FROM sc)
+         SELECT doc_id, term, tf, score_q FROM r WHERE rn = 1"""
+
+  /** Full DuckDB oracle for the t11/t13/q89 BM25-surrogate top-10: the
+    * same factor-by-factor IEEE sequence as [[graft.functions.Bm25.sq]]
+    * (two BIGINT ratios cast to DOUBLE, multiplied left-assoc, ×1e6,
+    * floor), sq quantized BEFORE the per-doc BIGINT sum. */
+  def bm25Top10OracleSql(pred: String): String = {
+    val inList = QueryTerms.map("'" + _ + "'").mkString(", ")
+    s"""WITH base AS (
+           SELECT doc_id, len(string_split(text, ' ')) AS dl, text
+           FROM documents WHERE $pred),
+         consts AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS t_toks FROM base),
+         tf AS (
+           SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM (
+             SELECT doc_id, dl, unnest(string_split(text, ' ')) AS term
+             FROM base)
+           WHERE term IN ($inList)
+           GROUP BY 1, 2, 3),
+         dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         scored AS (
+           SELECT f.doc_id,
+             CAST(FLOOR(
+               (CAST(2 * c.n_docs - 2 * d.df + 1 AS DOUBLE)
+                 / CAST(2 * d.df + 1 AS DOUBLE))
+               * (CAST(44 * c.t_toks * f.tf AS DOUBLE)
+                 / CAST(20 * c.t_toks * f.tf + 6 * c.t_toks
+                        + 18 * f.dl * c.n_docs AS DOUBLE))
+               * 1e6) AS BIGINT) AS sq
+           FROM tf f JOIN dft d USING (term) CROSS JOIN consts c),
+         tot AS (
+           SELECT doc_id, CAST(sum(sq) AS BIGINT) AS score_q
+           FROM scored GROUP BY 1)
+         SELECT doc_id, score_q, rnk FROM (
+           SELECT doc_id, score_q,
+             row_number() OVER (ORDER BY score_q DESC, doc_id) AS rnk
+           FROM tot)
+         WHERE rnk <= 10"""
+  }
+}

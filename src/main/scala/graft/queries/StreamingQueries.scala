@@ -796,31 +796,37 @@ object StreamingQueries extends QueryModule {
         template.where(lit(false)).select(col("*"), lit(1L).as("cnt"),
           lit(1L).as("vsum"), lit(1L).as(ZSetFrame.W))))
       val ck = Files.createTempDirectory("graft_sroll_ck")
-      val q = src.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty) {
-            val ev = prep(batch).localCheckpoint(true)
-            val span = ev.agg(min("ts_ms"), max("ts_ms")).head()
-            val (lo, hi) = (span.getLong(0), span.getLong(1))
-            acc.update(st.step(ZSetFrame.fromTable(ev), lo, hi,
-              touchedKeys = None, checkpointDelta = false))
-            st.gcBefore(hi) // watermark = max event time (slices ascend)
-            graft.incremental.Pinned.release(ev)
-          }
+      // exception-safe drive (extended to q87 in r14, the q88/q89 shape —
+      // ADVICE r13): ck deletion tied to its creation, state close outermost
+      try {
+        try {
+          val q = src.writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              if (!batch.isEmpty) {
+                val ev = prep(batch).localCheckpoint(true)
+                val span = ev.agg(min("ts_ms"), max("ts_ms")).head()
+                val (lo, hi) = (span.getLong(0), span.getLong(1))
+                acc.update(st.step(ZSetFrame.fromTable(ev), lo, hi,
+                  touchedKeys = None, checkpointDelta = false))
+                st.gcBefore(hi) // watermark = max event time (slices ascend)
+                graft.incremental.Pinned.release(ev)
+              }
+            }
+            .option("checkpointLocation", ck.toString)
+            .start()
+          try q.processAllAvailable()
+          finally q.stop()
+          acc.acc.consolidate.toDF
+            .select(col("event_id"), col("user_id"),
+              col("cnt").as("n_1h"), col("vsum").as("sv_1h"))
+            .localCheckpoint(true)
+        } finally {
+          val walk = Files.walk(ck)
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(Files.deleteIfExists(_))
+          finally walk.close()
         }
-        .option("checkpointLocation", ck.toString)
-        .start()
-      q.processAllAvailable(); q.stop()
-      val walk = Files.walk(ck)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(Files.deleteIfExists(_))
-      finally walk.close()
-      val res = acc.acc.consolidate.toDF
-        .select(col("event_id"), col("user_id"),
-          col("cnt").as("n_1h"), col("vsum").as("sv_1h"))
-        .localCheckpoint(true)
-      st.close()
-      res
+      } finally st.close()
     }),
 
     // STREAMING INCREMENTAL TF-IDF (q88, VERDICT r12 #8 — the streaming
@@ -851,12 +857,12 @@ object StreamingQueries extends QueryModule {
           .unionByName(df.where(pmod(col("doc_id"), lit(10)) === 3)
             .select(col("doc_id"), col("text"), lit(E).as("slice"),
               lit(-1L).as("w"))))
-      def toPostings(df: DataFrame): DataFrame = df
-        .select(col("doc_id"), col("w"),
-          explode(split(col("text"), " ")).as("term"))
-        .groupBy("doc_id", "term", "w").agg(count(lit(1)).as("tf"))
-        .select(col("doc_id"), col("term"), col("tf"),
-          col("w").as(ZSetFrame.W))
+      // shared posting builder (VERDICT r13 #3) — the CDC weight column
+      // rides the grouping; one tokenize/tf across t10/t12/q88
+      def toPostings(df: DataFrame): DataFrame =
+        Postings.build(df, withDl = false)
+          .select(col("doc_id"), col("term"), col("tf"),
+            col("w").as(ZSetFrame.W))
       val template = s.read.parquet(s"$dir/documents.parquet")
         .withColumn("w", lit(1L))
       val st = new TfIdfState(
@@ -869,28 +875,31 @@ object StreamingQueries extends QueryModule {
       val src = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(staged)
       val ck = Files.createTempDirectory("graft_stfidf_ck")
-      // exception-safe drive: a failing micro-batch must still stop the
-      // query, delete the /tmp checkpoint dir, and close the state's
-      // pinned traces (code-review r13)
+      // exception-safe drive (code-review r13 + ADVICE r13): the /tmp
+      // checkpoint dir's deletion is a finally tied to its CREATION — it
+      // runs whether start() throws, a micro-batch fails, or q.stop()
+      // itself throws — and st.close() is the outermost finally so the
+      // state's pinned traces release on every path
       try {
-        val q = src.writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            if (!batch.isEmpty)
-              acc.update(st.step(ZSetFrame.fromDelta(toPostings(batch))))
-          }
-          .option("checkpointLocation", ck.toString)
-          .start()
-        try q.processAllAvailable()
-        finally {
-          q.stop()
+        try {
+          val q = src.writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              if (!batch.isEmpty)
+                acc.update(st.step(ZSetFrame.fromDelta(toPostings(batch))))
+            }
+            .option("checkpointLocation", ck.toString)
+            .start()
+          try q.processAllAvailable()
+          finally q.stop()
+          acc.acc.consolidate.toDF
+            .select("doc_id", "term", "tf", "score_q")
+            .localCheckpoint(true)
+        } finally {
           val walk = Files.walk(ck)
           try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
             .forEach(Files.deleteIfExists(_))
           finally walk.close()
         }
-        acc.acc.consolidate.toDF
-          .select("doc_id", "term", "tf", "score_q")
-          .localCheckpoint(true)
       } finally st.close()
     }),
 
@@ -911,7 +920,7 @@ object StreamingQueries extends QueryModule {
       import graft.core.ZSetFrame
       import graft.incremental.Bm25State
       val E = 4
-      val qterms = Seq("spark", "query", "merge", "window")
+      val qterms = Postings.QueryTerms
       val staged = stageSlicedDir(s, dir, "documents", "dbm255", E + 1,
         _ => col("slice"),
         xform = df => df.select(col("doc_id"), col("text"),
@@ -920,13 +929,12 @@ object StreamingQueries extends QueryModule {
           .unionByName(df.where(pmod(col("doc_id"), lit(10)) === 3)
             .select(col("doc_id"), col("text"), lit(E).as("slice"),
               lit(-1L).as("w"))))
-      def toPostings(df: DataFrame): DataFrame = df
-        .select(col("doc_id"), col("w"),
-          size(split(col("text"), " ")).as("dl"),
-          explode(split(col("text"), " ")).as("term"))
-        .groupBy("doc_id", "dl", "term", "w").agg(count(lit(1)).as("tf"))
-        .select(col("doc_id"), col("term"), col("tf"), col("dl"),
-          col("w").as(ZSetFrame.W))
+      // shared posting builder (VERDICT r13 #3) — with dl; one
+      // tokenize/tf/dl across t11/t13/q89
+      def toPostings(df: DataFrame): DataFrame =
+        Postings.build(df, withDl = true)
+          .select(col("doc_id"), col("term"), col("tf"), col("dl"),
+            col("w").as(ZSetFrame.W))
       val template = s.read.parquet(s"$dir/documents.parquet")
         .withColumn("w", lit(1L))
       val st = new Bm25State(
@@ -940,88 +948,43 @@ object StreamingQueries extends QueryModule {
       val src = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(staged)
       val ck = Files.createTempDirectory("graft_sbm25_ck")
-      // exception-safe drive: a failing micro-batch must still stop the
-      // query, delete the /tmp checkpoint dir, and close the state's
-      // pinned traces (code-review r13)
+      // exception-safe drive (code-review r13 + ADVICE r13): ck deletion is
+      // a finally tied to its creation (survives start()/q.stop() throws);
+      // st.close() outermost — see q88
       try {
-        val q = src.writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            if (!batch.isEmpty)
-              acc.update(st.step(ZSetFrame.fromDelta(toPostings(batch))))
-          }
-          .option("checkpointLocation", ck.toString)
-          .start()
-        try q.processAllAvailable()
-        finally {
-          q.stop()
+        try {
+          val q = src.writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              if (!batch.isEmpty)
+                acc.update(st.step(ZSetFrame.fromDelta(toPostings(batch))))
+            }
+            .option("checkpointLocation", ck.toString)
+            .start()
+          try q.processAllAvailable()
+          finally q.stop()
+          acc.acc.consolidate.toDF
+            .select("doc_id", "score_q", "rnk")
+            .localCheckpoint(true)
+        } finally {
           val walk = Files.walk(ck)
           try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
             .forEach(Files.deleteIfExists(_))
           finally walk.close()
         }
-        acc.acc.consolidate.toDF
-          .select("doc_id", "score_q", "rnk")
-          .localCheckpoint(true)
       } finally st.close()
     })
   )
 
   override def oracle: Map[String, String] = Map(
-    // t12's oracle verbatim: batch top-term over the surviving corpus
-    // (doc_id%10<>3) with the N-free quantized score floor(tf*10000/df)
-    "q88_stream_inc_tfidf" ->
-      """WITH tok AS (
-           SELECT doc_id, unnest(string_split(text, ' ')) AS term
-           FROM documents WHERE doc_id % 10 <> 3),
-         tf AS (
-           SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-           FROM tok GROUP BY 1, 2),
-         df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-         sc AS (
-           SELECT tf.doc_id, tf.term, tf.tf,
-             CAST(FLOOR(CAST(tf.tf * 10000 AS DOUBLE) / df.df) AS BIGINT)
-               AS score_q
-           FROM tf JOIN df USING (term)),
-         r AS (
-           SELECT *, row_number() OVER
-             (PARTITION BY doc_id ORDER BY score_q DESC, term ASC) AS rn
-           FROM sc)
-         SELECT doc_id, term, tf, score_q FROM r WHERE rn = 1""",
-    // t13's oracle verbatim: t11's batch BM25-surrogate top-10 over the
-    // surviving corpus (doc_id%10<>3), identical IEEE sequence via the
-    // shared Bm25.sq expression, sq quantized before the per-doc sum
-    "q89_stream_inc_bm25" ->
-      """WITH base AS (
-           SELECT doc_id, len(string_split(text, ' ')) AS dl, text
-           FROM documents WHERE doc_id % 10 <> 3),
-         consts AS (
-           SELECT CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(dl) AS BIGINT) AS t_toks FROM base),
-         tf AS (
-           SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM (
-             SELECT doc_id, dl, unnest(string_split(text, ' ')) AS term
-             FROM base)
-           WHERE term IN ('spark', 'query', 'merge', 'window')
-           GROUP BY 1, 2, 3),
-         dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-         scored AS (
-           SELECT f.doc_id,
-             CAST(FLOOR(
-               (CAST(2 * c.n_docs - 2 * d.df + 1 AS DOUBLE)
-                 / CAST(2 * d.df + 1 AS DOUBLE))
-               * (CAST(44 * c.t_toks * f.tf AS DOUBLE)
-                 / CAST(20 * c.t_toks * f.tf + 6 * c.t_toks
-                        + 18 * f.dl * c.n_docs AS DOUBLE))
-               * 1e6) AS BIGINT) AS sq
-           FROM tf f JOIN dft d USING (term) CROSS JOIN consts c),
-         tot AS (
-           SELECT doc_id, CAST(sum(sq) AS BIGINT) AS score_q
-           FROM scored GROUP BY 1)
-         SELECT doc_id, score_q, rnk FROM (
-           SELECT doc_id, score_q,
-             row_number() OVER (ORDER BY score_q DESC, doc_id) AS rnk
-           FROM tot)
-         WHERE rnk <= 10""",
+    // t12's oracle VERBATIM — the same shared-generator call (VERDICT r13
+    // #3): batch top-term over the surviving corpus (doc_id%10<>3) with
+    // the N-free quantized score floor(tf*10000/df)
+    "q88_stream_inc_tfidf" -> Postings.tfidfTop1OracleSql("doc_id % 10 <> 3"),
+    // t13's oracle VERBATIM — the same shared-generator call: t11's batch
+    // BM25-surrogate top-10 over the surviving corpus, identical IEEE
+    // sequence via the shared Bm25.sq expression, sq quantized before the
+    // per-doc sum
+    "q89_stream_inc_bm25" -> Postings.bm25Top10OracleSql("doc_id % 10 <> 3"),
     "q33_stream_tumble" ->
       s"""SELECT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS wstart, event_type,
             count(*) AS n, ${oSum("value")} AS sum_value

@@ -62,8 +62,9 @@ object TextAnalysis extends QueryModule {
     // order — deterministic under any partitioning.
     "t10_tfidf" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val tf = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // shared posting builder (VERDICT r13 #3) — one tokenize/tf for
+      // t10/t12/q88 and (with dl) t11/t13/q89
+      val tf = Postings.build(docs, withDl = false)
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(df, Seq("term"))
@@ -101,15 +102,14 @@ object TextAnalysis extends QueryModule {
     // TakeOrderedAndProject (orderBy+limit — O(n) scan, O(10) result, no
     // global sort), with row_number assigned over the 10 survivors only.
     "t11_bm25" -> ((s, dir) => {
-      val qterms = Seq("spark", "query", "merge", "window")
-      val base = t(s, dir, "documents")
-        .select(col("doc_id"), size(toks(col("text"))).as("dl"), col("text"))
-      val tf = base.select(col("doc_id"), col("dl"),
-          explode(toks(col("text"))).as("term"))
-        .where(col("term").isin(qterms.map(_.asInstanceOf[Any]): _*))
-        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val qterms = Postings.QueryTerms
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // shared posting builder (VERDICT r13 #3), query-restricted before
+      // the tf groupBy — non-matching postings never shuffle
+      val tf = Postings.build(docs, withDl = true,
+        termFilter = Some(col("term").isin(qterms.map(_.asInstanceOf[Any]): _*)))
       val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val consts = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_toks"))
+      val consts = Postings.corpusConsts(docs)
       val scored = tf.join(broadcast(dft), Seq("term"))
         .crossJoin(broadcast(consts))
         .select(col("doc_id"),
@@ -143,9 +143,9 @@ object TextAnalysis extends QueryModule {
       import graft.core.ZSetFrame
       val E = 4
       val nB = 32
-      val tfAll = t(s, dir, "documents")
-        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val tfAll = Postings.build(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          withDl = false)
         .localCheckpoint(true)
       val st = new graft.incremental.TfIdfState(
         ZSetFrame.fromTable(tfAll.where(lit(false))), nB)
@@ -194,11 +194,10 @@ object TextAnalysis extends QueryModule {
       import graft.core.ZSetFrame
       val E = 4
       val nB = 32
-      val qterms = Seq("spark", "query", "merge", "window")
-      val tfAll = t(s, dir, "documents")
-        .select(col("doc_id"), size(toks(col("text"))).as("dl"),
-          explode(toks(col("text"))).as("term"))
-        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      val qterms = Postings.QueryTerms
+      val tfAll = Postings.build(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          withDl = true)
         .select("doc_id", "term", "tf", "dl")
         .localCheckpoint(true)
       val st = new graft.incremental.Bm25State(
@@ -625,14 +624,11 @@ object TextAnalysis extends QueryModule {
     Map(
       // same op sequence as the query: BIGINT tf*N, one double multiply by
       // 1e6 (exact: ≤ 2.5e11 < 2^53), one division, floor — identical
-      // IEEE roundings in both engines
+      // IEEE roundings in both engines. Tokenize/tf CTEs come from the
+      // shared SQL-mirror generator (VERDICT r13 #3) — one source of truth
+      // for the posting logic across t10/t12/q88 (and t11/t13/q89 below).
       "t10_tfidf" ->
-        """WITH tok AS (
-             SELECT doc_id, unnest(string_split(text, ' ')) AS term
-             FROM documents),
-           tf AS (
-             SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-             FROM tok GROUP BY 1, 2),
+        s"""WITH ${Postings.tfSqlCtes("TRUE")},
            df AS (
              SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
            n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
@@ -649,98 +645,20 @@ object TextAnalysis extends QueryModule {
 
       // batch top-term over the SURVIVING corpus (doc_id%10<>3) with t12's
       // N-free quantized score floor(tf*10000/df) — the integrated
-      // incremental output must match it row-for-row
-      "t12_inc_tfidf" ->
-        """WITH tok AS (
-             SELECT doc_id, unnest(string_split(text, ' ')) AS term
-             FROM documents WHERE doc_id % 10 <> 3),
-           tf AS (
-             SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-             FROM tok GROUP BY 1, 2),
-           df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-           sc AS (
-             SELECT tf.doc_id, tf.term, tf.tf,
-               CAST(FLOOR(CAST(tf.tf * 10000 AS DOUBLE) / df.df) AS BIGINT)
-                 AS score_q
-             FROM tf JOIN df USING (term)),
-           r AS (
-             SELECT *, row_number() OVER
-               (PARTITION BY doc_id ORDER BY score_q DESC, term ASC) AS rn
-             FROM sc)
-           SELECT doc_id, term, tf, score_q FROM r WHERE rn = 1""",
+      // incremental output must match it row-for-row (shared generator;
+      // q88 consumes the identical call)
+      "t12_inc_tfidf" -> Postings.tfidfTop1OracleSql("doc_id % 10 <> 3"),
 
       // same factor-by-factor IEEE sequence as the query (two BIGINT
       // ratios cast to DOUBLE, multiplied left-assoc, ×1e6, floor), sq
-      // quantized BEFORE the per-doc BIGINT sum
-      "t11_bm25" ->
-        """WITH base AS (
-             SELECT doc_id, len(string_split(text, ' ')) AS dl, text
-             FROM documents),
-           consts AS (
-             SELECT CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(dl) AS BIGINT) AS t_toks FROM base),
-           tf AS (
-             SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM (
-               SELECT doc_id, dl, unnest(string_split(text, ' ')) AS term
-               FROM base)
-             WHERE term IN ('spark', 'query', 'merge', 'window')
-             GROUP BY 1, 2, 3),
-           dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-           scored AS (
-             SELECT f.doc_id,
-               CAST(FLOOR(
-                 (CAST(2 * c.n_docs - 2 * d.df + 1 AS DOUBLE)
-                   / CAST(2 * d.df + 1 AS DOUBLE))
-                 * (CAST(44 * c.t_toks * f.tf AS DOUBLE)
-                   / CAST(20 * c.t_toks * f.tf + 6 * c.t_toks
-                          + 18 * f.dl * c.n_docs AS DOUBLE))
-                 * 1e6) AS BIGINT) AS sq
-             FROM tf f JOIN dft d USING (term) CROSS JOIN consts c),
-           tot AS (
-             SELECT doc_id, CAST(sum(sq) AS BIGINT) AS score_q
-             FROM scored GROUP BY 1)
-           SELECT doc_id, score_q, rnk FROM (
-             SELECT doc_id, score_q,
-               row_number() OVER (ORDER BY score_q DESC, doc_id) AS rnk
-             FROM tot)
-           WHERE rnk <= 10""",
+      // quantized BEFORE the per-doc BIGINT sum (shared generator)
+      "t11_bm25" -> Postings.bm25Top10OracleSql("TRUE"),
 
       // t11's batch ranking over the SURVIVING corpus (doc_id%10<>3) —
       // the incremental state's integrated top-k replacement deltas must
-      // match it bit-for-bit (same factor-by-factor IEEE sequence via the
-      // shared Bm25.sq expression, sq quantized BEFORE the per-doc sum)
-      "t13_inc_bm25" ->
-        """WITH base AS (
-             SELECT doc_id, len(string_split(text, ' ')) AS dl, text
-             FROM documents WHERE doc_id % 10 <> 3),
-           consts AS (
-             SELECT CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(dl) AS BIGINT) AS t_toks FROM base),
-           tf AS (
-             SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM (
-               SELECT doc_id, dl, unnest(string_split(text, ' ')) AS term
-               FROM base)
-             WHERE term IN ('spark', 'query', 'merge', 'window')
-             GROUP BY 1, 2, 3),
-           dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-           scored AS (
-             SELECT f.doc_id,
-               CAST(FLOOR(
-                 (CAST(2 * c.n_docs - 2 * d.df + 1 AS DOUBLE)
-                   / CAST(2 * d.df + 1 AS DOUBLE))
-                 * (CAST(44 * c.t_toks * f.tf AS DOUBLE)
-                   / CAST(20 * c.t_toks * f.tf + 6 * c.t_toks
-                          + 18 * f.dl * c.n_docs AS DOUBLE))
-                 * 1e6) AS BIGINT) AS sq
-             FROM tf f JOIN dft d USING (term) CROSS JOIN consts c),
-           tot AS (
-             SELECT doc_id, CAST(sum(sq) AS BIGINT) AS score_q
-             FROM scored GROUP BY 1)
-           SELECT doc_id, score_q, rnk FROM (
-             SELECT doc_id, score_q,
-               row_number() OVER (ORDER BY score_q DESC, doc_id) AS rnk
-             FROM tot)
-           WHERE rnk <= 10""",
+      // match it bit-for-bit (shared generator; q89 consumes the identical
+      // call)
+      "t13_inc_bm25" -> Postings.bm25Top10OracleSql("doc_id % 10 <> 3"),
 
       "t01_tokens" ->
         """SELECT doc_id, length(text) AS n_chars2,
