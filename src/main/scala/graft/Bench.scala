@@ -257,12 +257,19 @@ object Bench {
     writePartial(stepBench, Pending, throughput)
     // XL tier (VERDICT r10 #1): the 5M→50M decade in its OWN isolated
     // child JVM, so neither tier's heap history taxes the other — LAST in
-    // the run order: it is the most expensive and least gating section, so
-    // a budget overrun costs the controls, not the gates. Skippable for
-    // dev loops (SPARK_GRAFT_SKIP_STEPBENCH_XL=1) — the committed
-    // artifact carries it.
+    // the run order and OPT-IN since r14 (SPARK_GRAFT_STEPBENCH_XL=1,
+    // VERDICT r13 #1): the tier is ~18 min of wall, the single biggest
+    // line of the driver's ~45-min budget that r12's run blew (rc=124),
+    // and its figures change only when the state machinery changes — so
+    // the COMMITTED artifact carries it (the builder's opt-in run, with
+    // the r14 outlier re-run policy in StepBench.jsonXl) while a default
+    // run defers to that committed evidence and keeps the unconditional
+    // gates (queries, throughput, base step-bench) inside budget.
+    val xlOptIn = sys.env.get("SPARK_GRAFT_STEPBENCH_XL").contains("1")
     val stepBenchXl = section("step_bench_xl") {
-      if (sys.env.contains("SPARK_GRAFT_SKIP_STEPBENCH_XL")) """{"skipped":true}"""
+      if (!xlOptIn)
+        """{"deferred":true,"optin":"SPARK_GRAFT_STEPBENCH_XL=1",""" +
+          """"see":"committed BENCH_LOCAL.json"}"""
       else try stepBenchIsolated(5000000L, 10, "xl")
         catch { case e: Throwable => s"""{"error":"${e.getClass.getName}"}""" }
     }
@@ -285,9 +292,15 @@ object Bench {
     val healthy = errors.isEmpty &&
       !stepBench.startsWith("{\"error\"") && !throughput.startsWith("{\"error\"") &&
       !stepBenchXl.startsWith("{\"error\"") &&
-      !sys.env.contains("SPARK_GRAFT_THROUGHPUT_ONLY") &&
-      !sys.env.contains("SPARK_GRAFT_SKIP_STEPBENCH_XL")
-    val outName = if (healthy) "BENCH_LOCAL.json" else "BENCH_LOCAL.failed.json"
+      !sys.env.contains("SPARK_GRAFT_THROUGHPUT_ONLY")
+    // a healthy run WITHOUT the opt-in XL tier is real evidence for the
+    // unconditional gates but must not clobber the committed full artifact
+    // (BenchArtifactSpec requires the XL tracks there) — it lands in its
+    // own gitignored file
+    val outName =
+      if (!healthy) "BENCH_LOCAL.failed.json"
+      else if (xlOptIn) "BENCH_LOCAL.json"
+      else "BENCH_LOCAL.noxl.json"
     writeFile(outName, full)
     // the run completed: the streaming partial is now redundant (it exists
     // exactly for the timeout/kill case)

@@ -19,6 +19,25 @@ object RunOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // dev-loop timing mode: a comma-separated name list runs each query
+    // SPARK_GRAFT_RUNONE_REPS times (count(), no parquet write) in THIS
+    // warm JVM — cold-JVM single-query times are JIT/planning-dominated
+    // and not comparable to the bench's warm medians
+    if (name.contains(',')) {
+      val reps = sys.env.getOrElse("SPARK_GRAFT_RUNONE_REPS", "2").toInt
+      name.split(',').foreach { n =>
+        val times = (1 to reps).map { _ =>
+          val s0 = System.nanoTime()
+          SparkEntry.queries(n)(spark, sfDir).count()
+          val dt = (System.nanoTime() - s0) / 1e9
+          graft.incremental.Pinned.sweepSession(spark.sparkContext)
+          dt
+        }
+        println(f"[runone] $n: " + times.map(t => f"$t%.2f").mkString(" ") + " s")
+      }
+      spark.stop()
+      return
+    }
     val t0 = System.nanoTime()
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")

@@ -549,28 +549,63 @@ object StepBench {
     // "super-linear"), because a 50M full recompute per step is exactly
     // the cost the gated tracks exist to avoid.
     val s2 = steps * 2
-    val kS = floor("keyed_xl_s")(() => runKeyed(spark, base, nKeys, s2, 256))
-    val kL = floor("keyed_xl_l")(() => runKeyed(spark, base * 10, nKeys * 10, s2, 2560))
+    // CHILD-JVM WARMUP (r14): the first measured config used to absorb the
+    // fresh child's JIT/codegen/heap-growth tax — r13's committed keyed_xl
+    // pair read 0.465 → 0.123 s (a 4× INVERSION at constant bucket bytes),
+    // i.e. the small side was measuring JVM ramp, not step cost. One
+    // unmeasured toy run retires that tax before any gated figure.
+    floorRun(spark, "xl_warmup")(() => runKeyed(spark, 100000L, 2000L, 4, 256))
+    // OUTLIER POLICY (VERDICT r13 #4): a gated pair whose growth ratio
+    // lands outside [0.5, 2.0] — r13 shipped rolling_xl 3.33 against three
+    // same-day identical-code runs reading 0.95-0.96 — is re-run twice and
+    // the committed figure is the MEDIAN of the 3 ratios; every measured
+    // pair lands in the xl_gate_runs sidecar so a consumer can see the
+    // spread without STEPBENCH.md exegesis. In-band pairs stay one-seed
+    // (no budget change on a clean run).
+    val gateRuns =
+      scala.collection.mutable.LinkedHashMap[String, List[(Double, Double)]]()
+    def gated(name: String)(small: () => Seq[Double])(large: () => Seq[Double])
+        : (Double, Double, Double) = {
+      def one(i: Int): (Double, Double) =
+        (floor(s"${name}_xl_s#$i")(small), floor(s"${name}_xl_l#$i")(large))
+      def ratioOf(p: (Double, Double)): Double = p._2 / math.max(p._1, 1e-9)
+      var runs = List(one(1))
+      if (ratioOf(runs.head) < 0.5 || ratioOf(runs.head) > 2.0)
+        runs = runs :+ one(2) :+ one(3)
+      gateRuns(name) = runs
+      val byRatio = runs.sortBy(ratioOf)
+      val med = byRatio((byRatio.size - 1) / 2)
+      (med._1, med._2, ratioOf(med))
+    }
+    val (kS, kL, kG) = gated("keyed")(
+      () => runKeyed(spark, base, nKeys, s2, 256))(
+      () => runKeyed(spark, base * 10, nKeys * 10, s2, 2560))
     val kLfix = floor("keyed_xl_fix")(() => runKeyed(spark, base * 10, nKeys * 10, steps, 256))
-    val uS = floor("upsert_xl_s")(() => runUpsert(spark, base, s2, 32))
-    val uL = floor("upsert_xl_l")(() => runUpsert(spark, base * 10, s2, 320))
-    val rS = floor("rolling_xl_s")(() => runRolling(spark, base, nKeys, s2, 256))
-    val rL = floor("rolling_xl_l")(() => runRolling(spark, base * 10, nKeys * 10, s2, 2560))
+    val (uS, uL, uG) = gated("upsert")(
+      () => runUpsert(spark, base, s2, 32))(
+      () => runUpsert(spark, base * 10, s2, 320))
+    val (rS, rL, rG) = gated("rolling")(
+      () => runRolling(spark, base, nKeys, s2, 256))(
+      () => runRolling(spark, base * 10, nKeys * 10, s2, 2560))
     val xS = floor("radix_xl_s")(() => runRadix(spark, base, nKeys, s2, 2560))
-    val xL = floor("radix_xl_l")(() => runRadix(spark, base * 10, nKeys * 10, s2, 25600))
     // the radix decomposition pivot: SMALL state on the LARGE bucket count.
     // Diagnosed r11: the scaled-config ratio xL/xS conflates state growth
     // with a per-step bucket-COUNT metadata constant (measured at constant
     // data: 5M@25600 ≈ 50M@25600 ≫ 5M@2560) — xMid splits them:
     // xL/xMid = state growth at a fixed deployment config (the flatness
-    // claim); xMid/xS = what 10× partitions cost per step at CONSTANT
-    // data (a config constant a deployment pays by sizing buckets once,
-    // not a function of state). xMid gets the same 2×steps sample count as
-    // xL — the samecfg gate is a ratio of exactly these two floors.
-    val xMid = floor("radix_xl_mid")(() => runRadix(spark, base, nKeys, s2, 25600))
+    // claim — the GATED ratio, so the mid/large pair runs under the
+    // outlier policy); xMid/xS = what 10× partitions cost per step at
+    // CONSTANT data (a config constant a deployment pays by sizing buckets
+    // once, not a function of state).
+    val (xMid, xL, xG) = gated("radix_samecfg")(
+      () => runRadix(spark, base, nKeys, s2, 25600))(
+      () => runRadix(spark, base * 10, nKeys * 10, s2, 25600))
     val nS = floor("naive_xl_s")(() => runNaive(spark, base, nKeys, math.min(steps, 4)))
     val nL = floor("naive_xl_l")(() => runNaive(spark, base * 10, nKeys * 10, 3))
-    f"""{"stat":"xl_per_step_floor_one_seed_2x_steps_controls_fewer","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"bucket_bytes":"constant (10x buckets at 10x state; keyed_xl_fixed is the unscaled control)","keyed_xl_small_sec":$kS%.3f,"keyed_xl_large_sec":$kL%.3f,"keyed_xl_fixed_large_sec":$kLfix%.3f,"upsert_xl_small_sec":$uS%.3f,"upsert_xl_large_sec":$uL%.3f,"rolling_xl_small_sec":$rS%.3f,"rolling_xl_large_sec":$rL%.3f,"radix_scaled_xl_small_sec":$xS%.3f,"radix_scaled_xl_mid_sec":$xMid%.3f,"radix_scaled_xl_large_sec":$xL%.3f,"naive_xl_small_sec":$nS%.3f,"naive_xl_large_sec":$nL%.3f,"keyed_xl_growth":${kL / kS}%.2f,"keyed_xl_fixed_growth":${kLfix / kS}%.2f,"upsert_xl_growth":${uL / uS}%.2f,"rolling_xl_growth":${rL / rS}%.2f,"radix_scaled_xl_growth":${xL / xS}%.2f,"radix_xl_samecfg_growth":${xL / xMid}%.2f,"radix_xl_bucketcount_ratio":${xMid / xS}%.2f,"naive_xl_growth":${nL / nS}%.2f}"""
+    val gateRunsJson = gateRuns.map { case (n, rs) =>
+      s""""$n":[${rs.map(p => f"[${p._1}%.3f,${p._2}%.3f]").mkString(",")}]"""
+    }.mkString("{", ",", "}")
+    f"""{"stat":"xl_per_step_floor_one_seed_2x_steps_controls_fewer_outlier_median_of_3","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"bucket_bytes":"constant (10x buckets at 10x state; keyed_xl_fixed is the unscaled control)","keyed_xl_small_sec":$kS%.3f,"keyed_xl_large_sec":$kL%.3f,"keyed_xl_fixed_large_sec":$kLfix%.3f,"upsert_xl_small_sec":$uS%.3f,"upsert_xl_large_sec":$uL%.3f,"rolling_xl_small_sec":$rS%.3f,"rolling_xl_large_sec":$rL%.3f,"radix_scaled_xl_small_sec":$xS%.3f,"radix_scaled_xl_mid_sec":$xMid%.3f,"radix_scaled_xl_large_sec":$xL%.3f,"naive_xl_small_sec":$nS%.3f,"naive_xl_large_sec":$nL%.3f,"keyed_xl_growth":$kG%.2f,"keyed_xl_fixed_growth":${kLfix / kS}%.2f,"upsert_xl_growth":$uG%.2f,"rolling_xl_growth":$rG%.2f,"radix_scaled_xl_growth":${xL / xS}%.2f,"radix_xl_samecfg_growth":$xG%.2f,"radix_xl_bucketcount_ratio":${xMid / xS}%.2f,"naive_xl_growth":${nL / nS}%.2f,"xl_gate_runs":$gateRunsJson}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -628,6 +663,23 @@ object StepBench {
         System.err.println(
           f"[stepbench tfidf n=$n] " + ts.map(t => f"$t%.2f").mkString(" ") +
             " | prune " + pr.map(p => f"$p%.4f").mkString(" "))
+        graft.incremental.Pinned.sweepSession(spark.sparkContext)
+      }
+    } else if (args.length > 2 && args(2) == "anntri") {
+      // diagnostic (VERDICT r13 #5): three-decade floors for the two
+      // noisiest base-tier gates — ann 500k/5M/50M vectors, tri
+      // 100k/1M/10M edges (at the default base) — the radix-diag
+      // discipline: per-decade floors from one clean run each, session
+      // swept between, documented in STEPBENCH.md
+      Seq(base, base * 10, base * 100).foreach { n =>
+        val ts = runAnn(spark, n, steps)
+        System.err.println(f"[stepbench ann3 n=$n] floor=${floorOf(ts)}%.3f s")
+        graft.incremental.Pinned.sweepSession(spark.sparkContext)
+      }
+      Seq(base / 5, base * 2, base * 20).foreach { n =>
+        val ts = runTri(spark, n, steps)
+        System.err.println(f"[stepbench tri3 n=$n] floor=${floorOf(ts)}%.3f s " +
+          ts.map(t => f"$t%.2f").mkString(" "))
         graft.incremental.Pinned.sweepSession(spark.sparkContext)
       }
     } else if (args.length > 2 && args(2) == "tri") {
