@@ -294,7 +294,8 @@ object StepBench {
     * intermediate) and both edge traces sit in place, partition-pruned;
     * nothing rescans the graph. The residual growth term is per-bucket
     * slice size, same as the keyed track. */
-  def runTri(spark: SparkSession, n: Long, steps: Int): Seq[Double] = {
+  def runTri(spark: SparkSession, n: Long, steps: Int,
+             nBuckets: Int = 256): Seq[Double] = {
     import graft.operators.TriangleCountState
     val k = 8L
     val nNodes = n / k
@@ -306,7 +307,7 @@ object StepBench {
         (expr(s"id div $k") + col("id") % k + 1L).as("v"),
         lit(1L).as(ZSetFrame.W))
       .where(col("v") < nNodes)
-    val st = new TriangleCountState(spark, 256)
+    val st = new TriangleCountState(spark, nBuckets)
     st.advance(ZSetFrame.fromDelta(seed))
     import spark.implicits._
     def deltaRows(i: Int, w: Long): Seq[(Long, Long, Long)] = {
@@ -676,11 +677,18 @@ object StepBench {
         System.err.println(f"[stepbench ann3 n=$n] floor=${floorOf(ts)}%.3f s")
         graft.incremental.Pinned.sweepSession(spark.sparkContext)
       }
-      Seq(base / 5, base * 2, base * 20).foreach { n =>
-        val ts = runTri(spark, n, steps)
-        System.err.println(f"[stepbench tri3 n=$n] floor=${floorOf(ts)}%.3f s " +
-          ts.map(t => f"$t%.2f").mkString(" "))
-        graft.incremental.Pinned.sweepSession(spark.sparkContext)
+      // buckets scale with the edge count past the base tier (constant
+      // bucket bytes, the keyed/radix/tfidf discipline): the first 10M-edge
+      // pass at fixed 256 buckets read a 9.5× floor jump — bucket-SIZE
+      // growth in the touched-bucket consolidation, the known fixed-bucket
+      // artifact, not per-step cost
+      Seq((base / 5, 256), (base * 2, 256), (base * 20, 2560)).foreach {
+        case (n, nb) =>
+          val ts = runTri(spark, n, steps, nb)
+          System.err.println(
+            f"[stepbench tri3 n=$n nb=$nb] floor=${floorOf(ts)}%.3f s " +
+              ts.map(t => f"$t%.2f").mkString(" "))
+          graft.incremental.Pinned.sweepSession(spark.sparkContext)
       }
     } else if (args.length > 2 && args(2) == "tri") {
       // diagnostic mode: one tri run per scale, per-step times on stderr

@@ -7,101 +7,125 @@ import org.apache.spark.sql.functions._
 import graft.core.ZSetFrame
 import graft.functions.Bm25
 
-/** Incrementally maintained BM25-surrogate top-k retrieval for a FIXED
-  * query-term set under document inserts AND deletes — the "standing
-  * ranked query" behind a continuously refreshed retrieval corpus. This is
-  * strictly harsher coupling than [[TfIdfState]]'s: there only df(term)
-  * couples documents, here the corpus constants N (doc count) and T (token
-  * count) enter EVERY posting's score through the idf and length-
-  * normalization factors, so every single insert moves, in principle, every
-  * matching document's score. The reference's answer to non-linear
-  * aggregates is touched-key recompute
-  * (reference: crates/dbsp/src/operator/aggregate/mod.rs:204-244); the
-  * touched set here is again QUANTIZATION-AWARE: scores are sums of
-  * floor-quantized per-posting contributions ([[Bm25.sq]], quantize-before-
-  * sum), and a stored document's score only moves when some posting's floor
-  * CROSSES under this step's (N, T, df) transition. On a large corpus the
-  * per-step relative drift of N, T, and any hot term's df is tiny, so
-  * floors almost never cross — the grid absorbs the global coupling exactly
-  * where it is most expensive.
+/** Incrementally maintained BM25-surrogate top-k retrieval for MANY standing
+  * query-term sets under document inserts AND deletes — a retrieval INDEX
+  * serving concurrent ranked queries over a continuously refreshed corpus
+  * (VERDICT r13 #7; [[Bm25State]] below is the single-query specialization).
+  * The reference analog of the sharing is the circuit cache handing one
+  * trace to every consumer (reference: crates/dbsp/src/circuit/cache.rs,
+  * operator/distinct.rs:23-24): all queries share ONE term-restricted
+  * posting trace, one set of corpus constants, one screen — a query set is
+  * a row set in a small (query_id, term) dimension, not a new circuit.
+  *
+  * Coupling (as in the single-query case, harsher than TF-IDF's): the
+  * corpus constants N (doc count) and T (token count) enter EVERY posting's
+  * score, so any insert moves, in principle, every matching document of
+  * every query. The reference's answer to non-linear aggregates is
+  * touched-key recompute (reference:
+  * crates/dbsp/src/operator/aggregate/mod.rs:204-244); the touched set here
+  * is QUANTIZATION-AWARE: scores are sums of floor-quantized per-posting
+  * contributions ([[Bm25.sq]], quantize-before-sum), and a stored
+  * (query, doc) score only moves when some posting's floor CROSSES under
+  * this step's (N, T, df) transition. Floor crossing is a PER-POSTING
+  * predicate independent of which queries contain the term, so one screen
+  * serves every standing query.
   *
   * Per-step shape (the 100 TB story):
-  *   - O(Δ) scalar maintenance: N, T, and the |Q| df values advance by ONE
-  *     small ≤ |Q|+1-row aggregation action over the delta (driver-held
-  *     scalars — they are the operator's broadcast constants, the reference
-  *     keeps the same integrals as circuit scalars).
-  *   - One NO-SHUFFLE screening scan of the QUERY-RESTRICTED inverted
-  *     index: storage is O(postings of Q's terms) — the match set, never
-  *     the corpus — and the screen is a scan-in-place of that trace with
-  *     the 4-row old/new df table broadcast. No job is proportional to the
-  *     corpus.
+  *   - O(Δ) scalar maintenance: N, T, and the |U| df values (U = union of
+  *     all query terms) advance by ONE small ≤ |U|+1-row aggregation action
+  *     over the delta (driver-held scalars — the operator's broadcast
+  *     constants, the reference keeps the same integrals as circuit
+  *     scalars).
+  *   - One NO-SHUFFLE screening scan of the U-RESTRICTED inverted index:
+  *     storage is O(postings of U's terms) — the union match set, never the
+  *     corpus — with the |U|-row old/new df table broadcast. Shared across
+  *     queries; adding a query set adds dimension rows, not scans.
   *   - O(affected) rescore: exactly the docs with a crossed floor plus the
   *     delta's matching docs, partition-pruned by the affected bucket span
-  *     (acquired via an Observation riding the checkpoint — the d31
-  *     discipline, no extra job).
-  *   - O(touched buckets) top-k maintenance: a two-level winner structure —
-  *     per-bucket top-k recomputed only for touched buckets, global top-k
-  *     re-derived from the ≤ nBuckets·k per-bucket winners (a tiny
-  *     dimension trace, scan-in-place).
+  *     (an Observation riding the checkpoint — the d31 discipline); each
+  *     affected doc rescoes once per query that matches it, via the
+  *     broadcast (query_id, term) dimension join.
+  *   - O(touched buckets) top-k maintenance per query: the two-level
+  *     winner structure keyed by doc bucket with query_id as a data
+  *     column — per-(query, bucket) top-k recomputed only for touched
+  *     buckets, each query's global top-k re-derived from its
+  *     ≤ nBuckets·k per-bucket winners (a dimension trace, scan-in-place).
   *
   * State, each a bucket-partitioned [[KeyedState]] trace keyed by doc_id:
-  *   - qIdx:      query-restricted postings (doc_id, term, tf, dl);
-  *                O(Δ∩Q) spine-append per step
-  *   - scoreIdx:  doc → current quantized score (sum of posting sq's)
-  *   - bucketTop: per-bucket top-k winner rows (⊆ scoreIdx, same bucketing)
-  *   - topIdx:    the global top-k answer (doc_id, score_q, rnk) — its
-  *                −old/+new replacement delta IS the emitted output
+  *   - qIdx:      U-restricted postings (doc_id, term, tf, dl);
+  *                O(Δ∩U) spine-append per step — SHARED by all queries
+  *   - scoreIdx:  (doc, query) → current quantized score
+  *   - bucketTop: per-(query, bucket) top-k winner rows (⊆ scoreIdx)
+  *   - topIdx:    the per-query global top-k answer
+  *                (query_id, doc_id, score_q, rnk) — its −old/+new
+  *                replacement delta IS the emitted output
   *
-  * Exactness induction (mirrors TfIdfState): a doc's stored score is the
-  * exact BIGINT sum of per-posting sq's under the constants at its last
-  * rescore; each step's screen certifies per posting that
-  * sq(prev constants) == sq(new constants) for every unaffected doc, so by
-  * induction the stored sums stay equal to a from-scratch batch evaluation
-  * under the CURRENT constants. The emitted deltas therefore integrate to
-  * the batch top-k (t13's DuckDB oracle gates this bit-for-bit).
+  * Exactness induction (as [[Bm25State]]'s, per (query, doc)): a stored
+  * score is the exact BIGINT sum of per-posting sq's under the constants at
+  * its last rescore; each step's screen certifies per posting that
+  * sq(prev) == sq(new) for every unaffected doc, and a (query, doc) score
+  * is a sum over a subset of the doc's postings — so unaffected docs'
+  * scores stay equal to a from-scratch batch evaluation under the CURRENT
+  * constants, for every query at once. The emitted deltas integrate to the
+  * per-query batch top-k (t14's DuckDB oracle gates this bit-for-bit;
+  * t13/q89 gate the single-query specialization through the same code).
   */
-final class Bm25State(emptyPosting: ZSetFrame, val qterms: Seq[String],
-                      val nBuckets: Int, val topK: Int = 10,
-                      /** Quantization grid (1e6 in production — the value
-                        * the t13 oracle hard-codes via [[Bm25.sq]]'s
-                        * default). Tests shrink it to reach the pruning
-                        * regime at toy corpus sizes, TfIdfState's C. */
-                      val grid: Double = 1e6) {
+final class MultiBm25State(emptyPosting: ZSetFrame,
+                           val qsets: Seq[(String, Seq[String])],
+                           val nBuckets: Int, val topK: Int = 10,
+                           /** Quantization grid (1e6 in production — the
+                             * value the oracles hard-code via [[Bm25.sq]]'s
+                             * default). Tests shrink it to reach the pruning
+                             * regime at toy corpus sizes. */
+                           val grid: Double = 1e6) {
   import ZSetFrame.W
 
   private val spark = emptyPosting.spark
 
+  /** U: the union term set — what the shared posting trace is restricted
+    * to, and the granularity of df maintenance. */
+  private val uterms: Seq[String] = qsets.flatMap(_._2).distinct
+
   private val qIdx = new KeyedState(Seq("doc_id"), nBuckets, emptyPosting)
   private val scoreIdx = new KeyedState(Seq("doc_id"), nBuckets,
     ZSetFrame.fromDelta(emptyPosting.df.select(col("doc_id"),
-      lit(0L).as("score_q"), col(W))))
+      lit("").as("query_id"), lit(0L).as("score_q"), col(W))))
   private val bucketTop = new KeyedState(Seq("doc_id"), nBuckets,
     ZSetFrame.fromDelta(emptyPosting.df.select(col("doc_id"),
-      lit(0L).as("score_q"), col(W))))
+      lit("").as("query_id"), lit(0L).as("score_q"), col(W))))
   private val topIdx = new KeyedState(Seq("doc_id"), nBuckets,
     ZSetFrame.fromDelta(emptyPosting.df.select(col("doc_id"),
-      lit(0L).as("score_q"), lit(0).as("rnk"), col(W))))
+      lit("").as("query_id"), lit(0L).as("score_q"), lit(0).as("rnk"),
+      col(W))))
 
-  // corpus constants and the |Q| df values — driver-held scalars, advanced
+  // corpus constants and the |U| df values — driver-held scalars, advanced
   // O(Δ) per step and broadcast into the screen/rescore expressions
   private var nDocs = 0L
   private var tToks = 0L
-  private val dfQ = scala.collection.mutable.Map[String, Long]()
+  private val dfU = scala.collection.mutable.Map[String, Long]()
+
+  // the (query_id, term) dimension — the verdict's "dfTab broadcast becomes
+  // a keyed dimension join": built once, broadcast into every rescore
+  private val qtTab: DataFrame = {
+    import spark.implicits._
+    qsets.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+  }
 
   /** Diagnostic: last step's affected-doc set (pinned; tests count it to
-    * certify the screening prunes — affected ≪ match set on steps whose
-    * constant drift stays inside the quantization grid). */
+    * certify the screening prunes — affected ≪ union match set on steps
+    * whose constant drift stays inside the quantization grid). */
   private[graft] var lastAffected: DataFrame = _
   private var prevStepPins: Seq[DataFrame] = Nil
 
-  private def qlits: Seq[Any] = qterms.map(_.asInstanceOf[Any])
+  private def ulits: Seq[Any] = uterms.map(_.asInstanceOf[Any])
 
   /** One step. `delta` holds consolidated (doc_id, term, tf, dl) posting
     * rows with ±1 weights — a doc's FULL posting set on insert (+1) or
     * retract (−1); non-matching terms contribute only to the N/T scalar
     * maintenance and are not stored. Returns the −old/+new top-k
-    * replacement delta; the emitted rows integrate to
-    * (doc_id, score_q, rnk). */
+    * replacement delta across ALL queries; the emitted rows integrate to
+    * (query_id, doc_id, score_q, rnk). */
   def step(delta: ZSetFrame): ZSetFrame = {
     prevStepPins.foreach(Pinned.release)
     prevStepPins = Nil
@@ -109,8 +133,8 @@ final class Bm25State(emptyPosting: ZSetFrame, val qterms: Seq[String],
     //    (VERDICT r13 #2: this was two driver-synchronous jobs, a first()
     //    for ΔN/ΔT plus a collect() for Δdf — each a ~0.15 s local-mode
     //    barrier on every step): per-doc distinct rows give ΔN = Σ_docs w
-    //    and ΔT = Σ_docs dl·w; the query-restricted term groups give Δdf
-    //    per query term. The two aggregates union into one ≤ |Q|+1-row
+    //    and ΔT = Σ_docs dl·w; the U-restricted term groups give Δdf per
+    //    union term. The two aggregates union into one ≤ |U|+1-row
     //    collect. The doc row also carries the step-contract check
     //    (ADVICE r13): dl must be constant per (doc_id, w) within a delta —
     //    a violation would silently corrupt the N/T induction, so it fails
@@ -127,33 +151,34 @@ final class Bm25State(emptyPosting: ZSetFrame, val qterms: Seq[String],
         (count(lit(1)) - count_distinct(col("doc_id"), col(W))).as("viol"))
       .select(lit(null).cast("string").as("term"), col("a"), col("b"),
         col("viol"))
-    val ddfAgg = delta.df.where(col("term").isin(qlits: _*))
+    val ddfAgg = delta.df.where(col("term").isin(ulits: _*))
       .groupBy("term").agg(sum(col(W)).as("a"))
       .where(col("a") =!= 0L)
       .select(col("term"), col("a"), lit(0L).as("b"), lit(0L).as("viol"))
     val statRows = docAgg.unionByName(ddfAgg).collect()
     val nOld = nDocs; val tOld = tToks
-    val dfOld = dfQ.toMap
+    val dfOld = dfU.toMap
     statRows.foreach { r =>
       if (r.isNullAt(0)) {
         require(r.getLong(3) == 0L,
-          "graft: Bm25State step contract violated — a (doc_id, w) pair in " +
+          "graft: Bm25 step contract violated — a (doc_id, w) pair in " +
             "the delta carries more than one distinct dl; N/T maintenance " +
             "would be silently corrupted")
         nDocs += r.getLong(1); tToks += r.getLong(2)
       } else
-        dfQ(r.getString(0)) = dfQ.getOrElse(r.getString(0), 0L) + r.getLong(1)
+        dfU(r.getString(0)) = dfU.getOrElse(r.getString(0), 0L) + r.getLong(1)
     }
-    // 2. the old/new constant table for the screen — |Q| rows, broadcast
+    // 2. the old/new constant table for the screen — |U| rows, broadcast
     import spark.implicits._
-    val dfTab = qterms.map(t =>
-        (t, dfOld.getOrElse(t, 0L), dfQ.getOrElse(t, 0L)))
+    val dfTab = uterms.map(t =>
+        (t, dfOld.getOrElse(t, 0L), dfU.getOrElse(t, 0L)))
       .toDF("term", "df_old", "df_new")
-    // 3. screen: ONE no-shuffle scan of the query-restricted index — every
+    // 3. screen: ONE no-shuffle scan of the U-restricted index — every
     //    stored posting's floor under (N,T,df)_old vs (N,T,df)_new. A
     //    posting with df_new == 0 has all its docs in this step's delta
     //    (its term vanished from the corpus); MinValue marks it moved
-    //    defensively.
+    //    defensively. Query-independent: one scan serves every standing
+    //    query set.
     def sqAt(df: Column, n: Long, t: Long): Column =
       if (n <= 0L || t <= 0L) lit(Long.MinValue)
       else when(df <= 0L, lit(Long.MinValue))
@@ -167,63 +192,69 @@ final class Bm25State(emptyPosting: ZSetFrame, val qterms: Seq[String],
     //    span rides the checkpoint via an Observation (d31 discipline)
     val obs = new Observation()
     val affected = screened
-      .union(delta.df.where(col("term").isin(qlits: _*)).select("doc_id"))
+      .union(delta.df.where(col("term").isin(ulits: _*)).select("doc_id"))
       .distinct()
       .observe(obs, collect_set(
         pmod(hash(col("doc_id")), lit(nBuckets))).as("bks"))
       .localCheckpoint(true)
     lastAffected = affected
     val affB = obs.get("bks").asInstanceOf[Seq[Int]].sorted
-    // 5. index maintenance: O(Δ∩Q) spine-append — the delta's matching
+    // 5. index maintenance: O(Δ∩U) spine-append — the delta's matching
     //    docs are in `affected`, so affB covers the merge's touched buckets
-    qIdx.merge(ZSetFrame.fromDelta(delta.df.where(col("term").isin(qlits: _*))),
+    qIdx.merge(ZSetFrame.fromDelta(delta.df.where(col("term").isin(ulits: _*))),
       checkpointDelta = false, knownTouched = Some(affB), append = true)
     // 6. rescore the affected docs against the post-merge index under the
-    //    NEW constants; a fully retracted doc yields no row, so its old
-    //    score is retracted by the replacement delta
+    //    NEW constants, fanned out to their matching queries by the
+    //    broadcast (query_id, term) dimension; a fully retracted doc (or a
+    //    (query, doc) pair whose last matching posting left) yields no
+    //    row, so its old score is retracted by the replacement delta.
+    //    Unaffected-query rows of an affected doc produce new == old and
+    //    cancel in the Z-set minus — no spurious output.
     val dfNewTab = dfTab.select(col("term"), col("df_new").as("df"))
     val rows = qIdx.view(affB).consolidate.df.join(affected, Seq("doc_id"))
     val newScores = rows.join(broadcast(dfNewTab), Seq("term"))
-      .select(col("doc_id"),
+      .join(broadcast(qtTab), Seq("term"))
+      .select(col("query_id"), col("doc_id"),
         Bm25.sq(col("tf"), col("dl"), col("df"),
           lit(nDocs), lit(tToks), grid).as("sq"))
-      .groupBy("doc_id").agg(sum(col("sq")).as("score_q"))
+      .groupBy("query_id", "doc_id").agg(sum(col("sq")).as("score_q"))
     val oldScores = scoreIdx.view(affB).consolidate.df
       .join(affected, Seq("doc_id"))
-      .select("doc_id", "score_q")
+      .select("query_id", "doc_id", "score_q")
     val scDelta = (ZSetFrame.fromTable(newScores)
       - ZSetFrame.fromTable(oldScores)).consolidate
     scoreIdx.merge(scDelta, checkpointDelta = false, knownTouched = Some(affB))
-    // 7. two-level top-k, level 1: per-bucket winners replaced for exactly
-    //    the touched buckets — O(touched bucket rows)
+    // 7. two-level top-k, level 1: per-(query, bucket) winners replaced
+    //    for exactly the touched buckets — O(touched bucket rows)
     val bEx = pmod(hash(col("doc_id")), lit(nBuckets))
     val newBT = scoreIdx.view(affB).consolidate.df
-      .select("doc_id", "score_q")
+      .select("query_id", "doc_id", "score_q")
       .withColumn("rn", row_number().over(
-        Window.partitionBy(bEx)
+        Window.partitionBy(col("query_id"), bEx)
           .orderBy(col("score_q").desc, col("doc_id").asc)))
       .where(col("rn") <= topK).drop("rn")
     val oldBT = bucketTop.view(affB).consolidate.df
-      .select("doc_id", "score_q")
+      .select("query_id", "doc_id", "score_q")
     val btDelta = (ZSetFrame.fromTable(newBT)
       - ZSetFrame.fromTable(oldBT)).consolidate
     bucketTop.merge(btDelta, checkpointDelta = false,
       knownTouched = Some(affB))
-    // 8. level 2: global top-k over the ≤ nBuckets·k per-bucket winners —
-    //    a dimension-sized trace, scan-in-place (the single-partition
-    //    window sorts ≤ nBuckets·k rows, never data)
+    // 8. level 2: per-query global top-k over the ≤ |Q|·nBuckets·k
+    //    per-bucket winners — a dimension-sized trace, scan-in-place (the
+    //    per-query window sorts winner rows, never data)
     val cand = bucketTop.view(0 until nBuckets).consolidate.df
-      .select("doc_id", "score_q")
+      .select("query_id", "doc_id", "score_q")
     val newTop = cand.withColumn("rnk", row_number().over(
-        Window.orderBy(col("score_q").desc, col("doc_id").asc)))
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score_q").desc, col("doc_id").asc)))
       .where(col("rnk") <= topK)
     val oldTop = topIdx.view(0 until nBuckets).consolidate.df
-      .select("doc_id", "score_q", "rnk")
+      .select("query_id", "doc_id", "score_q", "rnk")
     // topIdx's touched span cannot ride affB: a displaced former winner can
-    // live in an untouched bucket — it must come from the (tiny, ≤ 2k-row)
-    // replacement delta itself. An Observation on the delta's own eager
-    // checkpoint hands the span over for free (the d31 discipline), instead
-    // of the dedicated touchedBuckets discovery job merge() would launch
+    // live in an untouched bucket — it must come from the (tiny) replacement
+    // delta itself. An Observation on the delta's own eager checkpoint
+    // hands the span over for free (the d31 discipline), instead of the
+    // dedicated touchedBuckets discovery job merge() would launch
     // (VERDICT r13 #2 — one fewer per-step barrier).
     val obsOut = new Observation()
     val out = ZSetFrame.fromDelta(
@@ -243,4 +274,29 @@ final class Bm25State(emptyPosting: ZSetFrame, val qterms: Seq[String],
     prevStepPins = Nil
     qIdx.close(); scoreIdx.close(); bucketTop.close(); topIdx.close()
   }
+}
+
+/** Incrementally maintained BM25-surrogate top-k retrieval for a FIXED
+  * single query-term set — the "standing ranked query" behind a
+  * continuously refreshed retrieval corpus. Since r14 this is a thin
+  * specialization of [[MultiBm25State]] (one query set; the query_id
+  * dimension projected away from the emitted delta — it is constant, so
+  * Z-set semantics are untouched): t13/q89 certify the shared engine
+  * through this surface, t14 certifies the multi-query fan-out. */
+final class Bm25State(emptyPosting: ZSetFrame, val qterms: Seq[String],
+                      val nBuckets: Int, val topK: Int = 10,
+                      val grid: Double = 1e6) {
+
+  private val inner = new MultiBm25State(
+    emptyPosting, Seq("q" -> qterms), nBuckets, topK, grid)
+
+  /** Diagnostic passthrough (see [[MultiBm25State.lastAffected]]). */
+  private[graft] def lastAffected: DataFrame = inner.lastAffected
+
+  /** One step; see [[MultiBm25State.step]]. The emitted rows integrate to
+    * (doc_id, score_q, rnk). */
+  def step(delta: ZSetFrame): ZSetFrame =
+    inner.step(delta).select(col("doc_id"), col("score_q"), col("rnk"))
+
+  def close(): Unit = inner.close()
 }

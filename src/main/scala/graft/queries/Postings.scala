@@ -19,6 +19,17 @@ object Postings {
   /** The standing query-term set shared by t11/t13/q89 and their oracles. */
   val QueryTerms: Seq[String] = Seq("spark", "query", "merge", "window")
 
+  /** The concurrent standing query sets served by t14's shared retrieval
+    * index (MultiBm25State). qa is t11/t13's set (a cross-check against the
+    * single-query path); qc shares "merge" with qa — a posting whose floor
+    * crosses must fan out to BOTH queries through the (query_id, term)
+    * dimension. */
+  val MultiQuerySets: Seq[(String, Seq[String])] = Seq(
+    "qa" -> QueryTerms,
+    "qb" -> Seq("join", "hash", "sort", "scan"),
+    "qc" -> Seq("data", "stream", "table", "merge"),
+    "qd" -> Seq("vector", "batch", "dup", "filter"))
+
   /** Term-frequency postings of a documents frame. `docs` must carry
     * (doc_id, text) and MAY carry a CDC weight column `w` (constant per doc
     * within a delta — a doc's full posting set ships at one polarity);
@@ -79,6 +90,54 @@ object Postings {
              (PARTITION BY doc_id ORDER BY score_q DESC, term ASC) AS rn
            FROM sc)
          SELECT doc_id, term, tf, score_q FROM r WHERE rn = 1"""
+
+  /** Full DuckDB oracle for t14's multi-query BM25-surrogate: per-query
+    * top-10 over the `pred`-surviving corpus, with df/N/T SHARED across
+    * queries (df is per TERM over the union-restricted postings — exactly
+    * the sharing MultiBm25State maintains) and the per-posting sq fanned
+    * out to queries through the (query_id, term) VALUES dimension. Same
+    * IEEE sequence as [[graft.functions.Bm25.sq]]. */
+  def multiBm25OracleSql(pred: String,
+                         qsets: Seq[(String, Seq[String])]): String = {
+    val uterms = qsets.flatMap(_._2).distinct
+    val inList = uterms.map("'" + _ + "'").mkString(", ")
+    val qtVals = qsets.flatMap { case (q, ts) =>
+      ts.map(t => s"('$q', '$t')") }.mkString(", ")
+    s"""WITH base AS (
+           SELECT doc_id, len(string_split(text, ' ')) AS dl, text
+           FROM documents WHERE $pred),
+         consts AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS t_toks FROM base),
+         qt(query_id, term) AS (VALUES $qtVals),
+         tf AS (
+           SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM (
+             SELECT doc_id, dl, unnest(string_split(text, ' ')) AS term
+             FROM base)
+           WHERE term IN ($inList)
+           GROUP BY 1, 2, 3),
+         dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         scored AS (
+           SELECT q.query_id, f.doc_id,
+             CAST(FLOOR(
+               (CAST(2 * c.n_docs - 2 * d.df + 1 AS DOUBLE)
+                 / CAST(2 * d.df + 1 AS DOUBLE))
+               * (CAST(44 * c.t_toks * f.tf AS DOUBLE)
+                 / CAST(20 * c.t_toks * f.tf + 6 * c.t_toks
+                        + 18 * f.dl * c.n_docs AS DOUBLE))
+               * 1e6) AS BIGINT) AS sq
+           FROM tf f JOIN dft d USING (term) JOIN qt q USING (term)
+           CROSS JOIN consts c),
+         tot AS (
+           SELECT query_id, doc_id, CAST(sum(sq) AS BIGINT) AS score_q
+           FROM scored GROUP BY 1, 2)
+         SELECT query_id, doc_id, score_q, rnk FROM (
+           SELECT query_id, doc_id, score_q,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score_q DESC, doc_id) AS rnk
+           FROM tot)
+         WHERE rnk <= 10"""
+  }
 
   /** Full DuckDB oracle for the t11/t13/q89 BM25-surrogate top-10: the
     * same factor-by-factor IEEE sequence as [[graft.functions.Bm25.sq]]

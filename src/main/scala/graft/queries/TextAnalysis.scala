@@ -215,6 +215,41 @@ object TextAnalysis extends QueryModule {
         .select("doc_id", "score_q", "rnk")
     }),
 
+    // MULTI-QUERY INCREMENTAL RETRIEVAL (t14, VERDICT r13 #7) — a real
+    // retrieval index serves MANY standing ranked queries, not one:
+    // MultiBm25State maintains four concurrent query sets (one of them
+    // t11/t13's, one sharing a term with it) over ONE union-restricted
+    // posting trace, one set of corpus constants, and ONE per-step screen
+    // (floor crossing is per-posting, query-independent); affected docs
+    // fan out to their matching queries through a broadcast
+    // (query_id, term) dimension. Replay mirrors t13: 4 insert epochs then
+    // the doc_id%10==3 retraction epoch; the integrated output must equal
+    // the per-query batch top-10 over the surviving corpus.
+    "t14_multi_bm25" -> ((s, dir) => {
+      import graft.core.ZSetFrame
+      val E = 4
+      val nB = 32
+      val tfAll = Postings.build(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          withDl = true)
+        .select("doc_id", "term", "tf", "dl")
+        .localCheckpoint(true)
+      val st = new graft.incremental.MultiBm25State(
+        ZSetFrame.fromTable(tfAll.where(lit(false))),
+        Postings.MultiQuerySets, nB)
+      val outs =
+        (0 until E).map { i =>
+          st.step(ZSetFrame.fromTable(
+            tfAll.where(pmod(col("doc_id"), lit(E)) === i)))
+        } :+
+        st.step(ZSetFrame.fromDelta(
+          tfAll.where(pmod(col("doc_id"), lit(10)) === 3)
+            .withColumn(ZSetFrame.W, lit(-1L))))
+      st.close()
+      ZSetFrame.sumAll(outs).consolidate.toDF
+        .select("query_id", "doc_id", "score_q", "rnk")
+    }),
+
     // token / char counting
     "t01_tokens" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -659,6 +694,11 @@ object TextAnalysis extends QueryModule {
       // match it bit-for-bit (shared generator; q89 consumes the identical
       // call)
       "t13_inc_bm25" -> Postings.bm25Top10OracleSql("doc_id % 10 <> 3"),
+
+      // per-query batch top-10 over the surviving corpus, df/N/T shared
+      // across the four standing query sets (shared generator)
+      "t14_multi_bm25" -> Postings.multiBm25OracleSql("doc_id % 10 <> 3",
+        Postings.MultiQuerySets),
 
       "t01_tokens" ->
         """SELECT doc_id, length(text) AS n_chars2,

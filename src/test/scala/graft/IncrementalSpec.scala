@@ -515,6 +515,83 @@ class IncrementalSpec extends SparkSpec {
       "screening never pulled in a non-delta doc — the N/T/df coupling path is untested")
   }
 
+  test("MultiBm25State: concurrent query sets over one shared index ≡ per-query batch top-k") {
+    import graft.incremental.MultiBm25State
+    // three standing queries; qc SHARES a term with each of qa/qb — a
+    // posting whose floor crosses must fan out to every query containing
+    // its term through the (query_id, term) dimension, and df/N/T are
+    // maintained once for the union
+    val qsets = Seq(
+      "qa" -> Seq("spark", "query"),
+      "qb" -> Seq("merge", "window"),
+      "qc" -> Seq("spark", "merge"))
+    val uterms = qsets.flatMap(_._2).distinct
+    val filler = Vector.tabulate(10)(i => s"f$i")
+    def docTf(i: Int): Map[String, Long] = {
+      val r = new scala.util.Random(900 + i)
+      val pool = if (i % 5 == 4) filler else uterms ++ filler
+      Seq.fill(4 + r.nextInt(6))(pool(r.nextInt(pool.size)))
+        .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    }
+    def postings(ids: Seq[Int], w: Long): Seq[(Long, String, Long, Long, Long)] =
+      ids.flatMap { i =>
+        val m = docTf(i); val dl = m.values.sum
+        m.toSeq.map { case (t, c) => (i.toLong, t, c, dl, w) }
+      }
+    val steps = Seq(
+      postings(0 until 12, 1L),
+      postings(12 until 22, 1L),
+      postings(Seq(3, 7, 15), -1L),
+      postings(22 until 27, 1L) ++ postings(Seq(1, 19), -1L),
+      postings(Seq(27), 1L)) // small tail — the pruning step on coarse grid
+    val empty = ZSetFrame.fromTable(
+      Seq.empty[(Long, String, Long, Long)].toDF("doc_id", "term", "tf", "dl"))
+    for (grid <- Seq(1e6, 8.0)) {
+      val st = new MultiBm25State(empty, qsets, nBuckets = 8, topK = 4,
+        grid = grid)
+      var live = Set.empty[Int]
+      var prunedOnce = false
+      val outs = steps.map { rows =>
+        val ins = rows.filter(_._5 > 0).map(_._1.toInt).toSet
+        val rets = rows.filter(_._5 < 0).map(_._1.toInt).toSet
+        live = live ++ ins -- (rets -- ins)
+        val out = st.step(ZSetFrame.fromDelta(
+          rows.toDF("doc_id", "term", "tf", "dl", ZSetFrame.W)))
+        val matching = live.filter(i => docTf(i).keys.exists(uterms.contains))
+        if (st.lastAffected.count() < matching.size) prunedOnce = true
+        out
+      }
+      st.close()
+      // brute-force per-query batch model — the SAME IEEE sequence as
+      // Bm25.sq, with df/N/T computed ONCE over the union match set
+      val n = live.size.toLong
+      val tt = live.toSeq.map(i => docTf(i).values.sum).sum
+      val dfm = live.toSeq.flatMap(i => docTf(i).keys.filter(uterms.contains))
+        .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      def sq(tf: Long, dl: Long, df: Long): Long = {
+        val r1 = (2L * n - 2L * df + 1L).toDouble / (2L * df + 1L).toDouble
+        val r2 = (44L * tt * tf).toDouble /
+          (20L * tt * tf + 6L * tt + 18L * dl * n).toDouble
+        math.floor(r1 * r2 * grid).toLong
+      }
+      val expected = qsets.flatMap { case (q, qts) =>
+        live.toSeq.flatMap { i =>
+          val m = docTf(i); val dl = m.values.sum
+          val s = m.collect { case (t, tf) if qts.contains(t) =>
+            sq(tf, dl, dfm(t)) }.sum
+          if (m.keys.exists(qts.contains)) Some((q, i.toLong, s)) else None
+        }.sortBy { case (_, d, s) => (-s, d) }.take(4).zipWithIndex
+          .map { case ((qq, d, s), r) => (qq, d, s, r + 1) }
+      }
+      assertSameRows(ZSetFrame.sumAll(outs).consolidate.df,
+        ZSetFrame.fromTable(
+          expected.toDF("query_id", "doc_id", "score_q", "rnk")).df)
+      if (grid < 1e6)
+        assert(prunedOnce,
+          s"grid=$grid: screening never pruned across the shared index")
+    }
+  }
+
   test("Bm25State screen shape: match-set scan + broadcast constants, ZERO shuffles") {
     // mirror of the step's screening composition: a doc-keyed posting
     // trace view, consolidated, joined to the broadcast |Q|-row old/new df
