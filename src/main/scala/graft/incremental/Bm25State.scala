@@ -189,16 +189,12 @@ final class MultiBm25State(emptyPosting: ZSetFrame,
         =!= sqAt(col("df_new"), nDocs, tToks))
       .select(col("doc_id"))
     // 4. affected = crossed docs ∪ the delta's matching docs; the bucket
-    //    span rides the checkpoint via an Observation (d31 discipline)
-    val obs = new Observation()
-    val affected = screened
-      .union(delta.df.where(col("term").isin(ulits: _*)).select("doc_id"))
-      .distinct()
-      .observe(obs, collect_set(
-        pmod(hash(col("doc_id")), lit(nBuckets))).as("bks"))
-      .localCheckpoint(true)
+    //    span rides the checkpoint via an Observation (Screened — the d31
+    //    discipline shared with TfIdfState)
+    val (affected, affB) = Screened.affectedKeys(screened,
+      delta.df.where(col("term").isin(ulits: _*)).select("doc_id"),
+      "doc_id", nBuckets)
     lastAffected = affected
-    val affB = obs.get("bks").asInstanceOf[Seq[Int]].sorted
     // 5. index maintenance: O(Δ∩U) spine-append — the delta's matching
     //    docs are in `affected`, so affB covers the merge's touched buckets
     qIdx.merge(ZSetFrame.fromDelta(delta.df.where(col("term").isin(ulits: _*))),
@@ -252,18 +248,12 @@ final class MultiBm25State(emptyPosting: ZSetFrame,
       .select("query_id", "doc_id", "score_q", "rnk")
     // topIdx's touched span cannot ride affB: a displaced former winner can
     // live in an untouched bucket — it must come from the (tiny) replacement
-    // delta itself. An Observation on the delta's own eager checkpoint
-    // hands the span over for free (the d31 discipline), instead of the
-    // dedicated touchedBuckets discovery job merge() would launch
-    // (VERDICT r13 #2 — one fewer per-step barrier).
-    val obsOut = new Observation()
-    val out = ZSetFrame.fromDelta(
-      (ZSetFrame.fromTable(newTop) - ZSetFrame.fromTable(oldTop))
-        .consolidate.df
-        .observe(obsOut, collect_set(
-          pmod(hash(col("doc_id")), lit(nBuckets))).as("bks"))
-        .localCheckpoint(true))
-    val outB = obsOut.get("bks").asInstanceOf[Seq[Int]].sorted
+    // delta itself, which Screened.replacementDelta hands over for free on
+    // the delta's own eager checkpoint, instead of the dedicated
+    // touchedBuckets discovery job merge() would launch (VERDICT r13 #2 —
+    // one fewer per-step barrier).
+    val (out, outB) = Screened.replacementDelta(newTop, oldTop,
+      "doc_id", nBuckets)
     topIdx.merge(out, checkpointDelta = false, knownTouched = Some(outB))
     prevStepPins = Seq(affected)
     out

@@ -151,15 +151,10 @@ final class TfIdfState(emptyTf: ZSetFrame, val nBuckets: Int,
     // the delta spans — but it need not cost its own job either (the d31
     // discipline, ADVICE r12): an Observation rides the checkpoint's
     // materialization action and hands the span to the driver for free
-    val obs = new org.apache.spark.sql.Observation()
-    val affected = screened
-      .union(delta.df.select(col("doc_id")))
-      .distinct()
-      .observe(obs, collect_set(
-        pmod(hash(col("doc_id")), lit(nBuckets))).as("bks"))
-      .localCheckpoint(true)
+    // (Screened — the acquisition shared with MultiBm25State)
+    val (affected, affBuckets) = Screened.affectedKeys(screened,
+      delta.df.select(col("doc_id")), "doc_id", nBuckets)
     lastAffected = affected
-    val affBuckets = obs.get("bks").asInstanceOf[Seq[Int]].sorted
     // 4. index maintenance — O(Δ) spine-appends; compaction amortizes on
     //    KeyedState's own cadence. The two appends hit INDEPENDENT states
     //    (different key layouts) and neither is read again before step 6,
@@ -201,10 +196,13 @@ final class TfIdfState(emptyTf: ZSetFrame, val nBuckets: Int,
     val oldTop = top1.view(affBuckets).consolidate.df
       .join(affected, Seq("doc_id"))
       .select("doc_id", "term", "tf", "score_q")
-    val out = (ZSetFrame.fromTable(newTop) - ZSetFrame.fromTable(oldTop))
-      .consolidate.localCheckpoint()
-    // 7. the emitted replacement delta IS the top-1 index's maintenance
-    top1.merge(out, checkpointDelta = false, knownTouched = Some(affBuckets))
+    // 7. the emitted replacement delta IS the top-1 index's maintenance —
+    //    its own span (⊆ affBuckets for a per-doc top-1, where a replaced
+    //    row lives in its doc's bucket) rides the emission checkpoint
+    //    (Screened, shared with MultiBm25State)
+    val (out, outB) = Screened.replacementDelta(newTop, oldTop,
+      "doc_id", nBuckets)
+    top1.merge(out, checkpointDelta = false, knownTouched = Some(outB))
     // this step's checkpoints stay pinned until the next step (lastAffected
     // is a published diagnostic; moved feeds nothing after this point but
     // shares the retire cadence for uniformity)
