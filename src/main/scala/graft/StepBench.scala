@@ -337,6 +337,32 @@ object StepBench {
   private def floorOf(xs0: Seq[Double]): Double =
     (if (xs0.size > 2) xs0.drop(1) else xs0).min
 
+  /** A GATED pair (small-state run, large-state run) measured under the
+    * outlier policy (VERDICT r13 #4, extended to the base tier in r14
+    * after a session shipped keyed_growth 1.65 on a 90 ms floor delta
+    * while the same code's XL decade read 0.72 in the same artifact): if
+    * the growth ratio of the first pair lands outside [lo, hi], the pair
+    * re-runs twice and the reported figure is the MEDIAN of the 3 ratios;
+    * every measured pair lands in the gate-runs sidecar. In-band pairs
+    * stay one-seed, so a clean session costs nothing extra. */
+  private def gatedPair(spark: SparkSession,
+      gateRuns: scala.collection.mutable.LinkedHashMap[String, List[(Double, Double)]],
+      name: String, lo: Double, hi: Double)
+      (small: () => Seq[Double])(large: () => Seq[Double])
+      : (Double, Double, Double) = {
+    def one(i: Int): (Double, Double) =
+      (floorRun(spark, s"${name}_s#$i")(small),
+        floorRun(spark, s"${name}_l#$i")(large))
+    def ratioOf(p: (Double, Double)): Double = p._2 / math.max(p._1, 1e-9)
+    var runs = List(one(1))
+    if (ratioOf(runs.head) < lo || ratioOf(runs.head) > hi)
+      runs = runs :+ one(2) :+ one(3)
+    gateRuns(name) = runs
+    val byRatio = runs.sortBy(ratioOf)
+    val med = byRatio((byRatio.size - 1) / 2)
+    (med._1, med._2, ratioOf(med))
+  }
+
   /** One seeded run, floor over its post-warmup steps, then a pinned-block
     * sweep so one track's debris never taxes the next (the q15 lesson),
     * with the config's wall cost logged to stderr (the r12 bench timed out
@@ -428,36 +454,50 @@ object StepBench {
     // and 5×steps post-warmup samples), paid for with ONE seed per config
     val s3 = steps * 3
     val s5 = steps * 5
+    // the gated flat tracks run under the outlier policy (gatedPair):
+    // band [0.5, 1.5] — every one of them claims ~1.0 growth, so a first
+    // pair outside the band is session noise to be measured away, not
+    // shipped (median of 3 on re-run; all pairs land in gate_runs)
+    val gateRuns =
+      scala.collection.mutable.LinkedHashMap[String, List[(Double, Double)]]()
+    def gated(name: String)(small: () => Seq[Double])(large: () => Seq[Double])
+        : (Double, Double, Double) =
+      gatedPair(spark, gateRuns, name, 0.5, 1.5)(small)(large)
     // 256 buckets: bucket size (not bucket count) is what a step pays for,
     // so more buckets = flatter growth; the extra empty tasks are noise
-    val kS = floor("keyed_s")(() => runKeyed(spark, base, nKeys, s3, 256))
-    val kL = floor("keyed_l")(() => runKeyed(spark, base * 10, nKeys * 10, s3, 256))
+    val (kS, kL, kG) = gated("keyed")(
+      () => runKeyed(spark, base, nKeys, s3, 256))(
+      () => runKeyed(spark, base * 10, nKeys * 10, s3, 256))
     // naive is the super-linear CONTROL: its only job is "grows with |DB|",
     // which one run shows; its large steps are the most expensive in the
     // base tier, so it gets the plain step count
     val nS = floor("naive_s")(() => runNaive(spark, base, nKeys, steps))
     val nL = floor("naive_l")(() => runNaive(spark, base * 10, nKeys * 10, steps))
-    val uS = floor("upsert_s")(() => runUpsert(spark, base, s5))
-    val uL = floor("upsert_l")(() => runUpsert(spark, base * 10, s5))
-    val rS = floor("rolling_s")(() => runRolling(spark, base, nKeys, s3, 256))
-    val rL = floor("rolling_l")(() => runRolling(spark, base * 10, nKeys * 10, s3, 256))
-    val xS = floor("radix_s")(() => runRadix(spark, base, nKeys, s3, 256))
-    val xL = floor("radix_l")(() => runRadix(spark, base * 10, nKeys * 10, s3, 256))
+    val (uS, uL, uG) = gated("upsert")(
+      () => runUpsert(spark, base, s5))(
+      () => runUpsert(spark, base * 10, s5))
+    val (rS, rL, rG) = gated("rolling")(
+      () => runRolling(spark, base, nKeys, s3, 256))(
+      () => runRolling(spark, base * 10, nKeys * 10, s3, 256))
     // radix at 10× state with DEPLOYMENT-SIZED buckets (10× buckets =
-    // constant bucket bytes — Spark's own partitions-∝-data sizing rule):
-    // the fixed-256 radix growth above carries the touched-bucket
-    // consolidation in the concurrent partials merge, which scales with
-    // bucket SIZE; this figure shows the same 10× state step cost with
-    // bucket bytes held constant, i.e. the operator's actual scale shape
-    val xSc = floor("radix_sc")(() => runRadix(spark, base * 10, nKeys * 10, s3, 2560))
-    val dS = floor("dedup_s")(() => runDedup(spark, base, s3))
-    val dL = floor("dedup_l")(() => runDedup(spark, base * 10, s3))
-    val aS = floor("ann_s")(() => runAnn(spark, base, s3))
-    val aL = floor("ann_l")(() => runAnn(spark, base * 10, s3))
+    // constant bucket bytes — Spark's own partitions-∝-data sizing rule)
+    // is the GATED figure; the fixed-256 xL is the bucket-size CONTROL
+    // (its growth carries the touched-bucket consolidation by design)
+    val (xS, xSc, xG) = gated("radix_scaled")(
+      () => runRadix(spark, base, nKeys, s3, 256))(
+      () => runRadix(spark, base * 10, nKeys * 10, s3, 2560))
+    val xL = floor("radix_l")(() => runRadix(spark, base * 10, nKeys * 10, s3, 256))
+    val (dS, dL, dG) = gated("dedup")(
+      () => runDedup(spark, base, s3))(
+      () => runDedup(spark, base * 10, s3))
+    val (aS, aL, aG) = gated("ann")(
+      () => runAnn(spark, base, s3))(
+      () => runAnn(spark, base * 10, s3))
     // tri: n edges = base/5 (the wedge trace is ~3.5× the edge count);
     // 5×steps samples like upsert — the two noisiest floors (VERDICT r10 #4)
-    val tS = floor("tri_s")(() => runTri(spark, base / 5, s5))
-    val tL = floor("tri_l")(() => runTri(spark, base * 2, s5))
+    val (tS, tL, tG) = gated("tri")(
+      () => runTri(spark, base / 5, s5))(
+      () => runTri(spark, base * 2, s5))
     // tfidf (VERDICT r12 #6): the most state-coupled operator in the repo —
     // four KeyedState traces and a data-dependent screening read; its
     // per-step floor and growth were unknown until this track. The prune
@@ -511,8 +551,13 @@ object StepBench {
     val (gL, gLpf) = galenRun(base)
     // "stat" labels the *_sec figures: per-step FLOORS (one seeded run per
     // config, 3×steps post-warmup samples — 5× for upsert/tri), not medians
-    // — the growth gate compares best-case step costs
-    f"""{"stat":"per_step_floor_one_seed_3x_steps_upsert_tri_5x","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"keyed_small_sec":$kS%.3f,"keyed_large_sec":$kL%.3f,"naive_small_sec":$nS%.3f,"naive_large_sec":$nL%.3f,"upsert_small_sec":$uS%.3f,"upsert_large_sec":$uL%.3f,"rolling_small_sec":$rS%.3f,"rolling_large_sec":$rL%.3f,"radix_small_sec":$xS%.3f,"radix_large_sec":$xL%.3f,"radix_scaled_large_sec":$xSc%.3f,"dedup_small_sec":$dS%.3f,"dedup_large_sec":$dL%.3f,"ann_small_sec":$aS%.3f,"ann_large_sec":$aL%.3f,"tri_small_sec":$tS%.3f,"tri_large_sec":$tL%.3f,"tfidf_small_sec":$tfS%.3f,"tfidf_large_sec":$tfL%.3f,"tfidf_prune_small":${tfSp.max}%.4f,"tfidf_prune_large":${tfLp.max}%.4f,"galen_small_sec":$gS%.3f,"galen_large_sec":$gL%.3f,"galen_small_sec_per_mfact":${gSpf * 1e6}%.3f,"galen_large_sec_per_mfact":${gLpf * 1e6}%.3f,"keyed_growth":${kL / kS}%.2f,"naive_growth":${nL / nS}%.2f,"upsert_growth":${uL / uS}%.2f,"rolling_growth":${rL / rS}%.2f,"radix_growth":${xL / xS}%.2f,"radix_scaled_growth":${xSc / xS}%.2f,"dedup_growth":${dL / dS}%.2f,"ann_growth":${aL / aS}%.2f,"tri_growth":${tL / tS}%.2f,"tfidf_growth":${tfL / tfS}%.2f,"galen_growth":${gLpf / gSpf}%.2f}"""
+    // — the growth gate compares best-case step costs; gated flat tracks
+    // carry the outlier policy (median of 3 ratios when the first pair
+    // lands outside [0.5, 1.5]; all pairs in gate_runs)
+    val gateRunsJson = gateRuns.map { case (n, rs) =>
+      s""""$n":[${rs.map(p => f"[${p._1}%.3f,${p._2}%.3f]").mkString(",")}]"""
+    }.mkString("{", ",", "}")
+    f"""{"stat":"per_step_floor_one_seed_3x_steps_upsert_tri_5x_outlier_median_of_3","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"keyed_small_sec":$kS%.3f,"keyed_large_sec":$kL%.3f,"naive_small_sec":$nS%.3f,"naive_large_sec":$nL%.3f,"upsert_small_sec":$uS%.3f,"upsert_large_sec":$uL%.3f,"rolling_small_sec":$rS%.3f,"rolling_large_sec":$rL%.3f,"radix_small_sec":$xS%.3f,"radix_large_sec":$xL%.3f,"radix_scaled_large_sec":$xSc%.3f,"dedup_small_sec":$dS%.3f,"dedup_large_sec":$dL%.3f,"ann_small_sec":$aS%.3f,"ann_large_sec":$aL%.3f,"tri_small_sec":$tS%.3f,"tri_large_sec":$tL%.3f,"tfidf_small_sec":$tfS%.3f,"tfidf_large_sec":$tfL%.3f,"tfidf_prune_small":${tfSp.max}%.4f,"tfidf_prune_large":${tfLp.max}%.4f,"galen_small_sec":$gS%.3f,"galen_large_sec":$gL%.3f,"galen_small_sec_per_mfact":${gSpf * 1e6}%.3f,"galen_large_sec_per_mfact":${gLpf * 1e6}%.3f,"keyed_growth":$kG%.2f,"naive_growth":${nL / nS}%.2f,"upsert_growth":$uG%.2f,"rolling_growth":$rG%.2f,"radix_growth":${xL / xS}%.2f,"radix_scaled_growth":$xG%.2f,"dedup_growth":$dG%.2f,"ann_growth":$aG%.2f,"tri_growth":$tG%.2f,"tfidf_growth":${tfL / tfS}%.2f,"galen_growth":${gLpf / gSpf}%.2f,"gate_runs":$gateRunsJson}"""
   }
 
   /** The XL tier (VERDICT r10 #1): the same flat-growth claims one decade
@@ -566,18 +611,8 @@ object StepBench {
     val gateRuns =
       scala.collection.mutable.LinkedHashMap[String, List[(Double, Double)]]()
     def gated(name: String)(small: () => Seq[Double])(large: () => Seq[Double])
-        : (Double, Double, Double) = {
-      def one(i: Int): (Double, Double) =
-        (floor(s"${name}_xl_s#$i")(small), floor(s"${name}_xl_l#$i")(large))
-      def ratioOf(p: (Double, Double)): Double = p._2 / math.max(p._1, 1e-9)
-      var runs = List(one(1))
-      if (ratioOf(runs.head) < 0.5 || ratioOf(runs.head) > 2.0)
-        runs = runs :+ one(2) :+ one(3)
-      gateRuns(name) = runs
-      val byRatio = runs.sortBy(ratioOf)
-      val med = byRatio((byRatio.size - 1) / 2)
-      (med._1, med._2, ratioOf(med))
-    }
+        : (Double, Double, Double) =
+      gatedPair(spark, gateRuns, s"${name}_xl", 0.5, 2.0)(small)(large)
     val (kS, kL, kG) = gated("keyed")(
       () => runKeyed(spark, base, nKeys, s2, 256))(
       () => runKeyed(spark, base * 10, nKeys * 10, s2, 2560))
