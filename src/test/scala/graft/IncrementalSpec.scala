@@ -515,6 +515,40 @@ class IncrementalSpec extends SparkSpec {
       "screening never pulled in a non-delta doc — the N/T/df coupling path is untested")
   }
 
+  test("Bm25 step contract: inconsistent dl per (doc_id, w) fails loudly") {
+    // ADVICE r13: a caller shipping two different dl values for one doc in
+    // one delta would silently corrupt the N/T scalar induction — the
+    // invariant rider on the step's single scalar action must fail HARD
+    // instead (and cost no extra job: it rides the same aggregation)
+    import graft.incremental.Bm25State
+    val empty = ZSetFrame.fromTable(
+      Seq.empty[(Long, String, Long, Long)].toDF("doc_id", "term", "tf", "dl"))
+    val st = new Bm25State(empty, Seq("spark"), nBuckets = 4)
+    try {
+      val bad = Seq(
+        (1L, "spark", 1L, 5L, 1L),
+        (1L, "other", 1L, 7L, 1L)) // doc 1 ships dl=5 AND dl=7 at w=+1
+      val e = intercept[IllegalArgumentException] {
+        st.step(ZSetFrame.fromDelta(
+          bad.toDF("doc_id", "term", "tf", "dl", ZSetFrame.W)))
+      }
+      assert(e.getMessage.contains("contract"))
+    } finally st.close()
+    // a RETRACTION re-shipping a doc's old rows alongside an insert of new
+    // rows (the CDC update shape) is two DIFFERENT (doc_id, w) keys — it
+    // must NOT trip the check (fresh state: a violating step is fatal by
+    // contract, the thrown-at state is not reusable)
+    val st2 = new Bm25State(empty, Seq("spark"), nBuckets = 4)
+    try {
+      st2.step(ZSetFrame.fromDelta(Seq(
+          (1L, "spark", 1L, 5L, 1L), (2L, "spark", 1L, 3L, 1L))
+        .toDF("doc_id", "term", "tf", "dl", ZSetFrame.W)))
+      st2.step(ZSetFrame.fromDelta(Seq(
+          (1L, "spark", 2L, 9L, 1L), (1L, "spark", 1L, 5L, -1L))
+        .toDF("doc_id", "term", "tf", "dl", ZSetFrame.W)))
+    } finally st2.close()
+  }
+
   test("MultiBm25State: concurrent query sets over one shared index ≡ per-query batch top-k") {
     import graft.incremental.MultiBm25State
     // three standing queries; qc SHARES a term with each of qa/qb — a
