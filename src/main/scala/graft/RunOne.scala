@@ -25,7 +25,7 @@ object RunOne {
     // and not comparable to the bench's warm medians
     if (name.contains(',')) {
       val reps = sys.env.getOrElse("SPARK_GRAFT_RUNONE_REPS", "2").toInt
-      name.split(',').foreach { n =>
+      name.split(',').map(_.trim).filter(_.nonEmpty).foreach { n =>
         val times = (1 to reps).map { _ =>
           val s0 = System.nanoTime()
           SparkEntry.queries(n)(spark, sfDir).count()

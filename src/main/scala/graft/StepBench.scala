@@ -363,6 +363,14 @@ object StepBench {
     (med._1, med._2, ratioOf(med))
   }
 
+  /** The gate-runs sidecar serialization shared by both tiers' JSON. */
+  private def gateRunsJsonStr(
+      gateRuns: scala.collection.mutable.LinkedHashMap[String, List[(Double, Double)]])
+      : String =
+    gateRuns.map { case (n, rs) =>
+      s""""$n":[${rs.map(p => f"[${p._1}%.3f,${p._2}%.3f]").mkString(",")}]"""
+    }.mkString("{", ",", "}")
+
   /** One seeded run, floor over its post-warmup steps, then a pinned-block
     * sweep so one track's debris never taxes the next (the q15 lesson),
     * with the config's wall cost logged to stderr (the r12 bench timed out
@@ -554,9 +562,7 @@ object StepBench {
     // — the growth gate compares best-case step costs; gated flat tracks
     // carry the outlier policy (median of 3 ratios when the first pair
     // lands outside [0.5, 1.5]; all pairs in gate_runs)
-    val gateRunsJson = gateRuns.map { case (n, rs) =>
-      s""""$n":[${rs.map(p => f"[${p._1}%.3f,${p._2}%.3f]").mkString(",")}]"""
-    }.mkString("{", ",", "}")
+    val gateRunsJson = gateRunsJsonStr(gateRuns)
     f"""{"stat":"per_step_floor_one_seed_3x_steps_upsert_tri_5x_outlier_median_of_3","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"keyed_small_sec":$kS%.3f,"keyed_large_sec":$kL%.3f,"naive_small_sec":$nS%.3f,"naive_large_sec":$nL%.3f,"upsert_small_sec":$uS%.3f,"upsert_large_sec":$uL%.3f,"rolling_small_sec":$rS%.3f,"rolling_large_sec":$rL%.3f,"radix_small_sec":$xS%.3f,"radix_large_sec":$xL%.3f,"radix_scaled_large_sec":$xSc%.3f,"dedup_small_sec":$dS%.3f,"dedup_large_sec":$dL%.3f,"ann_small_sec":$aS%.3f,"ann_large_sec":$aL%.3f,"tri_small_sec":$tS%.3f,"tri_large_sec":$tL%.3f,"tfidf_small_sec":$tfS%.3f,"tfidf_large_sec":$tfL%.3f,"tfidf_prune_small":${tfSp.max}%.4f,"tfidf_prune_large":${tfLp.max}%.4f,"galen_small_sec":$gS%.3f,"galen_large_sec":$gL%.3f,"galen_small_sec_per_mfact":${gSpf * 1e6}%.3f,"galen_large_sec_per_mfact":${gLpf * 1e6}%.3f,"keyed_growth":$kG%.2f,"naive_growth":${nL / nS}%.2f,"upsert_growth":$uG%.2f,"rolling_growth":$rG%.2f,"radix_growth":${xL / xS}%.2f,"radix_scaled_growth":$xG%.2f,"dedup_growth":$dG%.2f,"ann_growth":$aG%.2f,"tri_growth":$tG%.2f,"tfidf_growth":${tfL / tfS}%.2f,"galen_growth":${gLpf / gSpf}%.2f,"gate_runs":$gateRunsJson}"""
   }
 
@@ -638,9 +644,7 @@ object StepBench {
       () => runRadix(spark, base * 10, nKeys * 10, s2, 25600))
     val nS = floor("naive_xl_s")(() => runNaive(spark, base, nKeys, math.min(steps, 4)))
     val nL = floor("naive_xl_l")(() => runNaive(spark, base * 10, nKeys * 10, 3))
-    val gateRunsJson = gateRuns.map { case (n, rs) =>
-      s""""$n":[${rs.map(p => f"[${p._1}%.3f,${p._2}%.3f]").mkString(",")}]"""
-    }.mkString("{", ",", "}")
+    val gateRunsJson = gateRunsJsonStr(gateRuns)
     f"""{"stat":"xl_per_step_floor_one_seed_2x_steps_controls_fewer_outlier_median_of_3","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"bucket_bytes":"constant (10x buckets at 10x state; keyed_xl_fixed is the unscaled control)","keyed_xl_small_sec":$kS%.3f,"keyed_xl_large_sec":$kL%.3f,"keyed_xl_fixed_large_sec":$kLfix%.3f,"upsert_xl_small_sec":$uS%.3f,"upsert_xl_large_sec":$uL%.3f,"rolling_xl_small_sec":$rS%.3f,"rolling_xl_large_sec":$rL%.3f,"radix_scaled_xl_small_sec":$xS%.3f,"radix_scaled_xl_mid_sec":$xMid%.3f,"radix_scaled_xl_large_sec":$xL%.3f,"naive_xl_small_sec":$nS%.3f,"naive_xl_large_sec":$nL%.3f,"keyed_xl_growth":$kG%.2f,"keyed_xl_fixed_growth":${kLfix / kS}%.2f,"upsert_xl_growth":$uG%.2f,"rolling_xl_growth":$rG%.2f,"radix_scaled_xl_growth":${xL / xS}%.2f,"radix_xl_samecfg_growth":$xG%.2f,"radix_xl_bucketcount_ratio":${xMid / xS}%.2f,"naive_xl_growth":${nL / nS}%.2f,"xl_gate_runs":$gateRunsJson}"""
   }
 

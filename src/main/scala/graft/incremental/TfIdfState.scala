@@ -168,8 +168,16 @@ final class TfIdfState(emptyTf: ZSetFrame, val nBuckets: Int,
     val fwdThread = new Thread(fwdTask, "graft-fwd-merge")
     fwdThread.setDaemon(true)
     fwdThread.start()
-    tfIdx.merge(delta, checkpointDelta = false, knownTouched = termBuckets,
+    try tfIdx.merge(delta, checkpointDelta = false, knownTouched = termBuckets,
       append = true)
+    catch { case e: Throwable =>
+      // BARRIER before propagating (code-review r14): a caller's
+      // finally-close() must never race the daemon merge — an install
+      // landing after close() would mutate bucketSegs cross-thread and
+      // leak its pinned segment for the session
+      try fwdTask.get() catch { case se: Throwable => e.addSuppressed(se) }
+      throw e
+    }
     fwdTask.get()
     // 5. df index: replace the moved terms' aggregated rows
     val dfDelta = ZSetFrame.fromDelta(
