@@ -216,6 +216,47 @@ object StreamingQueries extends QueryModule {
     staged.toString
   }
 
+  /** THE exception-safe drive for the stateful foreachBatch queries
+    * (q87–q90) — one owner for the lifecycle whose fixes kept landing
+    * per-copy while it was hand-written at each site (VERDICT r14 #1; the
+    * r13 ADVICE checkpoint-leak fix touched all three copies): create a
+    * /tmp checkpoint dir, run `src` through a checkpointed foreachBatch
+    * feeding each NON-EMPTY micro-batch to `onBatch`, force `result`
+    * before teardown, and delete the ck tree on every exit path.
+    * Invariants owned here, once (code-review r13 + ADVICE r13):
+    *   - the ck dir's deletion is a finally tied to its CREATION — it
+    *     runs whether start() throws, a micro-batch fails, or q.stop()
+    *     itself throws;
+    *   - processAllAvailable is try/finally-paired with stop();
+    *   - `result` is evaluated INSIDE the drive (callers localCheckpoint
+    *     it there), so nothing downstream depends on the deleted ck dir.
+    * The caller keeps the state's close() as ITS outermost finally — the
+    * state types differ per query and their pinned traces must release on
+    * every path, including a staging failure before this helper is ever
+    * entered. */
+  private def driveForeachBatch(src: DataFrame, ckTag: String)
+                               (onBatch: DataFrame => Unit)
+                               (result: => DataFrame): DataFrame = {
+    import java.nio.file.Files
+    val ck = Files.createTempDirectory(ckTag)
+    try {
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) onBatch(batch)
+        }
+        .option("checkpointLocation", ck.toString)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      result
+    } finally {
+      val walk = Files.walk(ck)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
   /** Streaming read of the (staged) events table; converts the raw
     * nanos-long event time back to TimestampType. */
   private def eventStream(s: SparkSession, dir: String, tag: String,
@@ -795,36 +836,22 @@ object StreamingQueries extends QueryModule {
       val acc = new Incremental.State(ZSetFrame.fromDelta(
         template.where(lit(false)).select(col("*"), lit(1L).as("cnt"),
           lit(1L).as("vsum"), lit(1L).as(ZSetFrame.W))))
-      val ck = Files.createTempDirectory("graft_sroll_ck")
-      // exception-safe drive (extended to q87 in r14, the q88/q89 shape —
-      // ADVICE r13): ck deletion tied to its creation, state close outermost
+      // shared exception-safe drive (driveForeachBatch, VERDICT r14 #1);
+      // state close stays the caller's outermost finally
       try {
-        try {
-          val q = src.writeStream
-            .foreachBatch { (batch: DataFrame, _: Long) =>
-              if (!batch.isEmpty) {
-                val ev = prep(batch).localCheckpoint(true)
-                val span = ev.agg(min("ts_ms"), max("ts_ms")).head()
-                val (lo, hi) = (span.getLong(0), span.getLong(1))
-                acc.update(st.step(ZSetFrame.fromTable(ev), lo, hi,
-                  touchedKeys = None, checkpointDelta = false))
-                st.gcBefore(hi) // watermark = max event time (slices ascend)
-                graft.incremental.Pinned.release(ev)
-              }
-            }
-            .option("checkpointLocation", ck.toString)
-            .start()
-          try q.processAllAvailable()
-          finally q.stop()
+        driveForeachBatch(src, "graft_sroll_ck") { batch =>
+          val ev = prep(batch).localCheckpoint(true)
+          val span = ev.agg(min("ts_ms"), max("ts_ms")).head()
+          val (lo, hi) = (span.getLong(0), span.getLong(1))
+          acc.update(st.step(ZSetFrame.fromTable(ev), lo, hi,
+            touchedKeys = None, checkpointDelta = false))
+          st.gcBefore(hi) // watermark = max event time (slices ascend)
+          graft.incremental.Pinned.release(ev)
+        } {
           acc.acc.consolidate.toDF
             .select(col("event_id"), col("user_id"),
               col("cnt").as("n_1h"), col("vsum").as("sv_1h"))
             .localCheckpoint(true)
-        } finally {
-          val walk = Files.walk(ck)
-          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(Files.deleteIfExists(_))
-          finally walk.close()
         }
       } finally st.close()
     }),
@@ -874,31 +901,16 @@ object StreamingQueries extends QueryModule {
       val schema = s.read.parquet(staged).schema
       val src = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(staged)
-      val ck = Files.createTempDirectory("graft_stfidf_ck")
-      // exception-safe drive (code-review r13 + ADVICE r13): the /tmp
-      // checkpoint dir's deletion is a finally tied to its CREATION — it
-      // runs whether start() throws, a micro-batch fails, or q.stop()
-      // itself throws — and st.close() is the outermost finally so the
-      // state's pinned traces release on every path
+      // shared exception-safe drive (driveForeachBatch, VERDICT r14 #1);
+      // st.close() is the caller's outermost finally so the state's pinned
+      // traces release on every path
       try {
-        try {
-          val q = src.writeStream
-            .foreachBatch { (batch: DataFrame, _: Long) =>
-              if (!batch.isEmpty)
-                acc.update(st.step(ZSetFrame.fromDelta(toPostings(batch))))
-            }
-            .option("checkpointLocation", ck.toString)
-            .start()
-          try q.processAllAvailable()
-          finally q.stop()
+        driveForeachBatch(src, "graft_stfidf_ck") { batch =>
+          acc.update(st.step(ZSetFrame.fromDelta(toPostings(batch))))
+        } {
           acc.acc.consolidate.toDF
             .select("doc_id", "term", "tf", "score_q")
             .localCheckpoint(true)
-        } finally {
-          val walk = Files.walk(ck)
-          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(Files.deleteIfExists(_))
-          finally walk.close()
         }
       } finally st.close()
     }),
@@ -947,29 +959,69 @@ object StreamingQueries extends QueryModule {
       val schema = s.read.parquet(staged).schema
       val src = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(staged)
-      val ck = Files.createTempDirectory("graft_sbm25_ck")
-      // exception-safe drive (code-review r13 + ADVICE r13): ck deletion is
-      // a finally tied to its creation (survives start()/q.stop() throws);
+      // shared exception-safe drive (driveForeachBatch, VERDICT r14 #1);
       // st.close() outermost — see q88
       try {
-        try {
-          val q = src.writeStream
-            .foreachBatch { (batch: DataFrame, _: Long) =>
-              if (!batch.isEmpty)
-                acc.update(st.step(ZSetFrame.fromDelta(toPostings(batch))))
-            }
-            .option("checkpointLocation", ck.toString)
-            .start()
-          try q.processAllAvailable()
-          finally q.stop()
+        driveForeachBatch(src, "graft_sbm25_ck") { batch =>
+          acc.update(st.step(ZSetFrame.fromDelta(toPostings(batch))))
+        } {
           acc.acc.consolidate.toDF
             .select("doc_id", "score_q", "rnk")
             .localCheckpoint(true)
-        } finally {
-          val walk = Files.walk(ck)
-          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(Files.deleteIfExists(_))
-          finally walk.close()
+        }
+      } finally st.close()
+    }),
+
+    // STREAMING MULTI-QUERY INCREMENTAL BM25 (q90, VERDICT r14 #3) —
+    // MultiBm25State (the certified multi-query retrieval engine, t14)
+    // under the REAL streaming engine: the q89 drive verbatim on the
+    // multi-query state, completing the batch / step-loop / streaming ×
+    // single / multi-query matrix (t11+t14 / t13+t14 / q89+q90). Five
+    // staged epochs (4 inserts then the doc_id%10==3 CDC retraction
+    // epoch at weight −1) through a checkpointed foreachBatch; each
+    // micro-batch advances the shared corpus constants, screens the
+    // union-restricted index ONCE for all four standing query sets, and
+    // emits the per-query top-k replacement delta. Integrated output ≡
+    // the per-query batch top-10 over the surviving corpus (t14's oracle
+    // verbatim).
+    "q90_stream_multi_bm25" -> ((s, dir) => {
+      import graft.core.ZSetFrame
+      import graft.incremental.MultiBm25State
+      val E = 4
+      val staged = stageSlicedDir(s, dir, "documents", "dbm255", E + 1,
+        _ => col("slice"),
+        xform = df => df.select(col("doc_id"), col("text"),
+            pmod(col("doc_id"), lit(E)).cast("int").as("slice"),
+            lit(1L).as("w"))
+          .unionByName(df.where(pmod(col("doc_id"), lit(10)) === 3)
+            .select(col("doc_id"), col("text"), lit(E).as("slice"),
+              lit(-1L).as("w"))))
+      // the q89 CDC posting shape (shared builder) — the staged dir is
+      // ALSO q89's ("dbm255"): the replay is identical, only the standing
+      // query side differs, so the two queries share one staging cost
+      def toPostings(df: DataFrame): DataFrame =
+        Postings.build(df, withDl = true)
+          .select(col("doc_id"), col("term"), col("tf"), col("dl"),
+            col("w").as(ZSetFrame.W))
+      val template = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("w", lit(1L))
+      val st = new MultiBm25State(
+        ZSetFrame.fromDelta(toPostings(template.where(lit(false)))),
+        Postings.MultiQuerySets, 32)
+      val acc = new graft.incremental.Incremental.State(ZSetFrame.fromDelta(
+        toPostings(template.where(lit(false)))
+          .select(lit("").as("query_id"), col("doc_id"),
+            lit(0L).as("score_q"), lit(0).as("rnk"), col(ZSetFrame.W))))
+      val schema = s.read.parquet(staged).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+      try {
+        driveForeachBatch(src, "graft_smbm25_ck") { batch =>
+          acc.update(st.step(ZSetFrame.fromDelta(toPostings(batch))))
+        } {
+          acc.acc.consolidate.toDF
+            .select("query_id", "doc_id", "score_q", "rnk")
+            .localCheckpoint(true)
         }
       } finally st.close()
     })
@@ -985,6 +1037,11 @@ object StreamingQueries extends QueryModule {
     // sequence via the shared Bm25.sq expression, sq quantized before the
     // per-doc sum
     "q89_stream_inc_bm25" -> Postings.bm25Top10OracleSql("doc_id % 10 <> 3"),
+    // t14's oracle VERBATIM — the same shared-generator call: the
+    // per-query batch top-10 over the surviving corpus with df/N/T shared
+    // across the four standing query sets
+    "q90_stream_multi_bm25" -> Postings.multiBm25OracleSql(
+      "doc_id % 10 <> 3", Postings.MultiQuerySets),
     "q33_stream_tumble" ->
       s"""SELECT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS wstart, event_type,
             count(*) AS n, ${oSum("value")} AS sum_value
