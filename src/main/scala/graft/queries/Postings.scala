@@ -30,6 +30,59 @@ object Postings {
     "qc" -> Seq("data", "stream", "table", "merge"),
     "qd" -> Seq("vector", "batch", "dup", "filter"))
 
+  /** The target vocabulary of t15's incremental PMI association state —
+    * the PMI analog of [[QueryTerms]]: the pair universe is C(|U|,2) = 28
+    * pairs over these eight. */
+  val PmiTerms: Seq[String] = Seq(
+    "spark", "query", "merge", "window", "join", "hash", "stream", "batch")
+
+  /** Distinct-term presence rows of a documents frame — the PmiState step
+    * input: one (doc_id, term) row per DISTINCT term of the doc (presence,
+    * not tf; `array_distinct` makes the per-doc uniqueness structural).
+    * A CDC weight column `w` rides through like [[build]]'s. */
+  def distinctTerms(docs: DataFrame): DataFrame = {
+    val hasW = docs.columns.contains("w")
+    val dims = Seq(col("doc_id")) ++ (if (hasW) Seq(col("w")) else Nil)
+    docs.select(dims :+
+      explode(array_distinct(split(col("text"), " "))).as("term"): _*)
+  }
+
+  /** Full DuckDB oracle for t15's incremental PMI association score:
+    * per-doc sum of the quantized exp-PMI surrogate
+    * floor((N·c_ab)/(c_a·c_b)·1e6) over the doc's target-term pairs, with
+    * N/c_a/c_ab over the `pred`-surviving corpus. The one division, one
+    * multiply, one floor sequence is shared token-for-token with
+    * PmiState.pq (exact-and-portable while N·c_ab < 2^53 — see the
+    * state's numeric envelope). */
+  def pmiOracleSql(pred: String, terms: Seq[String] = PmiTerms): String = {
+    val inList = terms.map("'" + _ + "'").mkString(", ")
+    s"""WITH base AS (SELECT doc_id, text FROM documents WHERE $pred),
+         consts AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM base),
+         ut AS (
+           SELECT DISTINCT doc_id, term FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM base)
+           WHERE term IN ($inList)),
+         ca AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM ut GROUP BY 1),
+         pr AS (
+           SELECT a.doc_id, a.term AS ta, b.term AS tb
+           FROM ut a JOIN ut b ON a.doc_id = b.doc_id AND a.term < b.term),
+         cab AS (
+           SELECT ta, tb, CAST(count(*) AS BIGINT) AS cab
+           FROM pr GROUP BY 1, 2),
+         sc AS (
+           SELECT p.doc_id,
+             CAST(FLOOR(CAST(c.n_docs * x.cab AS DOUBLE)
+               / CAST(ca1.c * ca2.c AS DOUBLE) * 1e6) AS BIGINT) AS pq
+           FROM pr p JOIN cab x ON p.ta = x.ta AND p.tb = x.tb
+           JOIN ca ca1 ON ca1.term = p.ta
+           JOIN ca ca2 ON ca2.term = p.tb
+           CROSS JOIN consts c)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(pq) AS BIGINT) AS score_q
+         FROM sc GROUP BY 1"""
+  }
+
   /** Term-frequency postings of a documents frame. `docs` must carry
     * (doc_id, text) and MAY carry a CDC weight column `w` (constant per doc
     * within a delta — a doc's full posting set ships at one polarity);

@@ -250,6 +250,38 @@ object TextAnalysis extends QueryModule {
         .select("query_id", "doc_id", "score_q", "rnk")
     }),
 
+    // INCREMENTAL PMI ASSOCIATION SCORE (t15, VERDICT r14 #4 — the third
+    // Screened state): per-doc sum of quantized exp-PMI over the doc's
+    // target-vocabulary term pairs, kept exact while documents arrive AND
+    // leave. The coupling is DEGENERATE relative to t12/t13: every score
+    // input (N, c_a, c_ab) is a driver-held constant, so floor crossing is
+    // decided on the driver over the ≤C(|U|,2) pair dimension and quiet
+    // steps cost ZERO cluster-side screening — the corner that proves the
+    // Screened factoring spans the whole coupling spectrum. Replay mirrors
+    // t12: 4 insert epochs (doc_id mod 4) then the doc_id%10==3 retraction
+    // epoch; the integrated −old/+new output must equal the batch per-doc
+    // PMI sum over the surviving corpus.
+    "t15_inc_pmi" -> ((s, dir) => {
+      import graft.core.ZSetFrame
+      val E = 4
+      val trAll = Postings.distinctTerms(
+          t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .localCheckpoint(true)
+      val st = new graft.incremental.PmiState(
+        ZSetFrame.fromTable(trAll.where(lit(false))), Postings.PmiTerms, 32)
+      val outs =
+        (0 until E).map { i =>
+          st.step(ZSetFrame.fromTable(
+            trAll.where(pmod(col("doc_id"), lit(E)) === i)))
+        } :+
+        st.step(ZSetFrame.fromDelta(
+          trAll.where(pmod(col("doc_id"), lit(10)) === 3)
+            .withColumn(ZSetFrame.W, lit(-1L))))
+      st.close()
+      ZSetFrame.sumAll(outs).consolidate.toDF
+        .select("doc_id", "n_pairs", "score_q")
+    }),
+
     // token / char counting
     "t01_tokens" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -699,6 +731,11 @@ object TextAnalysis extends QueryModule {
       // across the four standing query sets (shared generator)
       "t14_multi_bm25" -> Postings.multiBm25OracleSql("doc_id % 10 <> 3",
         Postings.MultiQuerySets),
+
+      // batch per-doc PMI association sum over the surviving corpus —
+      // t15's integrated replacement deltas must match it bit-for-bit
+      // (shared generator; the pq IEEE sequence is PmiState.pq's)
+      "t15_inc_pmi" -> Postings.pmiOracleSql("doc_id % 10 <> 3"),
 
       "t01_tokens" ->
         """SELECT doc_id, length(text) AS n_chars2,

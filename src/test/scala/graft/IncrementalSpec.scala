@@ -549,6 +549,111 @@ class IncrementalSpec extends SparkSpec {
     } finally st2.close()
   }
 
+  test("PmiState: incremental PMI association ≡ batch per-doc pair-PMI sum") {
+    import graft.incremental.PmiState
+    // target vocabulary of 4 terms (6 pairs) + filler; docs are TERM SETS
+    // (presence, not tf). Every 5th doc is filler-only — it moves N but
+    // holds no target pair, exercising the N-only constant drift.
+    val uterms = Seq("spark", "query", "merge", "window")
+    val filler = Vector.tabulate(8)(i => s"f$i")
+    def docTerms(i: Int): Seq[String] = {
+      val r = new scala.util.Random(1500 + i)
+      val pool = if (i % 5 == 4) filler else uterms ++ filler
+      Seq.fill(3 + r.nextInt(5))(pool(r.nextInt(pool.size))).distinct
+    }
+    def rows(ids: Seq[Int], w: Long): Seq[(Long, String, Long)] =
+      ids.flatMap(i => docTerms(i).map(t => (i.toLong, t, w)))
+    // step 4 is the CDC UPDATE shape: doc 2's full old set at −1 AND doc
+    // 30's set inserted under doc 2's id at +1 in ONE delta — the
+    // per-(doc, w) pair derivation must keep the polarities apart
+    def upd(i: Int, j: Int): Seq[(Long, String, Long)] =
+      docTerms(i).map(t => (i.toLong, t, -1L)) ++
+        docTerms(j).map(t => (i.toLong, t, 1L))
+    val steps = Seq(
+      rows(0 until 12, 1L),
+      rows(12 until 22, 1L),
+      rows(Seq(3, 7, 15), -1L),
+      upd(2, 30) ++ rows(Seq(22, 23), 1L),
+      rows(Seq(24), 1L)) // small tail — the pruning step on coarse grid
+    val empty = ZSetFrame.fromTable(
+      Seq.empty[(Long, String)].toDF("doc_id", "term"))
+    for (grid <- Seq(1e6, 4.0)) {
+      val st = new PmiState(empty, uterms, nBuckets = 8, grid = grid)
+      var live = Set.empty[Int]
+      var reDoc2 = false
+      var prunedOnce = false
+      val outs = steps.zipWithIndex.map { case (rws, si) =>
+        if (si == 3) { live = live + 22 + 23; reDoc2 = true } // doc 2 stays live, content swapped
+        else live = live ++ rws.filter(_._3 > 0).map(_._1.toInt) --
+          rws.filter(_._3 < 0).map(_._1.toInt)
+        val out = st.step(ZSetFrame.fromDelta(
+          rws.toDF("doc_id", "term", ZSetFrame.W)))
+        val withPair = live.count(i =>
+          effTerms(i, reDoc2).count(uterms.contains) >= 2)
+        if (st.lastAffected.count() < withPair) prunedOnce = true
+        out
+      }
+      st.close()
+      // brute-force batch model over the surviving corpus (doc 2 carries
+      // doc 30's term set after the update step) — the SAME IEEE sequence
+      // as PmiState.pq
+      def eff(i: Int) = effTerms(i, reDoc2)
+      val n = live.size.toLong
+      val caM = uterms.map(t =>
+        t -> live.count(i => eff(i).contains(t)).toLong).toMap
+      def pairs(i: Int): Seq[(String, String)] = {
+        val ts = eff(i).filter(uterms.contains).sorted
+        for (a <- ts; b <- ts if a < b) yield (a, b)
+      }
+      val cabM = live.toSeq.flatMap(pairs)
+        .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+      def pqM(a: String, b: String): Long =
+        math.floor((n * cabM((a, b))).toDouble /
+          (caM(a) * caM(b)).toDouble * grid).toLong
+      val expected = live.toSeq.flatMap { i =>
+        val ps = pairs(i)
+        if (ps.isEmpty) None
+        else Some((i.toLong, ps.size.toLong, ps.map { case (a, b) => pqM(a, b) }.sum))
+      }
+      assertSameRows(ZSetFrame.sumAll(outs).consolidate.df,
+        ZSetFrame.fromTable(
+          expected.toDF("doc_id", "n_pairs", "score_q")).df)
+      if (grid < 1e6)
+        assert(prunedOnce,
+          s"grid=$grid: screening never pruned across the pair index")
+    }
+  }
+
+  /** doc 2's effective term set after the CDC-update step replaced it with
+    * doc 30's (see the PmiState law test). */
+  private def effTerms(i: Int, reDoc2: Boolean): Seq[String] = {
+    def docTerms(j: Int): Seq[String] = {
+      val r = new scala.util.Random(1500 + j)
+      val uterms = Seq("spark", "query", "merge", "window")
+      val filler = Vector.tabulate(8)(k => s"f$k")
+      val pool = if (j % 5 == 4) filler else uterms ++ filler
+      Seq.fill(3 + r.nextInt(5))(pool(r.nextInt(pool.size))).distinct
+    }
+    if (reDoc2 && i == 2) docTerms(30) else docTerms(i)
+  }
+
+  test("PMI step contract: a weight beyond ±1 fails loudly") {
+    // the rider on the step's single stat action: the state's constants
+    // are presence-based doc frequencies and the pair derivation assumes
+    // unit multiplicities — a |w|>1 row must fail hard, not corrupt
+    import graft.incremental.PmiState
+    val empty = ZSetFrame.fromTable(
+      Seq.empty[(Long, String)].toDF("doc_id", "term"))
+    val st = new PmiState(empty, Seq("spark", "query"), nBuckets = 4)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        st.step(ZSetFrame.fromDelta(Seq((1L, "spark", 2L), (1L, "query", 2L))
+          .toDF("doc_id", "term", ZSetFrame.W)))
+      }
+      assert(e.getMessage.contains("contract"))
+    } finally st.close()
+  }
+
   test("MultiBm25State: concurrent query sets over one shared index ≡ per-query batch top-k") {
     import graft.incremental.MultiBm25State
     // three standing queries; qc SHARES a term with each of qa/qb — a
