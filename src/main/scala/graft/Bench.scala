@@ -79,6 +79,34 @@ object Bench {
       .getOrElse(sys.error("stepbench child printed no [stepbench] line"))
   }
 
+  /** Fixed-cost host-speed canary (VERDICT r14 #5): r14 spent forensic
+    * effort proving a 1.3× board-wide shift was the HOST, not the code —
+    * this makes that evidence mechanical. Two components matching the two
+    * cost regimes the query suite mixes: a CPU/shuffle-shaped job (scan +
+    * hash-agg, 32 tasks, 20M generated rows) and a BARRIER loop (20
+    * minimal actions — the per-action fixed cost that dominates the
+    * step-loop queries; host noise inflates exactly this term, r14's
+    * 1.4–1.7× step-loop tail). The shape is FROZEN: comparing rounds means
+    * comparing `queries_total / canary_sec` (and per-query `query_norm`)
+    * instead of hand-building untouched-query medians. Returns
+    * (cpu_sec, barrier_sec) for one rep; callers take medians of 5. */
+  def canaryRep(spark: SparkSession): (Double, Double) = {
+    val c0 = System.nanoTime()
+    spark.range(0L, 20000000L, 1L, 32)
+      .selectExpr("id % 4096 AS k", "id AS v")
+      .groupBy("k")
+      .agg(org.apache.spark.sql.functions.sum("v").as("s"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      .agg(org.apache.spark.sql.functions.sum("s"),
+        org.apache.spark.sql.functions.sum("n")).collect()
+    val cpu = (System.nanoTime() - c0) / 1e9
+    val b0 = System.nanoTime()
+    (0 until 20).foreach(_ => spark.range(0L, 32L, 1L, 32).count())
+    val barrier = (System.nanoTime() - b0) / 1e9
+    (cpu, barrier)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -135,6 +163,17 @@ object Bench {
       }
     }
     graft.incremental.Pinned.sweepSession(spark.sparkContext)
+    // host-speed canary (VERDICT r14 #5): 5 reps right after warmup, when
+    // the session is clean; medians per component. canary_sec is the
+    // round-over-round normalizer — a host that is 1.3× slower moves the
+    // canary and the queries together, so total/canary stays comparable.
+    val (canaryCpuRuns, canaryBarRuns) = section("canary") {
+      val reps5 = (0 until 5).map(_ => canaryRep(spark))
+      (reps5.map(_._1), reps5.map(_._2))
+    }
+    val canaryCpu = median(canaryCpuRuns)
+    val canaryBar = median(canaryBarRuns)
+    val canarySec = canaryCpu + canaryBar
     val errors = scala.collection.mutable.Map[String, String]()
     // untimed maintenance (per-rep pinned-state sweep + per-query explicit
     // GC) is accumulated and reported so the wall-vs-timed gap is
@@ -209,6 +248,12 @@ object Bench {
       val v = if (floorGated.contains(k)) ts.min else median(ts)
       s""""$k":${num(v)}""" }.mkString("{", ",", "}")
     val floorGatedJson = floorGated.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // per-query canary-normalized ratios (VERDICT r14 #5): median seconds
+    // over the canary's — the figure to diff across rounds; a host shift
+    // moves raw seconds, not these
+    val queryNormJson = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":${num(v / canarySec, 2)}""" }
+      .mkString("{", ",", "}")
     // Sections run GATES-FIRST (queries → throughput → base step-bench →
     // XL step-bench) and the artifact is RE-WRITTEN TO DISK as each section
     // lands (VERDICT r12 #1: the r12 driver run timed out with rc=124 and
@@ -222,6 +267,12 @@ object Bench {
       s""""queries":${qJson(3)},"query_runs":$runsJson,""" +
       s""""query_floors":$floorsJson,"query_spread":$spreadJson,""" +
       s""""query_repr":$reprJson,"floor_gated":$floorGatedJson,""" +
+      s""""canary":{"cpu_runs":[${canaryCpuRuns.map(num(_)).mkString(",")}],""" +
+      s""""barrier_runs":[${canaryBarRuns.map(num(_)).mkString(",")}],""" +
+      s""""cpu_sec":${num(canaryCpu)},"barrier_sec":${num(canaryBar)},""" +
+      s""""sec":${num(canarySec)}},""" +
+      s""""total_norm":${num(total / canarySec, 1)},""" +
+      s""""query_norm":$queryNormJson,""" +
       s""""maintenance":{"sweep_sec":${num(sweepSec, 1)},"gc_sec":${num(gcSec, 1)}},""" +
       s""""errors":$errJson,""" +
       s""""step_bench":$stepBench,"step_bench_xl":$stepBenchXl,""" +
@@ -249,9 +300,15 @@ object Bench {
     // O(Δ)-step-cost artifact: keyed (partitioned trace) step time must stay
     // flat as state grows 10×; the naive full-scan state shows the growth.
     // The growth gate is a ratio of per-step FLOORS over one seeded run per
-    // config (3×/5× the step count — see StepBench.floorRun)
+    // config (3×/5× the step count — see StepBench.floorRun). The opt-in
+    // committed-artifact run gets the FULL base tier (galen track + full
+    // naive sampling); a default (driver) run gets the trimmed tier —
+    // every gated flat track unconditionally, galen deferred to the
+    // committed artifact, the naive control at XL-style reduced samples
+    // (VERDICT r14 #2: the base tier was the driver budget's biggest item)
+    val xlOptIn = sys.env.get("SPARK_GRAFT_STEPBENCH_XL").contains("1")
     val stepBench = section("step_bench") {
-      try stepBenchIsolated(500000L, 10)
+      try stepBenchIsolated(500000L, 10, if (xlOptIn) "full" else "")
       catch { case e: Throwable => s"""{"error":"${e.getClass.getName}"}""" }
     }
     writePartial(stepBench, Pending, throughput)
@@ -265,7 +322,6 @@ object Bench {
     // the r14 outlier re-run policy in StepBench.jsonXl) while a default
     // run defers to that committed evidence and keeps the unconditional
     // gates (queries, throughput, base step-bench) inside budget.
-    val xlOptIn = sys.env.get("SPARK_GRAFT_STEPBENCH_XL").contains("1")
     val stepBenchXl = section("step_bench_xl") {
       if (!xlOptIn)
         """{"deferred":true,"optin":"SPARK_GRAFT_STEPBENCH_XL=1",""" +
@@ -312,6 +368,7 @@ object Bench {
     // the committed BENCH_LOCAL.json
     val compact =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,""" +
+      s""""canary_sec":${num(canarySec)},"total_norm":${num(total / canarySec, 1)},""" +
       s""""n_queries":${results.size},"errors":$errJson,"step_bench":$stepBench,""" +
       s""""step_bench_xl":$stepBenchXl,""" +
       s""""throughput":${Throughput.compact},"detail":"$outName","sf":"$sfDir"}"""

@@ -454,7 +454,17 @@ object StepBench {
     (ts, prunes.toSeq)
   }
 
-  def json(spark: SparkSession, base: Long, steps: Int): String = {
+  /** The base tier. `full = false` (the default / driver run) trims the
+    * two most expensive non-gated lines (VERDICT r14 #2 — the base tier
+    * became the driver budget's biggest item once XL went opt-in): the
+    * galen recursion track is DEFERRED to the opt-in committed-artifact
+    * run (its figures change only when the recursion machinery changes,
+    * the XL rationale verbatim), and the naive CONTROL samples fewer
+    * steps (its only job is to be visibly super-linear — the XL tier's
+    * controls-run-fewer discipline). Every gated flat track keeps its
+    * full sampling unconditionally. */
+  def json(spark: SparkSession, base: Long, steps: Int,
+           full: Boolean = true): String = {
     val nKeys = base / 50
     def floor(label: String)(run: () => Seq[Double]): Double =
       floorRun(spark, label)(run)
@@ -478,9 +488,12 @@ object StepBench {
       () => runKeyed(spark, base * 10, nKeys * 10, s3, 256))
     // naive is the super-linear CONTROL: its only job is "grows with |DB|",
     // which one run shows; its large steps are the most expensive in the
-    // base tier, so it gets the plain step count
-    val nS = floor("naive_s")(() => runNaive(spark, base, nKeys, steps))
-    val nL = floor("naive_l")(() => runNaive(spark, base * 10, nKeys * 10, steps))
+    // base tier, so the trimmed (driver) tier samples it like the XL
+    // controls — fewer steps (VERDICT r14 #2)
+    val (nStepsS, nStepsL) =
+      if (full) (steps, steps) else (math.min(steps, 4), 3)
+    val nS = floor("naive_s")(() => runNaive(spark, base, nKeys, nStepsS))
+    val nL = floor("naive_l")(() => runNaive(spark, base * 10, nKeys * 10, nStepsL))
     val (uS, uL, uG) = gated("upsert")(
       () => runUpsert(spark, base, s5))(
       () => runUpsert(spark, base * 10, s5))
@@ -555,15 +568,28 @@ object StepBench {
         case (t, r) if r > 0 => t / r }.min
       (floor, perFact)
     }
-    val (gS, gSpf) = galenRun(base / 10)
-    val (gL, gLpf) = galenRun(base)
+    // DEFERRED in the trimmed tier (VERDICT r14 #2): the committed
+    // opt-in artifact carries the galen figures; a default run points at
+    // it (the XL-tier deferral shape)
+    val galenJson =
+      if (!full)
+        """"galen":{"deferred":true,"optin":"SPARK_GRAFT_STEPBENCH_XL=1",""" +
+          """"see":"committed BENCH_LOCAL.json"}"""
+      else {
+        val (gS, gSpf) = galenRun(base / 10)
+        val (gL, gLpf) = galenRun(base)
+        f""""galen_small_sec":$gS%.3f,"galen_large_sec":$gL%.3f,""" +
+          f""""galen_small_sec_per_mfact":${gSpf * 1e6}%.3f,""" +
+          f""""galen_large_sec_per_mfact":${gLpf * 1e6}%.3f,""" +
+          f""""galen_growth":${gLpf / gSpf}%.2f"""
+      }
     // "stat" labels the *_sec figures: per-step FLOORS (one seeded run per
     // config, 3×steps post-warmup samples — 5× for upsert/tri), not medians
     // — the growth gate compares best-case step costs; gated flat tracks
     // carry the outlier policy (median of 3 ratios when the first pair
     // lands outside [0.5, 1.5]; all pairs in gate_runs)
     val gateRunsJson = gateRunsJsonStr(gateRuns)
-    f"""{"stat":"per_step_floor_one_seed_3x_steps_upsert_tri_5x_outlier_median_of_3","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"keyed_small_sec":$kS%.3f,"keyed_large_sec":$kL%.3f,"naive_small_sec":$nS%.3f,"naive_large_sec":$nL%.3f,"upsert_small_sec":$uS%.3f,"upsert_large_sec":$uL%.3f,"rolling_small_sec":$rS%.3f,"rolling_large_sec":$rL%.3f,"radix_small_sec":$xS%.3f,"radix_large_sec":$xL%.3f,"radix_scaled_large_sec":$xSc%.3f,"dedup_small_sec":$dS%.3f,"dedup_large_sec":$dL%.3f,"ann_small_sec":$aS%.3f,"ann_large_sec":$aL%.3f,"tri_small_sec":$tS%.3f,"tri_large_sec":$tL%.3f,"tfidf_small_sec":$tfS%.3f,"tfidf_large_sec":$tfL%.3f,"tfidf_prune_small":${tfSp.max}%.4f,"tfidf_prune_large":${tfLp.max}%.4f,"galen_small_sec":$gS%.3f,"galen_large_sec":$gL%.3f,"galen_small_sec_per_mfact":${gSpf * 1e6}%.3f,"galen_large_sec_per_mfact":${gLpf * 1e6}%.3f,"keyed_growth":$kG%.2f,"naive_growth":${nL / nS}%.2f,"upsert_growth":$uG%.2f,"rolling_growth":$rG%.2f,"radix_growth":${xL / xS}%.2f,"radix_scaled_growth":$xG%.2f,"dedup_growth":$dG%.2f,"ann_growth":$aG%.2f,"tri_growth":$tG%.2f,"tfidf_growth":${tfL / tfS}%.2f,"galen_growth":${gLpf / gSpf}%.2f,"gate_runs":$gateRunsJson}"""
+    f"""{"stat":"per_step_floor_one_seed_3x_steps_upsert_tri_5x_outlier_median_of_3","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"keyed_small_sec":$kS%.3f,"keyed_large_sec":$kL%.3f,"naive_small_sec":$nS%.3f,"naive_large_sec":$nL%.3f,"upsert_small_sec":$uS%.3f,"upsert_large_sec":$uL%.3f,"rolling_small_sec":$rS%.3f,"rolling_large_sec":$rL%.3f,"radix_small_sec":$xS%.3f,"radix_large_sec":$xL%.3f,"radix_scaled_large_sec":$xSc%.3f,"dedup_small_sec":$dS%.3f,"dedup_large_sec":$dL%.3f,"ann_small_sec":$aS%.3f,"ann_large_sec":$aL%.3f,"tri_small_sec":$tS%.3f,"tri_large_sec":$tL%.3f,"tfidf_small_sec":$tfS%.3f,"tfidf_large_sec":$tfL%.3f,"tfidf_prune_small":${tfSp.max}%.4f,"tfidf_prune_large":${tfLp.max}%.4f,$galenJson,"keyed_growth":$kG%.2f,"naive_growth":${nL / nS}%.2f,"upsert_growth":$uG%.2f,"rolling_growth":$rG%.2f,"radix_growth":${xL / xS}%.2f,"radix_scaled_growth":$xG%.2f,"dedup_growth":$dG%.2f,"ann_growth":$aG%.2f,"tri_growth":$tG%.2f,"tfidf_growth":${tfL / tfS}%.2f,"gate_runs":$gateRunsJson}"""
   }
 
   /** The XL tier (VERDICT r10 #1): the same flat-growth claims one decade
@@ -737,7 +763,10 @@ object StepBench {
           f"[stepbench tri n=$n] " + ts.map(t => f"$t%.2f").mkString(" "))
       }
     } else
-      println("[stepbench] " + json(spark, base, steps))
+      // "full" = the opt-in committed-artifact run (galen + full naive
+      // sampling); default = the trimmed driver tier (VERDICT r14 #2)
+      println("[stepbench] " + json(spark, base, steps,
+        full = args.length > 2 && args(2) == "full"))
     spark.stop()
   }
 }

@@ -1024,6 +1024,53 @@ object StreamingQueries extends QueryModule {
             .localCheckpoint(true)
         }
       } finally st.close()
+    }),
+
+    // STREAMING INCREMENTAL PMI (q91) — t15's PmiState driven by the real
+    // streaming engine: the q89/q90 CDC replay (SAME staged dir — the
+    // replay is identical, only the maintained state differs) through the
+    // shared drive; each micro-batch advances the driver-held constants
+    // (N, c_a, c_ab), decides floor crossings on the driver, and emits the
+    // per-doc association-score replacement delta. The retraction epoch
+    // exercises the downward constant maintenance and retract-side
+    // crossings. Integrated output ≡ the batch per-doc PMI sum over the
+    // surviving corpus (t15's oracle verbatim).
+    "q91_stream_inc_pmi" -> ((s, dir) => {
+      import graft.core.ZSetFrame
+      import graft.incremental.PmiState
+      val E = 4
+      val staged = stageSlicedDir(s, dir, "documents", "dbm255", E + 1,
+        _ => col("slice"),
+        xform = df => df.select(col("doc_id"), col("text"),
+            pmod(col("doc_id"), lit(E)).cast("int").as("slice"),
+            lit(1L).as("w"))
+          .unionByName(df.where(pmod(col("doc_id"), lit(10)) === 3)
+            .select(col("doc_id"), col("text"), lit(E).as("slice"),
+              lit(-1L).as("w"))))
+      def toTerms(df: DataFrame): DataFrame =
+        Postings.distinctTerms(df)
+          .select(col("doc_id"), col("term"), col("w").as(ZSetFrame.W))
+      val template = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("w", lit(1L))
+      val st = new PmiState(
+        ZSetFrame.fromDelta(toTerms(template.where(lit(false)))),
+        Postings.PmiTerms, 32)
+      val acc = new graft.incremental.Incremental.State(ZSetFrame.fromDelta(
+        toTerms(template.where(lit(false)))
+          .select(col("doc_id"), lit(0L).as("n_pairs"),
+            lit(0L).as("score_q"), col(ZSetFrame.W))))
+      val schema = s.read.parquet(staged).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+      try {
+        driveForeachBatch(src, "graft_spmi_ck") { batch =>
+          acc.update(st.step(ZSetFrame.fromDelta(toTerms(batch))))
+        } {
+          acc.acc.consolidate.toDF
+            .select("doc_id", "n_pairs", "score_q")
+            .localCheckpoint(true)
+        }
+      } finally st.close()
     })
   )
 
@@ -1042,6 +1089,9 @@ object StreamingQueries extends QueryModule {
     // across the four standing query sets
     "q90_stream_multi_bm25" -> Postings.multiBm25OracleSql(
       "doc_id % 10 <> 3", Postings.MultiQuerySets),
+    // t15's oracle VERBATIM (shared generator): batch per-doc PMI
+    // association sum over the surviving corpus
+    "q91_stream_inc_pmi" -> Postings.pmiOracleSql("doc_id % 10 <> 3"),
     "q33_stream_tumble" ->
       s"""SELECT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS wstart, event_type,
             count(*) AS n, ${oSum("value")} AS sum_value
