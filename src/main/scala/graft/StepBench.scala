@@ -463,6 +463,71 @@ object StepBench {
     * steps (its only job is to be visibly super-linear — the XL tier's
     * controls-run-fewer discipline). Every gated flat track keeps its
     * full sampling unconditionally. */
+  /** Per-step seconds AND per-step affected fractions for the incremental
+    * PMI state (the t15 shape, incremental/PmiState.scala). Corpus: nDocs
+    * synthetic docs, each holding exactly ONE target pair (pair p =
+    * doc_id % 28 over the 8-term vocabulary) — c_ab uniform across the 28
+    * pairs, c_a = 7·c_ab. Each step inserts D new docs and retracts D old
+    * ones (N constant; c_a/c_ab drift by ±D/28). The scale claim this
+    * diagnostic measures is PMI's own (see PmiState's grid scaladoc):
+    * the EXPECTED per-step rescore is ~grid·|Δ| rows — corpus-size-
+    * independent in the MEAN, because the per-pair crossing rate falls as
+    * 1/N exactly as a crossed pair's rescore size grows as N — but NOT in
+    * the floor (a quiet step costs O(Δ), a crossing step O(crossed·N/28)).
+    * So the run has TWO phases: `steps` QUIET steps (2 docs in, 2 out —
+    * the tfidf delta shape; balanced residues keep every constant inside
+    * its quantum, so these gate the O(Δ + touched buckets) path) followed
+    * by 2 BURST steps (B docs of ONE pair inserted — a topical ingest
+    * spike that moves that pair's c_ab enough to cross; at 10× corpus the
+    * same absolute burst moves pmi_q 10× less, so FEWER pairs cross — the
+    * 1/N crossing-rate claim made visible in the prune series). Returns
+    * (times, affected-fractions), quiet steps then burst steps. */
+  def runPmi(spark: SparkSession, nDocs: Long, steps: Int,
+             nB: Int): (Seq[Double], Seq[Double]) = {
+    import spark.implicits._
+    import graft.incremental.PmiState
+    val terms = (0 until 8).map(i => s"u$i")
+    val pairs = for (a <- 0 until 8; b <- a + 1 until 8) yield (a, b)
+    val pairTab = pairs.zipWithIndex
+      .flatMap { case ((a, b), p) => Seq((p, s"u$a"), (p, s"u$b")) }
+      .toDF("p", "term")
+    def termRows(docLo: Long, docHi: Long,
+                 pOf: org.apache.spark.sql.Column = pmod(col("id"), lit(28))) =
+      spark.range(docLo, docHi)
+        .select(col("id").as("doc_id"), pOf.cast("int").as("p"))
+        .join(broadcast(pairTab), Seq("p")).select("doc_id", "term")
+    val D = 2L   // quiet: 2 docs in, 2 out
+    val B = 200L // burst: B docs of one pair
+    val empty = ZSetFrame.fromDelta(
+      Seq.empty[(Long, String, Long)].toDF("doc_id", "term", ZSetFrame.W))
+    val st = new PmiState(empty, terms, nB)
+    st.step(ZSetFrame.fromTable(termRows(0, nDocs)))
+    val prunes = scala.collection.mutable.Buffer[Double]()
+    def timed(delta: ZSetFrame): Double = {
+      val t0 = System.nanoTime()
+      val out = st.step(delta)
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.incremental.Pinned.release(out.df)
+      prunes += st.lastAffected.count().toDouble / nDocs
+      dt
+    }
+    val quiet = (1 to steps).map { i =>
+      val ins = termRows(nDocs + (i - 1) * D, nDocs + i * D)
+        .withColumn(ZSetFrame.W, lit(1L))
+      val ret = termRows((i - 1) * D, i * D)
+        .withColumn(ZSetFrame.W, lit(-1L))
+      timed(ZSetFrame.fromDelta(ins.unionByName(ret)))
+    }
+    val burstBase = nDocs + steps * D
+    val burst = (0 until 2).map { b =>
+      timed(ZSetFrame.fromDelta(
+        termRows(burstBase + b * B, burstBase + (b + 1) * B, lit(b))
+          .withColumn(ZSetFrame.W, lit(1L))))
+    }
+    st.close()
+    (quiet ++ burst, prunes.toSeq)
+  }
+
   def json(spark: SparkSession, base: Long, steps: Int,
            full: Boolean = true): String = {
     val nKeys = base / 50
@@ -754,6 +819,21 @@ object StepBench {
             f"[stepbench tri3 n=$n nb=$nb] floor=${floorOf(ts)}%.3f s " +
               ts.map(t => f"$t%.2f").mkString(" "))
           graft.incremental.Pinned.sweepSession(spark.sparkContext)
+      }
+    } else if (args.length > 2 && args(2) == "pmi") {
+      // diagnostic (r15, the anntri discipline — diagnose first, gate only
+      // what is stable): incremental PMI per-step cost at 1× and 10× docs.
+      // The claim is MEAN flatness (expected rescore ~grid·|Δ|, corpus-
+      // size-independent), not floor flatness — see runPmi's scaladoc
+      Seq((base, 64), (base * 10, 640)).foreach { case (n, nb) =>
+        val (ts, pr) = runPmi(spark, n, steps, nb)
+        val (quiet, burst) = ts.splitAt(ts.size - 2)
+        System.err.println(
+          f"[stepbench pmi n=$n nb=$nb] quiet_floor=${floorOf(quiet)}%.3f " +
+            f"burst=${burst.map(t => f"$t%.2f").mkString(",")} | " +
+            ts.map(t => f"$t%.2f").mkString(" ") +
+            " | prune " + pr.map(p => f"$p%.4f").mkString(" "))
+        graft.incremental.Pinned.sweepSession(spark.sparkContext)
       }
     } else if (args.length > 2 && args(2) == "tri") {
       // diagnostic mode: one tri run per scale, per-step times on stderr

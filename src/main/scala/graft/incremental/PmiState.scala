@@ -82,10 +82,20 @@ import graft.core.ZSetFrame
   */
 final class PmiState(emptyTerms: ZSetFrame, val terms: Seq[String],
                      val nBuckets: Int,
-                     /** Quantization grid (1e6 in production — what t15's
-                       * oracle hard-codes). Tests shrink it to reach the
+                     /** Quantization grid (1e4 in production — what t15's
+                       * oracle hard-codes; resolution 1e-4 in exp-PMI
+                       * units). Coarser than BM25's 1e6 BY DESIGN: pmi_q ≈
+                       * grid·expPMI with expPMI ~O(1) regardless of term
+                       * popularity (no tf/df decay to absorb drift), so
+                       * the grid itself is the only absorption lever — a
+                       * step's relative constant drift is ~|Δ|/N, the
+                       * crossing rate is ~grid·|Δ|/N per pair, and the
+                       * EXPECTED rescore cost (crossing rate × docs per
+                       * pair) is ~grid·|Δ| — independent of corpus size.
+                       * At 1e6 every step crosses and the screen never
+                       * prunes. Tests shrink it further to reach the
                        * pruning regime at toy corpus sizes. */
-                     val grid: Double = 1e6) {
+                     val grid: Double = 1e4) {
   import ZSetFrame.W
 
   private val spark = emptyTerms.spark

@@ -49,7 +49,7 @@ object Postings {
 
   /** Full DuckDB oracle for t15's incremental PMI association score:
     * per-doc sum of the quantized exp-PMI surrogate
-    * floor((N·c_ab)/(c_a·c_b)·1e6) over the doc's target-term pairs, with
+    * floor((N·c_ab)/(c_a·c_b)·1e4) over the doc's target-term pairs, with
     * N/c_a/c_ab over the `pred`-surviving corpus. The one division, one
     * multiply, one floor sequence is shared token-for-token with
     * PmiState.pq (exact-and-portable while N·c_ab < 2^53 — see the
@@ -73,7 +73,7 @@ object Postings {
          sc AS (
            SELECT p.doc_id,
              CAST(FLOOR(CAST(c.n_docs * x.cab AS DOUBLE)
-               / CAST(ca1.c * ca2.c AS DOUBLE) * 1e6) AS BIGINT) AS pq
+               / CAST(ca1.c * ca2.c AS DOUBLE) * 1e4) AS BIGINT) AS pq
            FROM pr p JOIN cab x ON p.ta = x.ta AND p.tb = x.tb
            JOIN ca ca1 ON ca1.term = p.ta
            JOIN ca ca2 ON ca2.term = p.tb
