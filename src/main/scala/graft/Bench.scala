@@ -168,11 +168,17 @@ object Bench {
     // round-over-round normalizer — a host that is 1.3× slower moves the
     // canary and the queries together, so total/canary stays comparable.
     val (canaryCpuRuns, canaryBarRuns) = section("canary") {
-      val reps5 = (0 until 5).map(_ => canaryRep(spark))
-      (reps5.map(_._1), reps5.map(_._2))
+      // guarded like every other section (code-review r15): a canary
+      // failure must not abort the run before the first partial artifact
+      // is ever written — the VERDICT r12 #1 nothing-left failure mode
+      try {
+        val reps5 = (0 until 5).map(_ => canaryRep(spark))
+        (reps5.map(_._1), reps5.map(_._2))
+      } catch { case _: Throwable => (Seq.empty[Double], Seq.empty[Double]) }
     }
-    val canaryCpu = median(canaryCpuRuns)
-    val canaryBar = median(canaryBarRuns)
+    val canaryOk = canaryCpuRuns.nonEmpty
+    val canaryCpu = if (canaryOk) median(canaryCpuRuns) else 0.0
+    val canaryBar = if (canaryOk) median(canaryBarRuns) else 0.0
     val canarySec = canaryCpu + canaryBar
     val errors = scala.collection.mutable.Map[String, String]()
     // untimed maintenance (per-rep pinned-state sweep + per-query explicit
@@ -248,12 +254,17 @@ object Bench {
       val v = if (floorGated.contains(k)) ts.min else median(ts)
       s""""$k":${num(v)}""" }.mkString("{", ",", "}")
     val floorGatedJson = floorGated.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // per-query canary-normalized ratios (VERDICT r14 #5): median seconds
-    // over the canary's — the figure to diff across rounds; a host shift
-    // moves raw seconds, not these
-    val queryNormJson = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k":${num(v / canarySec, 2)}""" }
-      .mkString("{", ",", "}")
+    // per-query canary-normalized ratios (VERDICT r14 #5): the
+    // REPRESENTATIVE figure (floor when spread-gated, median otherwise —
+    // the same selection as query_repr; code-review r15: normalizing the
+    // raw median would re-admit the very outlier reps the spread guard
+    // strips) over the canary's — the figure to diff across rounds; a
+    // host shift moves raw seconds, not these
+    val queryNormJson =
+      if (!canaryOk) "{}"
+      else runs.sortBy(_._1).map { case (k, ts) =>
+        val v = if (floorGated.contains(k)) ts.min else median(ts)
+        s""""$k":${num(v / canarySec, 2)}""" }.mkString("{", ",", "}")
     // Sections run GATES-FIRST (queries → throughput → base step-bench →
     // XL step-bench) and the artifact is RE-WRITTEN TO DISK as each section
     // lands (VERDICT r12 #1: the r12 driver run timed out with rc=124 and
@@ -267,11 +278,13 @@ object Bench {
       s""""queries":${qJson(3)},"query_runs":$runsJson,""" +
       s""""query_floors":$floorsJson,"query_spread":$spreadJson,""" +
       s""""query_repr":$reprJson,"floor_gated":$floorGatedJson,""" +
-      s""""canary":{"cpu_runs":[${canaryCpuRuns.map(num(_)).mkString(",")}],""" +
-      s""""barrier_runs":[${canaryBarRuns.map(num(_)).mkString(",")}],""" +
-      s""""cpu_sec":${num(canaryCpu)},"barrier_sec":${num(canaryBar)},""" +
-      s""""sec":${num(canarySec)}},""" +
-      s""""total_norm":${num(total / canarySec, 1)},""" +
+      s""""canary":${
+        if (!canaryOk) """{"error":"canary section failed"}"""
+        else s"""{"cpu_runs":[${canaryCpuRuns.map(num(_)).mkString(",")}],""" +
+          s""""barrier_runs":[${canaryBarRuns.map(num(_)).mkString(",")}],""" +
+          s""""cpu_sec":${num(canaryCpu)},"barrier_sec":${num(canaryBar)},""" +
+          s""""sec":${num(canarySec)}}"""},""" +
+      s""""total_norm":${if (canaryOk) num(total / canarySec, 1) else "null"},""" +
       s""""query_norm":$queryNormJson,""" +
       s""""maintenance":{"sweep_sec":${num(sweepSec, 1)},"gc_sec":${num(gcSec, 1)}},""" +
       s""""errors":$errJson,""" +
@@ -345,7 +358,7 @@ object Bench {
     // artifact produced by an OLDER binary — is caught by BenchArtifactSpec
     // at test time, and the env-filter mechanism that can actually shrink
     // the set is guarded explicitly below)
-    val healthy = errors.isEmpty &&
+    val healthy = errors.isEmpty && canaryOk &&
       !stepBench.startsWith("{\"error\"") && !throughput.startsWith("{\"error\"") &&
       !stepBenchXl.startsWith("{\"error\"") &&
       !sys.env.contains("SPARK_GRAFT_THROUGHPUT_ONLY")
@@ -368,7 +381,8 @@ object Bench {
     // the committed BENCH_LOCAL.json
     val compact =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,""" +
-      s""""canary_sec":${num(canarySec)},"total_norm":${num(total / canarySec, 1)},""" +
+      s""""canary_sec":${if (canaryOk) num(canarySec) else "null"},""" +
+      s""""total_norm":${if (canaryOk) num(total / canarySec, 1) else "null"},""" +
       s""""n_queries":${results.size},"errors":$errJson,"step_bench":$stepBench,""" +
       s""""step_bench_xl":$stepBenchXl,""" +
       s""""throughput":${Throughput.compact},"detail":"$outName","sf":"$sfDir"}"""

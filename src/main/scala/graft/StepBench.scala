@@ -454,15 +454,6 @@ object StepBench {
     (ts, prunes.toSeq)
   }
 
-  /** The base tier. `full = false` (the default / driver run) trims the
-    * two most expensive non-gated lines (VERDICT r14 #2 — the base tier
-    * became the driver budget's biggest item once XL went opt-in): the
-    * galen recursion track is DEFERRED to the opt-in committed-artifact
-    * run (its figures change only when the recursion machinery changes,
-    * the XL rationale verbatim), and the naive CONTROL samples fewer
-    * steps (its only job is to be visibly super-linear — the XL tier's
-    * controls-run-fewer discipline). Every gated flat track keeps its
-    * full sampling unconditionally. */
   /** Per-step seconds AND per-step affected fractions for the incremental
     * PMI state (the t15 shape, incremental/PmiState.scala). Corpus: nDocs
     * synthetic docs, each holding exactly ONE target pair (pair p =
@@ -528,6 +519,16 @@ object StepBench {
     (quiet ++ burst, prunes.toSeq)
   }
 
+  /** The base tier. `full = false` (the default / driver run) trims the
+    * two most expensive non-gated lines (VERDICT r14 #2 — the base tier
+    * became the driver budget's biggest item once XL went opt-in): the
+    * galen recursion track is DEFERRED to the opt-in committed-artifact
+    * run (its figures change only when the recursion machinery changes,
+    * the XL rationale verbatim), and the naive CONTROL samples fewer
+    * steps (its only job is to be visibly super-linear — the XL tier's
+    * controls-run-fewer discipline; the JSON carries naive_steps_* so the
+    * two tiers' naive figures are never silently compared like-for-like).
+    * Every gated flat track keeps its full sampling unconditionally. */
   def json(spark: SparkSession, base: Long, steps: Int,
            full: Boolean = true): String = {
     val nKeys = base / 50
@@ -654,7 +655,7 @@ object StepBench {
     // carry the outlier policy (median of 3 ratios when the first pair
     // lands outside [0.5, 1.5]; all pairs in gate_runs)
     val gateRunsJson = gateRunsJsonStr(gateRuns)
-    f"""{"stat":"per_step_floor_one_seed_3x_steps_upsert_tri_5x_outlier_median_of_3","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"keyed_small_sec":$kS%.3f,"keyed_large_sec":$kL%.3f,"naive_small_sec":$nS%.3f,"naive_large_sec":$nL%.3f,"upsert_small_sec":$uS%.3f,"upsert_large_sec":$uL%.3f,"rolling_small_sec":$rS%.3f,"rolling_large_sec":$rL%.3f,"radix_small_sec":$xS%.3f,"radix_large_sec":$xL%.3f,"radix_scaled_large_sec":$xSc%.3f,"dedup_small_sec":$dS%.3f,"dedup_large_sec":$dL%.3f,"ann_small_sec":$aS%.3f,"ann_large_sec":$aL%.3f,"tri_small_sec":$tS%.3f,"tri_large_sec":$tL%.3f,"tfidf_small_sec":$tfS%.3f,"tfidf_large_sec":$tfL%.3f,"tfidf_prune_small":${tfSp.max}%.4f,"tfidf_prune_large":${tfLp.max}%.4f,$galenJson,"keyed_growth":$kG%.2f,"naive_growth":${nL / nS}%.2f,"upsert_growth":$uG%.2f,"rolling_growth":$rG%.2f,"radix_growth":${xL / xS}%.2f,"radix_scaled_growth":$xG%.2f,"dedup_growth":$dG%.2f,"ann_growth":$aG%.2f,"tri_growth":$tG%.2f,"tfidf_growth":${tfL / tfS}%.2f,"gate_runs":$gateRunsJson}"""
+    f"""{"stat":"per_step_floor_one_seed_3x_steps_upsert_tri_5x_outlier_median_of_3","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"keyed_small_sec":$kS%.3f,"keyed_large_sec":$kL%.3f,"naive_steps_small":$nStepsS,"naive_steps_large":$nStepsL,"naive_small_sec":$nS%.3f,"naive_large_sec":$nL%.3f,"upsert_small_sec":$uS%.3f,"upsert_large_sec":$uL%.3f,"rolling_small_sec":$rS%.3f,"rolling_large_sec":$rL%.3f,"radix_small_sec":$xS%.3f,"radix_large_sec":$xL%.3f,"radix_scaled_large_sec":$xSc%.3f,"dedup_small_sec":$dS%.3f,"dedup_large_sec":$dL%.3f,"ann_small_sec":$aS%.3f,"ann_large_sec":$aL%.3f,"tri_small_sec":$tS%.3f,"tri_large_sec":$tL%.3f,"tfidf_small_sec":$tfS%.3f,"tfidf_large_sec":$tfL%.3f,"tfidf_prune_small":${tfSp.max}%.4f,"tfidf_prune_large":${tfLp.max}%.4f,$galenJson,"keyed_growth":$kG%.2f,"naive_growth":${nL / nS}%.2f,"upsert_growth":$uG%.2f,"rolling_growth":$rG%.2f,"radix_growth":${xL / xS}%.2f,"radix_scaled_growth":$xG%.2f,"dedup_growth":$dG%.2f,"ann_growth":$aG%.2f,"tri_growth":$tG%.2f,"tfidf_growth":${tfL / tfS}%.2f,"gate_runs":$gateRunsJson}"""
   }
 
   /** The XL tier (VERDICT r10 #1): the same flat-growth claims one decade

@@ -591,29 +591,21 @@ object StreamingQueries extends QueryModule {
     // oracle); every pair is discovered exactly once (at its second
     // doc's arrival), so arrival order never changes the result.
     "q65_stream_dedup" -> ((s, dir) => {
-      import java.nio.file.Files
       import graft.queries.{Dedup => D}
       val staged = stageSplitDir(s, dir, "documents", "doc_id", 4)
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val src = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(staged)
       // the SAME stepper d14 drives from its deterministic loop, here
-      // advanced once per streaming trigger
+      // advanced once per streaming trigger; shared exception-safe drive
+      // (r15 — this query predates driveForeachBatch and its hand-rolled
+      // lifecycle lacked the stop/ck-delete guarantees on failure).
+      // State lives in the stepper's checkpointed frames; the result is
+      // consumed from them after the drive.
       val st = new D.LshDedupState
-      val ck = Files.createTempDirectory("graft_sdedup_ck")
-      val q = src.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty) st.advance(D.shingleStore(batch))
-        }
-        .option("checkpointLocation", ck.toString)
-        .start()
-      q.processAllAvailable(); q.stop()
-      // checkpoint consumed (state lives in the checkpointed frames)
-      val walk = Files.walk(ck)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(Files.deleteIfExists(_))
-      finally walk.close()
-      st.result
+      driveForeachBatch(src, "graft_sdedup_ck") { batch =>
+        st.advance(D.shingleStore(batch))
+      } { st.result }
     }),
 
     // CONTINUOUS-INGEST ANN MAINTENANCE as a REAL streaming query — q65's
@@ -623,7 +615,6 @@ object StreamingQueries extends QueryModule {
     // merge). Final frame ≡ batch d06 bit-for-bit; shares d06's literal
     // DuckDB mirror.
     "q66_stream_ann" -> ((s, dir) => {
-      import java.nio.file.Files
       import graft.queries.{Dedup => D}
       val v = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
@@ -635,20 +626,11 @@ object StreamingQueries extends QueryModule {
         .option("maxFilesPerTrigger", "1")
         .parquet(staged)
         .select(col("vec_id"), col("embedding"))
+      // shared exception-safe drive (r15 — see q65)
       val st = new D.AnnState(np, col("vec_id") < 100)
-      val ck = Files.createTempDirectory("graft_sann_ck")
-      val q = src.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty) st.advance(D.annBase(batch, np))
-        }
-        .option("checkpointLocation", ck.toString)
-        .start()
-      q.processAllAvailable(); q.stop()
-      val walk = Files.walk(ck)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(Files.deleteIfExists(_))
-      finally walk.close()
-      st.result
+      driveForeachBatch(src, "graft_sann_ck") { batch =>
+        st.advance(D.annBase(batch, np))
+      } { st.result }
     }),
 
     // UPDATE-MODE CHAINED PIPELINE with RETRACTIONS BETWEEN STAGES (VERDICT
@@ -801,7 +783,6 @@ object StreamingQueries extends QueryModule {
     // forward, so every event's rolling value is final at its own trigger
     // and the GC'd history is unreachable by construction.
     "q87_stream_rolling_radix" -> ((s, dir) => {
-      import java.nio.file.Files
       import org.apache.spark.sql.types.DecimalType
       import graft.core.ZSetFrame
       import graft.incremental.{Incremental, RollingLinearState}
@@ -872,7 +853,6 @@ object StreamingQueries extends QueryModule {
     // both span-acquisition modes. Integrated output ≡ the batch top-term
     // query over the surviving corpus (t12's oracle verbatim).
     "q88_stream_inc_tfidf" -> ((s, dir) => {
-      import java.nio.file.Files
       import graft.core.ZSetFrame
       import graft.incremental.TfIdfState
       val E = 4
@@ -928,7 +908,6 @@ object StreamingQueries extends QueryModule {
     // affected-span Observation under the streaming scheduler, and
     // downward df/N/T maintenance on the retraction epoch.
     "q89_stream_inc_bm25" -> ((s, dir) => {
-      import java.nio.file.Files
       import graft.core.ZSetFrame
       import graft.incremental.Bm25State
       val E = 4

@@ -554,13 +554,8 @@ class IncrementalSpec extends SparkSpec {
     // target vocabulary of 4 terms (6 pairs) + filler; docs are TERM SETS
     // (presence, not tf). Every 5th doc is filler-only — it moves N but
     // holds no target pair, exercising the N-only constant drift.
-    val uterms = Seq("spark", "query", "merge", "window")
-    val filler = Vector.tabulate(8)(i => s"f$i")
-    def docTerms(i: Int): Seq[String] = {
-      val r = new scala.util.Random(1500 + i)
-      val pool = if (i % 5 == 4) filler else uterms ++ filler
-      Seq.fill(3 + r.nextInt(5))(pool(r.nextInt(pool.size))).distinct
-    }
+    val uterms = PmiTestDocs.uterms
+    def docTerms(i: Int): Seq[String] = PmiTestDocs.docTerms(i)
     def rows(ids: Seq[Int], w: Long): Seq[(Long, String, Long)] =
       ids.flatMap(i => docTerms(i).map(t => (i.toLong, t, w)))
     // step 4 is the CDC UPDATE shape: doc 2's full old set at −1 AND doc
@@ -624,18 +619,23 @@ class IncrementalSpec extends SparkSpec {
     }
   }
 
-  /** doc 2's effective term set after the CDC-update step replaced it with
-    * doc 30's (see the PmiState law test). */
-  private def effTerms(i: Int, reDoc2: Boolean): Seq[String] = {
-    def docTerms(j: Int): Seq[String] = {
-      val r = new scala.util.Random(1500 + j)
-      val uterms = Seq("spark", "query", "merge", "window")
-      val filler = Vector.tabulate(8)(k => s"f$k")
-      val pool = if (j % 5 == 4) filler else uterms ++ filler
+  /** ONE generator for the PmiState law test's synthetic docs — shared by
+    * the replay and the brute-force oracle so the two can never silently
+    * diverge (code-review r15). */
+  private object PmiTestDocs {
+    val uterms: Seq[String] = Seq("spark", "query", "merge", "window")
+    private val filler = Vector.tabulate(8)(i => s"f$i")
+    def docTerms(i: Int): Seq[String] = {
+      val r = new scala.util.Random(1500 + i)
+      val pool = if (i % 5 == 4) filler else uterms ++ filler
       Seq.fill(3 + r.nextInt(5))(pool(r.nextInt(pool.size))).distinct
     }
-    if (reDoc2 && i == 2) docTerms(30) else docTerms(i)
   }
+
+  /** doc 2's effective term set after the CDC-update step replaced it with
+    * doc 30's (see the PmiState law test). */
+  private def effTerms(i: Int, reDoc2: Boolean): Seq[String] =
+    if (reDoc2 && i == 2) PmiTestDocs.docTerms(30) else PmiTestDocs.docTerms(i)
 
   test("PMI step contract: a weight beyond ±1 fails loudly") {
     // the rider on the step's single stat action: the state's constants
