@@ -549,6 +549,34 @@ class IncrementalSpec extends SparkSpec {
     } finally st2.close()
   }
 
+  test("PMI screen shape: pair-trace semi-join vs broadcast crossed list, ZERO shuffles") {
+    // mirror of PmiState's step-4 screen: the pair trace view,
+    // consolidated, semi-joined to the broadcast crossed-pair list. Like
+    // the Bm25 screen it must plan as scan-in-place + BroadcastHashJoin —
+    // a ShuffleExchange would re-partition the pair index per step. (The
+    // crossing DECISION itself is driver-side and costs no plan at all —
+    // the degenerate-coupling property; this gates the one cluster-side
+    // fragment that remains on crossing steps.)
+    import graft.incremental.KeyedState
+    val rows = (1L to 300L).map(i =>
+      (i, s"u${i % 7}", s"u${i % 7 + 1}", 1L))
+    val d0 = ZSetFrame.fromDelta(rows.toDF("doc_id", "ta", "tb", ZSetFrame.W))
+    val st = new KeyedState(Seq("doc_id"), 8, Incremental.emptyLike(d0))
+    st.merge(d0)
+    val crossed = Seq(("u1", "u2"), ("u3", "u4")).toDF("ta", "tb")
+    val screen = st.view(0 until 8).consolidate.df
+      .join(broadcast(crossed), Seq("ta", "tb"))
+      .select("doc_id")
+    screen.count() // materialize through AQE so the final plan is real
+    val plan = screen.queryExecution.executedPlan.toString
+    val shuffles = plan.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+      .toSeq
+    assert(shuffles.isEmpty,
+      s"PMI screen must be shuffle-free (broadcast-only), got:\n$plan")
+    st.close()
+  }
+
   test("PmiState: incremental PMI association ≡ batch per-doc pair-PMI sum") {
     import graft.incremental.PmiState
     // target vocabulary of 4 terms (6 pairs) + filler; docs are TERM SETS
