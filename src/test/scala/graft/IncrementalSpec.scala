@@ -665,6 +665,36 @@ class IncrementalSpec extends SparkSpec {
   private def effTerms(i: Int, reDoc2: Boolean): Seq[String] =
     if (reDoc2 && i == 2) PmiTestDocs.docTerms(30) else PmiTestDocs.docTerms(i)
 
+  test("PmiState: a CDC update that drops below 2 target terms retracts the score row") {
+    // the replacement-delta edge the law test reaches only by luck: a doc
+    // whose update removes its last target PAIR must have its stored score
+    // row retracted (new side yields no row for it), while surviving docs
+    // rescore under the post-update constants
+    import graft.incremental.PmiState
+    val empty = ZSetFrame.fromTable(
+      Seq.empty[(Long, String)].toDF("doc_id", "term"))
+    val st = new PmiState(empty, Seq("a", "b"), nBuckets = 4)
+    try {
+      val acc = new Incremental.State(Incremental.emptyLike(ZSetFrame.fromDelta(
+        Seq.empty[(Long, Long, Long, Long)]
+          .toDF("doc_id", "n_pairs", "score_q", ZSetFrame.W))))
+      acc.update(st.step(ZSetFrame.fromDelta(Seq(
+          (1L, "a", 1L), (1L, "b", 1L), (1L, "x", 1L),
+          (2L, "a", 1L), (2L, "b", 1L))
+        .toDF("doc_id", "term", ZSetFrame.W))))
+      // update doc 1: full old set at −1, new PAIR-FREE set at +1, one delta
+      acc.update(st.step(ZSetFrame.fromDelta(Seq(
+          (1L, "a", -1L), (1L, "b", -1L), (1L, "x", -1L),
+          (1L, "a", 1L), (1L, "y", 1L))
+        .toDF("doc_id", "term", ZSetFrame.W))))
+      // surviving state: N=2, c_a=2, c_b=1, c_ab=1 → doc 2 alone, with
+      // score floor((2·1)/(2·1)·1e4) = 10000
+      assertSameRows(acc.acc.consolidate.df,
+        ZSetFrame.fromTable(Seq((2L, 1L, 10000L))
+          .toDF("doc_id", "n_pairs", "score_q")).df)
+    } finally st.close()
+  }
+
   test("PMI step contract: a weight beyond ±1 fails loudly") {
     // the rider on the step's single stat action: the state's constants
     // are presence-based doc frequencies and the pair derivation assumes
