@@ -126,15 +126,26 @@ final class ZSetFrame private (val df: DataFrame) extends Serializable {
     new ZSetFrame(g.withColumn(W, lit(1L)))
   }
 
+  /** Weight → repetition array, TOTAL over all weights (code-review r15):
+    * bare sequence(1, w) auto-reverses its step when w < 1, so a w=0 row
+    * exploded into TWO phantom copies and w=−1 into THREE — fabricated
+    * rows with no error. A non-positive weight violates the declared
+    * positive-multiset contract; it now contributes ZERO rows (explode of
+    * an empty array drops the row), the only representable meaning. */
+  private def repWeights: Column =
+    when(col(W) > 0L, sequence(lit(1L), col(W)))
+      .otherwise(array().cast("array<bigint>"))
+
   /** General (non-linear) aggregate — min/max/avg/argmax etc. Requires
     * set-or-positive-multiset input; rows are logically repeated `weight`
-    * times. reference: aggregate/mod.rs:204. For weight==1 inputs this is a
+    * times (w ≤ 0 rows contribute nothing — see repWeights).
+    * reference: aggregate/mod.rs:204. For weight==1 inputs this is a
     * plain groupBy (Catalyst partial agg applies); general weights expand
     * via sequence() first. */
   def aggregate(keys: Seq[Column], expandWeights: Boolean, aggs: Column*): ZSetFrame = {
     val base =
       if (expandWeights)
-        df.withColumn("__rep", explode(sequence(lit(1L), col(W)))).drop("__rep")
+        df.withColumn("__rep", explode(repWeights)).drop("__rep")
           .withColumn(W, lit(1L))
       else df
     val g = base.drop(W).groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
@@ -145,9 +156,10 @@ final class ZSetFrame private (val df: DataFrame) extends Serializable {
   /** Forget weights (caller asserts they are all +1, e.g. after distinctZ). */
   def toDF: DataFrame = df.drop(W)
 
-  /** Expand weights into row multiplicity (positive weights only). */
+  /** Expand weights into row multiplicity (positive weights only; w ≤ 0
+    * rows contribute nothing — see repWeights). */
   def toMultisetDF: DataFrame =
-    df.withColumn("__rep", explode(sequence(lit(1L), col(W))))
+    df.withColumn("__rep", explode(repWeights))
       .drop("__rep", W)
 
   def cache(): ZSetFrame = { df.cache(); this }

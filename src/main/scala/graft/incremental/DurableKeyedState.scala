@@ -3,11 +3,9 @@ package graft.incremental
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, IntegerType, StructField, StructType}
-import org.apache.spark.storage.StorageLevel
 
 import graft.core.ZSetFrame
 
@@ -81,10 +79,39 @@ final class DurableKeyedState private (
     // materialize before writing: Spark (correctly) refuses a write whose
     // plan still reads the files being overwritten
     val out = merged.df.withColumn("__bucket", bucketId).localCheckpoint(true)
+    // bucket audit over the PINNED output (one ≤nBuckets-row action) —
+    // two failure modes the in-memory KeyedState tolerates or debug-gates
+    // are unacceptable here because the write is irreversible:
+    //  (a) a bucket present in `out` but NOT in `touched` means the
+    //      caller's knownTouched missed a delta bucket: the dynamic
+    //      overwrite would REPLACE that whole partition with just the
+    //      delta's rows, silently destroying every other key stored there
+    //      (the in-memory variant merely drops the rows, and offers
+    //      spark.graft.checkedTouched as a debug gate) — fail loudly;
+    //  (b) a touched bucket ABSENT from `out` was fully retracted:
+    //      dynamic partition overwrite only replaces partitions present
+    //      in the written data, so the stale files would survive and the
+    //      retracted rows would RESURRECT on the next read — delete those
+    //      partition directories explicitly after the write.
+    val present = out.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val rogue = present -- touched.toSet
+    require(rogue.isEmpty,
+      s"graft: DurableKeyedState.merge knownTouched=${touched.sorted} does " +
+        s"not cover delta bucket(s) ${rogue.toSeq.sorted} - a dynamic " +
+        "overwrite would destroy those partitions' unread content")
     out.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__bucket").parquet(path)
-    DurableKeyedState.unpersistTree(out.rdd)
+    val emptied = touched.toSet -- present
+    if (emptied.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/__bucket=$b"), true)
+      }
+    }
+    Pinned.unpersistTree(out.rdd)
     (oldTouched, view(touched))
   }
 
@@ -94,7 +121,7 @@ final class DurableKeyedState private (
   def aggStep(delta: ZSetFrame)(agg: ZSetFrame => ZSetFrame): ZSetFrame = {
     val (oldTouched, newTouched) = merge(delta)
     val d = (agg(newTouched) - agg(oldTouched)).localCheckpoint(eager = true)
-    DurableKeyedState.unpersistTree(oldTouched.df.rdd)
+    Pinned.unpersistTree(oldTouched.df.rdd)
     d
   }
 }
@@ -132,10 +159,4 @@ object DurableKeyedState {
       kv("nBuckets").toInt, path, schema)
   }
 
-  /** Unpersist the persisted ancestor of a checkpointed Dataset's RDD
-    * (`df.rdd` is a row-conversion child of the pinned internal RDD). */
-  private[incremental] def unpersistTree(rdd: RDD[_]): Unit = {
-    if (rdd.getStorageLevel != StorageLevel.NONE) rdd.unpersist(false)
-    rdd.dependencies.foreach(d => unpersistTree(d.rdd))
-  }
 }

@@ -74,36 +74,57 @@ object Incremental {
     // (any SUPERSET of the actual span is correct — a DENSE delta passes
     // all buckets, skipping the per-step bucket-discovery job entirely,
     // since discovery would return every bucket anyway).
-    val aTouched = knownTouchedA.getOrElse(aSt.touchedBuckets(dA))
-    val bTouched = knownTouchedB.getOrElse(bSt.touchedBuckets(dB))
-    val bOldProbe = bSt.view(aTouched)                 // B_old for ΔA's buckets
-    // A_new for ΔB's buckets, built LAZILY from the pre-merge view + the
-    // slice of ΔA hashing into those buckets — so the output job does not
-    // wait for A's segment build (the aggStep JOB-FUSION shape): both
-    // merges run on a side thread concurrent with the single output action.
-    val aOldProbe = aSt.view(bTouched)
-    val dAInB = dA.where(
-      pmod(hash(keys.map(col): _*), lit(aSt.nBuckets)).isin(bTouched: _*))
-    val aNewProbe = aOldProbe + dAInB
-    val mergeTask = new java.util.concurrent.FutureTask[Unit](() => {
-      aSt.merge(dA, checkpointDeltas, Some(aTouched))
-      bSt.merge(dB, checkpointDeltas, Some(bTouched))
-    })
-    val mergeThread = new Thread(mergeTask, "graft-join-merge")
-    mergeThread.setDaemon(true)
-    mergeThread.start()
+    // PIN the deltas ONCE, up front (code-review r15): the discovery job,
+    // both merges, and the output join all read them — previously the raw
+    // plans were re-evaluated per consumer, concurrently across the merge
+    // thread and the main thread, so a delta whose plan is not stable
+    // under re-evaluation (rand(), a growing source table) could land
+    // DIFFERENT rows in the traces than in the emitted join delta with no
+    // error (checkpointDeltas=true pinned only the merges' private
+    // copies). Total action count is unchanged — the merges' per-delta
+    // checkpoints are skipped in exchange — and deterministic callers
+    // save two delta re-evaluations per step. The pins are released once
+    // the output is materialized and both merges have installed their
+    // (eagerly materialized) segments. checkpointDeltas=false keeps the
+    // old contract: the CALLER owns delta stability and pinning.
+    val (pinA, pinB) =
+      if (checkpointDeltas)
+        (dA.localCheckpoint(eager = true), dB.localCheckpoint(eager = true))
+      else (dA, dB)
     try {
-      // eager: the emitted join delta references partition-pruned probe
-      // views that are only valid until the second subsequent merge
-      // (KeyedState reclaims superseded segments) — materialize it first
-      val out = (dA.join(bOldProbe, keys) + aNewProbe.join(dB, keys))
-        .localCheckpoint(eager = true)
-      mergeTask.get() // surface merge failures; states updated on return
-      out
-    } catch {
-      case e: Throwable =>
-        try mergeTask.get() catch { case _: Throwable => () }
-        throw e
+      val aTouched = knownTouchedA.getOrElse(aSt.touchedBuckets(pinA))
+      val bTouched = knownTouchedB.getOrElse(bSt.touchedBuckets(pinB))
+      val bOldProbe = bSt.view(aTouched)               // B_old for ΔA's buckets
+      // A_new for ΔB's buckets, built LAZILY from the pre-merge view + the
+      // slice of ΔA hashing into those buckets — so the output job does not
+      // wait for A's segment build (the aggStep JOB-FUSION shape): both
+      // merges run on a side thread concurrent with the single output action.
+      val aOldProbe = aSt.view(bTouched)
+      val dAInB = pinA.where(
+        pmod(hash(keys.map(col): _*), lit(aSt.nBuckets)).isin(bTouched: _*))
+      val aNewProbe = aOldProbe + dAInB
+      val mergeTask = new java.util.concurrent.FutureTask[Unit](() => {
+        aSt.merge(pinA, checkpointDelta = false, Some(aTouched))
+        bSt.merge(pinB, checkpointDelta = false, Some(bTouched))
+      })
+      val mergeThread = new Thread(mergeTask, "graft-join-merge")
+      mergeThread.setDaemon(true)
+      mergeThread.start()
+      try {
+        // eager: the emitted join delta references partition-pruned probe
+        // views that are only valid until the second subsequent merge
+        // (KeyedState reclaims superseded segments) — materialize it first
+        val out = (pinA.join(bOldProbe, keys) + aNewProbe.join(pinB, keys))
+          .localCheckpoint(eager = true)
+        mergeTask.get() // surface merge failures; states updated on return
+        out
+      } catch {
+        case e: Throwable =>
+          try mergeTask.get() catch { case _: Throwable => () }
+          throw e
+      }
+    } finally {
+      if (checkpointDeltas) { Pinned.release(pinA.df); Pinned.release(pinB.df) }
     }
   }
 
@@ -128,10 +149,21 @@ object Incremental {
     * rows to one output row per key. */
   def generalAggDelta(delta: ZSetFrame, aOld: ZSetFrame, aNew: ZSetFrame,
                       keys: Seq[String])(agg: ZSetFrame => ZSetFrame): ZSetFrame = {
-    val touched = ZSetFrame.fromTable(
-      delta.df.select(keys.map(col): _*).distinct())
-    val oldOut = agg(aOld.semiJoin(touched, keys))
-    val newOut = agg(aNew.semiJoin(touched, keys))
+    // NULL-SAFE key restriction (code-review r15): the touched keys are
+    // GROUP identities, and groupBy treats NULL as a group — a plain
+    // left_semi equi-join (NULL != NULL) would exclude a null-key group
+    // from both restricted sides, emit no delta for it, and let the
+    // incremental output diverge from the batch answer permanently. The
+    // query-facing semiJoin keeps SQL semantics (its batch twin, EXISTS,
+    // doesn't match NULLs either); group restriction must not.
+    val touched = delta.df.select(keys.map(col): _*).distinct()
+      .select(keys.map(k => col(k).as(s"__t_$k")): _*)
+    def restrict(z: ZSetFrame): ZSetFrame = ZSetFrame.fromDelta(
+      z.df.join(touched,
+        keys.map(k => z.df(k) <=> touched(s"__t_$k")).reduce(_ && _),
+        "left_semi"))
+    val oldOut = agg(restrict(aOld))
+    val newOut = agg(restrict(aNew))
     newOut - oldOut
   }
 }

@@ -332,6 +332,15 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
     * callers use it only for state whose below-watermark rows can no
     * longer influence any future output. */
   def compact(keep: Option[Column] = None): Unit = {
+    // a compact is a step for the retire clock (code-review r15): install
+    // retires the superseded segments at the CURRENT generation, and the
+    // queue only frees on advance() — which previously ran solely in
+    // prepare(). A caller compacting on a periodic cadence with no
+    // intervening merges (RollingLinearState.gcBefore on an idle stream)
+    // accumulated one pinned full-state copy per tick, never released.
+    // Advancing here keeps the deferral contract: a view is valid until
+    // the second subsequent merge-or-compact.
+    retireQ.advance()
     val all = ZSetFrame.fromDelta(bucketsDf(0 until nBuckets))
     val seg = materializeBucketed(
       keep.fold(all)(all.where), consolidate = true)

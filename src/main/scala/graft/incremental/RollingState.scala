@@ -55,10 +55,24 @@ final class RollingLinearState(init: ZSetFrame, keyCol: String, tsCol: String,
   private val CH = "__chunk"
   private val spark = init.spark
 
-  /** floorDiv as a Column (Long `/` truncates toward zero; pmod fixes the
-    * negative side). */
-  private def chunkOf(ts: Column): Column =
-    ((ts - pmod(ts, lit(chunkLen))) / chunkLen).cast("long")
+  /** floorDiv as a Column — INTEGRAL division (code-review r15): Spark's
+    * Column `/` is Divide, which casts both Long operands to DOUBLE; for
+    * |ts| beyond 2^53 (nanosecond epochs are ~1.7e18) the numerator itself
+    * rounds in double and the computed chunk diverges from the exact
+    * driver-side Math.floorDiv that bucketsFor/dBuckets use — making
+    * knownTouched under-inclusive, KeyedState's documented silent-drop
+    * corruption mode. IntegralDivide on the pmod-floored numerator is
+    * exact over the full Long range (numerator divisible by chunkLen, and
+    * pmod's non-negative remainder turns truncation into floor). */
+  private def chunkOf(ts: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    ColumnBridge.column(IntegralDivide(
+      ColumnBridge.expression(ts - pmod(ts, lit(chunkLen))),
+      ColumnBridge.expression(lit(chunkLen)),
+      evalMode = org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY
+    )).cast("long")
+  }
 
   private val dataCols: Seq[String] = init.dataCols.toSeq
   require(Seq(keyCol, tsCol, valCol).forall(dataCols.contains),

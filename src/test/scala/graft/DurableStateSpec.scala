@@ -83,4 +83,47 @@ class DurableStateSpec extends SparkSpec {
     assert(rewritten == Set(s"__bucket=${touched.head}"),
       s"expected only ${touched.head} rewritten, got $rewritten")
   }
+
+  test("full retraction clears the bucket on disk - retracted rows must not resurrect") {
+    // code-review r15: dynamic partition overwrite only replaces
+    // partitions PRESENT in the written data, so a bucket whose content
+    // fully cancels used to keep its stale files and the retracted rows
+    // came back on the next read. merge now deletes emptied partition
+    // dirs explicitly.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_durret").toString
+    val st = DurableKeyedState.create(dir, Seq("k"), 4, emptyState(spark))
+    // key 1 is ALONE in its bucket only if no other key hashes there; use
+    // a single key total so its bucket has exactly its rows
+    st.merge(ZSetFrame.fromDelta(Seq((1L, 10L, 1L), (1L, 11L, 1L))
+      .toDF("k", "v", ZSetFrame.W)))
+    st.merge(ZSetFrame.fromDelta(Seq((1L, 10L, -1L), (1L, 11L, -1L))
+      .toDF("k", "v", ZSetFrame.W)))
+    assert(st.snapshot.consolidate.df.count() === 0,
+      "fully retracted state must read back empty")
+    // and a restart sees the same emptiness (the stale files are GONE,
+    // not just masked by an in-memory view)
+    val st2 = DurableKeyedState.restore(spark, dir)
+    assert(st2.snapshot.consolidate.df.count() === 0)
+  }
+
+  test("merge fails loudly when knownTouched misses a delta bucket") {
+    // code-review r15: an under-inclusive span would make the dynamic
+    // overwrite REPLACE an unread partition with just the delta rows -
+    // destroying its other keys. The audit must throw instead.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_durrogue").toString
+    val st = DurableKeyedState.create(dir, Seq("k"), 8, emptyState(spark))
+    // seed many keys across buckets
+    st.merge(ZSetFrame.fromDelta((0L until 16L).map(k => (k, k, 1L))
+      .toDF("k", "v", ZSetFrame.W)))
+    val before = st.snapshot.consolidate.df.count()
+    val bad = intercept[IllegalArgumentException] {
+      st.merge(ZSetFrame.fromDelta(Seq((3L, 99L, 1L))
+        .toDF("k", "v", ZSetFrame.W)), knownTouched = Some(Seq(-1)))
+    }
+    assert(bad.getMessage.contains("knownTouched"))
+    // the failed merge wrote nothing: state intact
+    assert(st.snapshot.consolidate.df.count() === before)
+  }
 }

@@ -74,6 +74,70 @@ class IncrementalSpec extends SparkSpec {
     }
   }
 
+  test("generalAggDelta maintains NULL-key groups (null-safe restriction)") {
+    // code-review r15: groupBy treats NULL as a group, but a plain
+    // left_semi equi-join (NULL != NULL) excluded the null-key group from
+    // both restricted sides - no delta was emitted for it and the
+    // incremental output diverged from the batch answer permanently.
+    def z(rows: Seq[(java.lang.Long, Long, Long)]) = ZSetFrame.fromDelta(
+      rows.toDF("k", "v", ZSetFrame.W))
+    def aggFn(zf: ZSetFrame): ZSetFrame =
+      zf.aggregate(Seq(col("k")), expandWeights = false,
+        max(col("v")).as("mx"), count(lit(1)).as("n"))
+    val deltas = Seq(
+      z(Seq((1L, 10L, 1L), (null, 5L, 1L))),       // null group born
+      z(Seq((null, 9L, 1L), (2L, 3L, 1L))),        // null group grows
+      z(Seq((null, 5L, -1L))))                     // null group shrinks
+    val in = new Incremental.State(Incremental.emptyLike(deltas.head))
+    val out = new Incremental.State(Incremental.emptyLike(aggFn(deltas.head)))
+    deltas.foreach { d =>
+      val old = in.acc
+      in.update(d)
+      out.update(Incremental.generalAggDelta(d, old, in.acc, Seq("k"))(aggFn))
+    }
+    assertSameRows(out.acc.consolidate.df, aggFn(in.acc).df)
+  }
+
+  test("RollingLinearState is exact for timestamps beyond 2^53 (integral chunk ids)") {
+    // code-review r15: Column `/` casts Long to DOUBLE, so for |ts| > 2^53
+    // (nanosecond epochs ~1.7e18) the computed __chunk diverged from the
+    // exact driver-side Math.floorDiv used for bucket spans - knownTouched
+    // went under-inclusive and rows were silently dropped. chunkOf now
+    // uses IntegralDivide (exact over the full Long range).
+    import graft.incremental.{Incremental, RollingLinearState}
+    val base = (1L << 61) // ~2.3e18, double-rounds by ~256 at this scale
+    val horizon = 1000L
+    def rows(ts: Seq[Long], w: Long) = ts.map(t => (7L, t, 1L, w))
+    def z(rs: Seq[(Long, Long, Long, Long)]) = ZSetFrame.fromDelta(
+      rs.toDF("k", "ts", "v", ZSetFrame.W))
+    val empty = Incremental.emptyLike(z(rows(Seq(base), 1L)))
+    val st = new RollingLinearState(empty, "k", "ts", "v",
+      horizon, horizon / 4, 8, sortRowsMax = 100L)
+    val acc = new Incremental.State(Incremental.emptyLike(ZSetFrame.fromDelta(
+      z(rows(Seq(base), 1L)).df.select(col("k"), col("ts"), col("v"),
+        lit(1L).as("cnt"), lit(1L).as("vsum"), col(ZSetFrame.W)))))
+    val steps = Seq(
+      rows(Seq(base, base + 300L, base + 900L), 1L),
+      rows(Seq(base + 1200L, base + 1600L), 1L),
+      rows(Seq(base + 300L), -1L))
+    steps.foreach { rs =>
+      val d = z(rs)
+      val span = rs.map(_._2)
+      acc.update(st.step(d, span.min, span.max,
+        touchedKeys = None, checkpointDelta = true))
+    }
+    st.close()
+    // batch mirror: per surviving row, count/sum over [ts - horizon, ts]
+    val live = Seq(base, base + 900L, base + 1200L, base + 1600L)
+    val expected = live.map { t =>
+      val in = live.filter(u => u >= t - horizon && u <= t)
+      (7L, t, 1L, in.size.toLong, in.size.toLong)
+    }
+    assertSameRows(acc.acc.consolidate.df,
+      ZSetFrame.fromTable(
+        expected.toDF("k", "ts", "v", "cnt", "vsum")).df)
+  }
+
   test("incremental rolling aggregate ≡ batch OVER window under random out-of-order deltas") {
     // FIXTURES.md §5 pattern: random (partition, ts, value) deltas with
     // bounded out-of-orderness; invariant = accumulated incremental output

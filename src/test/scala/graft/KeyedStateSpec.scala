@@ -318,4 +318,28 @@ class KeyedStateSpec extends SparkSpec {
     assert(m.getOrElse(-77L, -1L) == 3L)
     assert(m.iterator.size == m.size)
   }
+
+  test("repeated compact() without merges releases superseded segments (idle-GC tick)") {
+    // code-review r15: install retires superseded segments at the CURRENT
+    // generation and the RetireQueue frees only on advance(), which ran
+    // solely in the merge prologue - so an idle stream compacting on a
+    // periodic cadence (RollingLinearState.gcBefore) accumulated one
+    // pinned full-state copy per tick, never released. compact() now
+    // advances the clock itself.
+    import spark.implicits._
+    val d0 = ZSetFrame.fromDelta(
+      (0L until 64L).map(k => (k, k * 10, 1L)).toDF("k", "v", ZSetFrame.W))
+    val st = new KeyedState(Seq("k"), 4, graft.incremental.Incremental.emptyLike(d0))
+    st.merge(d0)
+    // settle: two compacts may legitimately hold the previous generation
+    st.compact(); st.compact()
+    val settled = spark.sparkContext.getPersistentRDDs.size
+    (0 until 6).foreach(_ => st.compact())
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= settled,
+      s"pinned RDD count grew across idle compacts: $settled -> $after")
+    // state content survives the churn
+    assert(st.view(0 until 4).consolidate.df.count() === 64)
+    st.close()
+  }
 }

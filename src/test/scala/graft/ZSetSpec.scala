@@ -73,4 +73,28 @@ class ZSetSpec extends SparkSpec {
       spark.conf.set("spark.sql.ansi.enabled", "true")
     }
   }
+
+  test("weight expansion is total: w=0 and w<0 rows contribute ZERO copies") {
+    // code-review r15: bare sequence(1, w) auto-reverses its step when
+    // w < 1, so a weight-0 row exploded into TWO phantom copies and a
+    // weight -1 row into THREE - fabricated rows with no error. Weight-0
+    // rows are reachable (linearAggDelta emits them when the folded value
+    // is 0; raw fromDelta deltas may carry them).
+    import spark.implicits._
+    val z = ZSetFrame.fromDelta(Seq(
+        (1L, 2L),  // 2 copies
+        (2L, 1L),  // 1 copy
+        (3L, 0L),  // ZERO copies (was 2)
+        (4L, -1L)) // ZERO copies (was 3)
+      .toDF("k", ZSetFrame.W))
+    assert(z.toMultisetDF.collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 1L, 2L))
+    val agg = z.aggregate(Seq(org.apache.spark.sql.functions.col("k")),
+      expandWeights = true,
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    assert(agg.df.select("k", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      === Seq((1L, 2L), (2L, 1L)))
+  }
 }
