@@ -164,6 +164,23 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
   private def materializeBucketed(z: ZSetFrame,
                                   touched: Option[Seq[Int]] = None,
                                   consolidate: Boolean = false): Segment = {
+    // the consolidate below relies on HashPartitioning's SUBSET rule
+    // (grouping by dataCols ⊇ keys is satisfied by the key repartition);
+    // spark.sql.requireAllClusterKeysForDistribution=true disables that
+    // rule and Catalyst would insert a hash(dataCols) re-shuffle AFTER the
+    // bucket repartition — and when its width happens to equal nBuckets
+    // the partition-count check below cannot catch it, so a MIS-BUCKETED
+    // segment would install silently (code-review r15). The whole-plan
+    // Exchange check materializeAligned uses is unavailable here (a
+    // delta's own upstream plan may legitimately contain exchanges), so
+    // fail fast on the conf instead — read per call, it can change
+    // mid-session.
+    require(!spark.conf.get(
+        "spark.sql.requireAllClusterKeysForDistribution", "false").toBoolean,
+      "graft: KeyedState requires spark.sql.requireAllClusterKeysFor" +
+        "Distribution=false (the bucket layout relies on HashPartitioning's " +
+        "subset rule; with it disabled a post-repartition re-shuffle can " +
+        "silently mis-bucket segments)")
     val bucketed = z.df.select(colsInOrder.map(col): _*)
       .repartition(nBuckets, keyExprs: _*)
     val ds = if (consolidate) {
@@ -332,15 +349,22 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
     * callers use it only for state whose below-watermark rows can no
     * longer influence any future output. */
   def compact(keep: Option[Column] = None): Unit = {
-    // a compact is a step for the retire clock (code-review r15): install
-    // retires the superseded segments at the CURRENT generation, and the
-    // queue only frees on advance() — which previously ran solely in
-    // prepare(). A caller compacting on a periodic cadence with no
-    // intervening merges (RollingLinearState.gcBefore on an idle stream)
-    // accumulated one pinned full-state copy per tick, never released.
-    // Advancing here keeps the deferral contract: a view is valid until
-    // the second subsequent merge-or-compact.
+    // a CALLER-driven compact is a step for the retire clock (code-review
+    // r15): install retires the superseded segments at the CURRENT
+    // generation, and the queue only frees on advance() — which previously
+    // ran solely in prepare(). A caller compacting on a periodic cadence
+    // with no intervening merges (RollingLinearState.gcBefore on an idle
+    // stream) accumulated one pinned full-state copy per tick, never
+    // released. Advancing here keeps the deferral contract: a view is
+    // valid until the second subsequent merge-or-compact. prepare()'s
+    // automatic cadence compaction calls compactInternal DIRECTLY — its
+    // merge already advanced the clock this step, and a second tick would
+    // free the previous step's still-visible views one step early.
     retireQ.advance()
+    compactInternal(keep)
+  }
+
+  private def compactInternal(keep: Option[Column]): Unit = {
     val all = ZSetFrame.fromDelta(bucketsDf(0 until nBuckets))
     val seg = materializeBucketed(
       keep.fold(all)(all.where), consolidate = true)
@@ -371,7 +395,9 @@ final class KeyedState(val keys: Seq[String], val nBuckets: Int, init: ZSetFrame
                       knownTouched: Option[Seq[Int]])
       : (ZSetFrame, Seq[Int], ZSetFrame) = {
     retireQ.advance()
-    if (compactEvery > 0 && gen % compactEvery == 0) compact()
+    // compactInternal, NOT compact(): this merge's advance() above already
+    // ticked the clock for this step (see compact()'s scaladoc)
+    if (compactEvery > 0 && gen % compactEvery == 0) compactInternal(None)
     // no pre-consolidation of the delta: the merged-segment consolidate
     // below subsumes it; checkpoint only pins the delta so the touched-
     // bucket scan and the merge don't recompute it. Callers whose delta is

@@ -47,10 +47,17 @@ private[graft] class BucketUnionRDD(
 
   override def getPreferredLocations(split: Partition): Seq[String] = {
     val bp = split.asInstanceOf[BucketUnionPartition]
-    dependencies.zipWithIndex.collectFirst {
-      case (dep, i) if bp.choices(i).nonEmpty =>
-        val parent = dep.rdd.asInstanceOf[RDD[InternalRow]]
-        parent.preferredLocations(parent.partitions(bp.choices(i).head))
-    }.getOrElse(Nil)
+    // hosts across ALL contributing parents' partitions, most-frequent
+    // first (code-review r15): consulting only the FIRST parent with a
+    // choice — and only its first partition — gave locality to one spine
+    // segment and remote-fetched every other segment's pinned blocks on
+    // every read of a multi-segment bucket (and returned Nil outright when
+    // that one segment had no locations even if the others did).
+    val hosts = dependencies.iterator.zipWithIndex.flatMap { case (dep, i) =>
+      val parent = dep.rdd.asInstanceOf[RDD[InternalRow]]
+      bp.choices(i).iterator.flatMap(pi =>
+        parent.preferredLocations(parent.partitions(pi)))
+    }.toSeq
+    hosts.groupBy(identity).toSeq.sortBy(-_._2.size).map(_._1)
   }
 }

@@ -42,14 +42,23 @@ object StreamOps {
         col("n"), col("sum_value"))
 
   /** Per-key streaming distinct: emit a key's row only on first sight
-    * (reference: operator/distinct.rs streaming path). */
+    * (reference: operator/distinct.rs streaming path). State is UNBOUNDED
+    * by design — exact distinct requires the full seen-key set, precisely
+    * the reference's distinct trace; a deployment that can tolerate
+    * re-emission after idleness uses the TTL'd variant (q72's
+    * dropDuplicates-within-horizon shape), the TraceBound analog. */
   def streamingDistinct(events: DataFrame, cols: Seq[String]): DataFrame =
     events.dropDuplicates(cols)
 
   /** Upsert command stream → Z-set delta stream: for each key, the last
-    * command per micro-batch wins; emits −old/+new only on real transitions
-    * (no-op upserts and deletes of absent keys emit nothing) — exactly the
-    * reference's upsert operator (operator/upsert.rs:21-60). */
+    * command per micro-batch wins (ties on `seq` broken by arrival order —
+    * callers must not reuse a seq per key within one batch); ACROSS
+    * micro-batches, stream order IS command order, as in the reference's
+    * upsert sources (a seq is an intra-batch tiebreak, not a global
+    * version — version-gated upsert is a different operator). Emits
+    * −old/+new only on real transitions (no-op upserts and deletes of
+    * absent keys emit nothing) — exactly the reference's upsert operator
+    * (operator/upsert.rs:21-60). */
   /** Emit the −old/+new transition for a key given the winning command. */
   private def transition(key: Long, old: Option[Double],
                          next: Option[Double]): Iterator[KvDelta] =
@@ -71,7 +80,13 @@ object StreamOps {
           val last = batch.reduceLeft((a, b) => if (b.seq >= a.seq) b else a)
           val old: Option[Double] = state.getOption.flatten
           val next: Option[Double] = if (last.delete) None else Some(last.value)
-          state.update(next)
+          // remove(), not update(None) (code-review r15): a stored
+          // tombstone under NoTimeout lived FOREVER — delete-heavy CDC
+          // with a churning key domain grew state with lifetime key count
+          // (a delete of a never-seen key even allocated a row). remove()
+          // yields identical output (getOption.flatten is None either way)
+          // with state bounded by LIVE keys.
+          if (next.isEmpty) state.remove() else state.update(next)
           transition(key, old, next)
       }
   }
@@ -104,16 +119,22 @@ object StreamOps {
             }
             val old: Option[Double] = state.getOption.flatten
             val next: Option[Double] = if (last.delete) None else Some(last.value)
-            state.update(next)
-            // A timeout at or below the current watermark is illegal
-            // (Spark kills the query). Spark pre-filters rows older than
-            // the LATE-EVENTS watermark, but a group whose maxTs lands
-            // between that and the (newer) EVICTION watermark can still
-            // reach here with maxTs + horizon below it — clamp to
-            // watermark + 1 ms: the key stays evictable at the next
-            // watermark advance instead of killing the query.
-            state.setTimeoutTimestamp(
-              math.max(maxTs + horizonMs, state.getCurrentWatermarkMs() + 1))
+            if (next.isEmpty)
+              // remove() on delete, as in upsertDeltas — a removed key
+              // also drops its timeout (nothing left to evict)
+              state.remove()
+            else {
+              state.update(next)
+              // A timeout at or below the current watermark is illegal
+              // (Spark kills the query). Spark pre-filters rows older than
+              // the LATE-EVENTS watermark, but a group whose maxTs lands
+              // between that and the (newer) EVICTION watermark can still
+              // reach here with maxTs + horizon below it — clamp to
+              // watermark + 1 ms: the key stays evictable at the next
+              // watermark advance instead of killing the query.
+              state.setTimeoutTimestamp(
+                math.max(maxTs + horizonMs, state.getCurrentWatermarkMs() + 1))
+            }
             transition(key, old, next)
           }
       }
@@ -199,31 +220,44 @@ object StreamOps {
     val q =
       try df.writeStream.outputMode(mode).format("memory").queryName(name).start()
       finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    q.processAllAvailable()
-    // processAllAvailable waits for source OFFSETS only — the watermark-
-    // driven no-data batches that flush the final windows (through chained
-    // stateful operators they may need several rounds) can still be in
-    // flight. Wait until the batch id quiesces before stopping, or the
-    // tail window of the run is silently lost (observed as exactly one
-    // missing window at sf0.1 on q63).
-    var last = -2L
-    var stable = 0
-    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-    var sleepMs = 50L // short first polls cut the fixed per-query overhead
-    while (stable < 2 && System.nanoTime() < deadline) {
-      val cur = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
-      if (cur == last) stable += 1 else { stable = 0; last = cur }
-      Thread.sleep(sleepMs)
-      sleepMs = math.min(sleepMs * 2, 200L)
+    // stop() runs on EVERY exit path (code-review r15): a quiesce timeout
+    // or a processAllAvailable failure previously threw with the query
+    // still running — it leaked for the session (holding state stores,
+    // growing the memory sink) and a retry under the same queryName failed
+    // with "query already active".
+    try {
       q.processAllAvailable()
-    }
-    if (stable < 2)
-      // the silent fall-through WAS the tail-window-loss failure mode this
-      // loop exists to fix — never let it recur without a signal
-      throw new IllegalStateException(
-        s"streaming query '$name' did not quiesce within 60s " +
-          s"(batchId still advancing past $last); tail windows may be lost")
-    q.stop()
+      // processAllAvailable waits for source OFFSETS only — the watermark-
+      // driven no-data batches that flush the final windows (through
+      // chained stateful operators they may need several rounds) can still
+      // be in flight. Wait until the batch id quiesces before stopping, or
+      // the tail window of the run is silently lost (observed as exactly
+      // one missing window at sf0.1 on q63).
+      var last = -2L
+      var stable = 0
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var sleepMs = 50L // short first polls cut the fixed per-query overhead
+      while (stable < 2 && System.nanoTime() < deadline) {
+        // batchId only moves on batch COMPLETION, so a stable id alone can
+        // be an in-flight no-data flush batch between two polls — require
+        // the engine to also report idle (code-review r15: two ~150 ms
+        // stale polls during a slow state commit could declare quiescence
+        // and stop() would abort the flush mid-write, the exact tail-loss
+        // this loop exists to prevent)
+        val cur = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+        val idle = !q.status.isTriggerActive && !q.status.isDataAvailable
+        if (cur == last && idle) stable += 1 else { stable = 0; last = cur }
+        Thread.sleep(sleepMs)
+        sleepMs = math.min(sleepMs * 2, 200L)
+        q.processAllAvailable()
+      }
+      if (stable < 2)
+        // the silent fall-through WAS the tail-window-loss failure mode
+        // this loop exists to fix — never let it recur without a signal
+        throw new IllegalStateException(
+          s"streaming query '$name' did not quiesce within 60s " +
+            s"(batchId still advancing past $last); tail windows may be lost")
+    } finally q.stop()
     spark.table(name)
   }
 }
