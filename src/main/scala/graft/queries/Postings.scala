@@ -36,6 +36,23 @@ object Postings {
   val PmiTerms: Seq[String] = Seq(
     "spark", "query", "merge", "window", "join", "hash", "stream", "batch")
 
+  /** The centroid dimension of t16's incremental cosine assignment state
+    * ([[graft.incremental.CosineState]]) — four topic prototypes in the
+    * weighted space (fixed integer components, NOT re-weighted by idf —
+    * the state's screen-soundness invariant). Supports overlap ("window" /
+    * "merge" / "join" appear in two centroids each) so a crossed term fans
+    * out across assignments, and their union U is drawn from the same word
+    * pool as [[QueryTerms]]/[[PmiTerms]]. */
+  val CosineCentroids: Seq[(String, Seq[(String, Long)])] = Seq(
+    "c_engine" -> Seq("spark" -> 3L, "query" -> 2L, "merge" -> 2L,
+      "window" -> 1L),
+    "c_stream" -> Seq("stream" -> 3L, "batch" -> 2L, "window" -> 2L,
+      "join" -> 1L),
+    "c_store" -> Seq("table" -> 3L, "scan" -> 2L, "hash" -> 2L,
+      "data" -> 1L, "merge" -> 1L),
+    "c_vector" -> Seq("vector" -> 3L, "filter" -> 2L, "dup" -> 2L,
+      "sort" -> 1L, "join" -> 1L))
+
   /** Distinct-term presence rows of a documents frame — the PmiState step
     * input: one (doc_id, term) row per DISTINCT term of the doc (presence,
     * not tf; `array_distinct` makes the per-doc uniqueness structural).
@@ -81,6 +98,60 @@ object Postings {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
            CAST(sum(pq) AS BIGINT) AS score_q
          FROM sc GROUP BY 1"""
+  }
+
+  /** Full DuckDB oracle for t16's incremental cosine assignment: per-doc
+    * best centroid by quantized tf-idf cosine over the `pred`-surviving
+    * corpus. The quantized idf LEAST((idfGrid·N) // df, idfGrid·idfCap) is
+    * exact BIGINT arithmetic shared token-for-token with CosineState.iqOf
+    * (DuckDB's `//` is floor division, = Math.floorDiv on positives), and
+    * the cosine's one-division/two-sqrt/one-multiply IEEE sequence is the
+    * state's rescore expression verbatim. Every sum is a BIGINT small
+    * enough to cast to DOUBLE value-exactly (the state's numeric
+    * envelope), so the committed cos_q is bit-portable. */
+  def cosineTop1OracleSql(pred: String,
+                          cents: Seq[(String, Seq[(String, Long)])] = CosineCentroids,
+                          idfGrid: Long = 64L, idfCap: Long = 64L): String = {
+    val uterms = cents.flatMap(_._2.map(_._1)).distinct
+    val inList = uterms.map("'" + _ + "'").mkString(", ")
+    val centVals = cents.flatMap { case (cid, ts) =>
+      ts.map { case (t, w) => s"('$cid', '$t', CAST($w AS BIGINT))" }
+    }.mkString(", ")
+    s"""WITH base AS (SELECT doc_id, text FROM documents WHERE $pred),
+         consts AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM base),
+         tf AS (
+           SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM base)
+           WHERE term IN ($inList)
+           GROUP BY 1, 2),
+         dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         iq AS (
+           SELECT term,
+             LEAST(($idfGrid * c.n_docs) // df, ${idfGrid * idfCap}) AS iq
+           FROM dft CROSS JOIN consts c),
+         cent(cid, term, cw) AS (VALUES $centVals),
+         nc AS (SELECT cid, CAST(sum(cw * cw) AS BIGINT) AS nc2
+                FROM cent GROUP BY 1),
+         dv AS (SELECT doc_id, term, tf * iq AS dvq
+                FROM tf JOIN iq USING (term)),
+         nd AS (SELECT doc_id, CAST(sum(dvq * dvq) AS BIGINT) AS nd2
+                FROM dv GROUP BY 1),
+         dt AS (
+           SELECT dv.doc_id, cent.cid, CAST(sum(dv.dvq * cent.cw) AS BIGINT)
+             AS dot
+           FROM dv JOIN cent USING (term) GROUP BY 1, 2),
+         sc AS (
+           SELECT dt.doc_id, dt.cid,
+             CAST(FLOOR(CAST(dt.dot AS DOUBLE)
+               / (SQRT(CAST(nd.nd2 AS DOUBLE)) * SQRT(CAST(nc.nc2 AS DOUBLE)))
+               * 1e6) AS BIGINT) AS cos_q
+           FROM dt JOIN nd USING (doc_id) JOIN nc USING (cid)),
+         r AS (
+           SELECT *, row_number() OVER
+             (PARTITION BY doc_id ORDER BY cos_q DESC, cid ASC) AS rn
+           FROM sc)
+         SELECT doc_id, cid, cos_q FROM r WHERE rn = 1"""
   }
 
   /** Term-frequency postings of a documents frame. `docs` must carry

@@ -282,6 +282,41 @@ object TextAnalysis extends QueryModule {
         .select("doc_id", "n_pairs", "score_q")
     }),
 
+    // INCREMENTAL TF-IDF COSINE ASSIGNMENT (t16, VERDICT r15 #5 — the
+    // fourth Screened state): per-doc best centroid by quantized cosine
+    // over the doc's U-restricted tf-idf vector, kept exact while
+    // documents arrive AND leave. The coupling sits between the family's
+    // corners: crossings of the quantized idf iq(t) are decided on the
+    // DRIVER over the |U| term dimension (the PMI discipline — quiet
+    // steps schedule zero cluster-side screening), while the affected set
+    // is data-dependent (docs HOLDING a crossed term — the TF-IDF
+    // discipline). Replay mirrors t12: 4 insert epochs (doc_id mod 4)
+    // then the doc_id%10==3 retraction epoch; the integrated −old/+new
+    // output must equal the batch per-doc argmax over the surviving
+    // corpus.
+    "t16_inc_cosine" -> ((s, dir) => {
+      import graft.core.ZSetFrame
+      val E = 4
+      val tfAll = Postings.build(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          withDl = false)
+        .localCheckpoint(true)
+      val st = new graft.incremental.CosineState(
+        ZSetFrame.fromTable(tfAll.where(lit(false))),
+        Postings.CosineCentroids, 32)
+      val outs =
+        (0 until E).map { i =>
+          st.step(ZSetFrame.fromTable(
+            tfAll.where(pmod(col("doc_id"), lit(E)) === i)))
+        } :+
+        st.step(ZSetFrame.fromDelta(
+          tfAll.where(pmod(col("doc_id"), lit(10)) === 3)
+            .withColumn(ZSetFrame.W, lit(-1L))))
+      st.close()
+      ZSetFrame.sumAll(outs).consolidate.toDF
+        .select("doc_id", "cid", "cos_q")
+    }),
+
     // token / char counting
     "t01_tokens" -> ((s, dir) => {
       t(s, dir, "documents").select(
@@ -736,6 +771,12 @@ object TextAnalysis extends QueryModule {
       // t15's integrated replacement deltas must match it bit-for-bit
       // (shared generator; the pq IEEE sequence is PmiState.pq's)
       "t15_inc_pmi" -> Postings.pmiOracleSql("doc_id % 10 <> 3"),
+
+      // batch per-doc best-centroid cosine over the surviving corpus —
+      // t16's integrated replacement deltas must match it bit-for-bit
+      // (shared generator; iq and the cosine IEEE sequence are
+      // CosineState's verbatim)
+      "t16_inc_cosine" -> Postings.cosineTop1OracleSql("doc_id % 10 <> 3"),
 
       "t01_tokens" ->
         """SELECT doc_id, length(text) AS n_chars2,

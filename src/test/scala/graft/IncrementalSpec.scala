@@ -776,6 +776,160 @@ class IncrementalSpec extends SparkSpec {
     } finally st.close()
   }
 
+  /** ONE generator for the CosineState law test's synthetic docs — shared
+    * by the replay and the brute-force oracle (the PmiTestDocs discipline).
+    * Docs are (term, tf) posting sets; every 5th doc is filler-only (moves
+    * N but holds no U term — the N-only constant drift path). */
+  private object CosineTestDocs {
+    val cents: Seq[(String, Seq[(String, Long)])] = Seq(
+      "ca" -> Seq("spark" -> 3L, "query" -> 2L, "window" -> 1L),
+      "cb" -> Seq("merge" -> 3L, "window" -> 2L, "query" -> 1L))
+    val uterms: Seq[String] = cents.flatMap(_._2.map(_._1)).distinct
+    private val filler = Vector.tabulate(6)(i => s"f$i")
+    def docPostings(i: Int): Seq[(String, Long)] = {
+      val r = new scala.util.Random(1600 + i)
+      val pool = if (i % 5 == 4) filler else uterms ++ filler
+      Seq.fill(3 + r.nextInt(5))(pool(r.nextInt(pool.size)))
+        .groupBy(identity).toSeq.sortBy(_._1)
+        .map { case (t, xs) => (t, xs.size.toLong) }
+    }
+  }
+
+  private def cosEffPostings(i: Int, reDoc2: Boolean): Seq[(String, Long)] =
+    if (reDoc2 && i == 2) CosineTestDocs.docPostings(30)
+    else CosineTestDocs.docPostings(i)
+
+  test("CosineState: incremental cosine assignment ≡ batch per-doc argmax") {
+    import graft.incremental.CosineState
+    val cents = CosineTestDocs.cents
+    val uterms = CosineTestDocs.uterms
+    def rows(ids: Seq[Int], w: Long): Seq[(Long, String, Long, Long)] =
+      ids.flatMap(i => CosineTestDocs.docPostings(i)
+        .map { case (t, tf) => (i.toLong, t, tf, w) })
+    // step 4 is the CDC UPDATE shape: doc 2's full old posting set at −1
+    // AND doc 30's set inserted under doc 2's id at +1 in ONE delta
+    def upd(i: Int, j: Int): Seq[(Long, String, Long, Long)] =
+      CosineTestDocs.docPostings(i).map { case (t, tf) => (i.toLong, t, tf, -1L) } ++
+        CosineTestDocs.docPostings(j).map { case (t, tf) => (i.toLong, t, tf, 1L) }
+    val steps = Seq(
+      rows(0 until 12, 1L),
+      rows(12 until 22, 1L),
+      rows(Seq(3, 7, 15), -1L),
+      upd(2, 30) ++ rows(Seq(22, 23), 1L),
+      rows(Seq(24), 1L)) // small tail — the pruning step on the coarse grid
+    val empty = ZSetFrame.fromTable(
+      Seq.empty[(Long, String, Long)].toDF("doc_id", "term", "tf"))
+    var coupledOnce = false
+    // fine grid (64): toy-scale relative drift crosses floors — the
+    // screen+rescore path; coarse grid (2, cap 4): hot ratios saturate at
+    // the cap and quiet steps must PRUNE
+    for ((idfG, idfC) <- Seq((64L, 64L), (2L, 4L))) {
+      val st = new CosineState(empty, cents, nBuckets = 8,
+        idfGrid = idfG, idfCap = idfC)
+      var live = Set.empty[Int]
+      var reDoc2 = false
+      var prunedOnce = false
+      val outs = steps.zipWithIndex.map { case (rws, si) =>
+        if (si == 3) { live = live + 22 + 23; reDoc2 = true }
+        else live = live ++ rws.filter(_._4 > 0).map(_._1.toInt) --
+          rws.filter(_._4 < 0).map(_._1.toInt)
+        val out = st.step(ZSetFrame.fromDelta(
+          rws.toDF("doc_id", "term", "tf", ZSetFrame.W)))
+        val withU = live.count(i =>
+          cosEffPostings(i, reDoc2).exists(p => uterms.contains(p._1)))
+        val aff = st.lastAffected.count()
+        if (aff < withU) prunedOnce = true
+        val deltaDocs = rws.map(_._1).distinct.size
+        if (aff > deltaDocs) coupledOnce = true
+        out
+      }
+      st.close()
+      // brute-force batch model over the surviving corpus — the SAME
+      // integer iq and IEEE cosine sequence as CosineState
+      def eff(i: Int) = cosEffPostings(i, reDoc2)
+      val n = live.size.toLong
+      val dfM = uterms.map(t =>
+        t -> live.count(i => eff(i).exists(_._1 == t)).toLong).toMap
+      def iqM(df: Long): Long =
+        if (n <= 0 || df <= 0) Long.MinValue
+        else math.min(Math.floorDiv(idfG * n, df), idfG * idfC)
+      val expected = live.toSeq.flatMap { i =>
+        val ups = eff(i).filter(p => uterms.contains(p._1))
+        if (ups.isEmpty) None
+        else {
+          val dvq = ups.map { case (t, tf) => t -> tf * iqM(dfM(t)) }.toMap
+          val nd2 = dvq.values.map(v => v * v).sum
+          val scoredPairs = cents.flatMap { case (cid, sup) =>
+            val common = sup.filter { case (t, _) => dvq.contains(t) }
+            if (common.isEmpty) None
+            else {
+              val dot = common.map { case (t, cw) => dvq(t) * cw }.sum
+              val nc2 = sup.map { case (_, cw) => cw * cw }.sum
+              val cq = math.floor(dot.toDouble
+                / (math.sqrt(nd2.toDouble) * math.sqrt(nc2.toDouble))
+                * 1e6).toLong
+              Some((cid, cq))
+            }
+          }
+          val (cid, cq) = scoredPairs.minBy { case (c, q) => (-q, c) }
+          Some((i.toLong, cid, cq))
+        }
+      }
+      assertSameRows(ZSetFrame.sumAll(outs).consolidate.df,
+        ZSetFrame.fromTable(expected.toDF("doc_id", "cid", "cos_q")).df)
+      if (idfG < 64L)
+        assert(prunedOnce,
+          s"idfGrid=$idfG: screening never pruned — affected == U-doc set " +
+            "on every step")
+    }
+    assert(coupledOnce,
+      "screening never pulled in a non-delta doc — the idf coupling path is untested")
+  }
+
+  test("CosineState: a CDC update that drops the last U term retracts the assignment") {
+    import graft.incremental.CosineState
+    val empty = ZSetFrame.fromTable(
+      Seq.empty[(Long, String, Long)].toDF("doc_id", "term", "tf"))
+    val cents = Seq("ca" -> Seq("a" -> 2L, "b" -> 1L))
+    val st = new CosineState(empty, cents, nBuckets = 4)
+    try {
+      val acc = new Incremental.State(Incremental.emptyLike(ZSetFrame.fromDelta(
+        Seq.empty[(Long, String, Long, Long)]
+          .toDF("doc_id", "cid", "cos_q", ZSetFrame.W))))
+      acc.update(st.step(ZSetFrame.fromDelta(Seq(
+          (1L, "a", 2L, 1L), (1L, "x", 1L, 1L),
+          (2L, "a", 1L, 1L), (2L, "b", 1L, 1L))
+        .toDF("doc_id", "term", "tf", ZSetFrame.W))))
+      // update doc 1: full old set at −1, new U-FREE set at +1, one delta
+      acc.update(st.step(ZSetFrame.fromDelta(Seq(
+          (1L, "a", 2L, -1L), (1L, "x", 1L, -1L),
+          (1L, "y", 3L, 1L))
+        .toDF("doc_id", "term", "tf", ZSetFrame.W))))
+      // surviving: N=2, df(a)=1, df(b)=1 → iq = min(64·2/1, 64·64) = 128;
+      // doc 2: dvq(a)=128, dvq(b)=128, nd2=32768; dot = 128·2+128·1 = 384,
+      // nc2 = 5 → cos_q = floor(384/(sqrt(32768)·sqrt(5))·1e6)
+      val cq = math.floor(384.0
+        / (math.sqrt(32768.0) * math.sqrt(5.0)) * 1e6).toLong
+      assertSameRows(acc.acc.consolidate.df,
+        ZSetFrame.fromTable(Seq((2L, "ca", cq))
+          .toDF("doc_id", "cid", "cos_q")).df)
+    } finally st.close()
+  }
+
+  test("Cosine step contract: a weight beyond ±1 fails loudly") {
+    import graft.incremental.CosineState
+    val empty = ZSetFrame.fromTable(
+      Seq.empty[(Long, String, Long)].toDF("doc_id", "term", "tf"))
+    val st = new CosineState(empty, Seq("ca" -> Seq("a" -> 1L)), nBuckets = 4)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        st.step(ZSetFrame.fromDelta(Seq((1L, "a", 1L, 2L))
+          .toDF("doc_id", "term", "tf", ZSetFrame.W)))
+      }
+      assert(e.getMessage.contains("contract"))
+    } finally st.close()
+  }
+
   test("MultiBm25State: concurrent query sets over one shared index ≡ per-query batch top-k") {
     import graft.incremental.MultiBm25State
     // three standing queries; qc SHARES a term with each of qa/qb — a
