@@ -77,8 +77,46 @@ final class MultiBm25State(emptyPosting: ZSetFrame,
                              * value the oracles hard-code via [[Bm25.sq]]'s
                              * default). Tests shrink it to reach the pruning
                              * regime at toy corpus sizes. */
-                           val grid: Double = 1e6) {
+                           val grid: Double = 1e6,
+                           /** DURABLE mirror of the posting trace (VERDICT
+                             * r15 #4 — the reference's persistent-spine
+                             * property, crates/dbsp/src/trace/persistent/
+                             * mod.rs:1-40, applied to the flagship
+                             * operator family): when set, every step also
+                             * merges its U-restricted delta into this
+                             * disk-backed [[DurableKeyedState]] and then
+                             * records the driver constants (step counter,
+                             * N, T, df) in a sidecar — qIdx + constants
+                             * are the state's PRIMARY data; scoreIdx /
+                             * bucketTop / topIdx are derived and are
+                             * REBUILT from scratch at [[MultiBm25State.restore]]
+                             * (bit-identical by the screen's exactness
+                             * induction: every stored score equals a
+                             * from-scratch evaluation under the CURRENT
+                             * constants). Durability point = the sidecar
+                             * write, which lands AFTER the trace write: a
+                             * crash between the two leaves a torn step,
+                             * detectable by the caller's acked-step
+                             * counter vs the sidecar's `gen` — the
+                             * standard replay-from-last-commit recovery
+                             * contract (the delta merge is NOT idempotent,
+                             * so the source must resend exactly the
+                             * un-acked deltas). */
+                           durablePath: Option[String] = None) {
   import ZSetFrame.W
+
+  private var durIdx: Option[DurableKeyedState] =
+    durablePath.map(p => DurableKeyedState.create(
+      p, Seq("doc_id"), nBuckets, emptyPosting))
+
+  /** Restore-path constructor: ATTACH to an existing durable trace instead
+    * of create-resetting it (see [[MultiBm25State.restore]]). */
+  private[incremental] def this(emptyPosting: ZSetFrame,
+      qsets: Seq[(String, Seq[String])], nBuckets: Int, topK: Int,
+      grid: Double, dur: DurableKeyedState) = {
+    this(emptyPosting, qsets, nBuckets, topK, grid, None)
+    durIdx = Some(dur)
+  }
 
   private val spark = emptyPosting.spark
 
@@ -103,6 +141,10 @@ final class MultiBm25State(emptyPosting: ZSetFrame,
   private var nDocs = 0L
   private var tToks = 0L
   private val dfU = scala.collection.mutable.Map[String, Long]()
+  /** Completed-step counter — the durable mirror's commit generation (the
+    * caller's ack watermark for torn-step detection; see `durIdx`). */
+  private var stepGen = 0L
+  def committedGen: Long = stepGen
 
   // the (query_id, term) dimension — the verdict's "dfTab broadcast becomes
   // a keyed dimension join": built once, broadcast into every rescore
@@ -199,6 +241,13 @@ final class MultiBm25State(emptyPosting: ZSetFrame,
     //    docs are in `affected`, so affB covers the merge's touched buckets
     qIdx.merge(ZSetFrame.fromDelta(delta.df.where(col("term").isin(ulits: _*))),
       checkpointDelta = false, knownTouched = Some(affB), append = true)
+    // 5b. durable mirror: the same U-restricted delta lands in the
+    //     disk-backed trace (touched-partition rewrite; affB is a superset
+    //     of the delta's span, so crossing steps rewrite a few extra
+    //     buckets unchanged — correct by merge's superset contract)
+    durIdx.foreach(_.merge(
+      ZSetFrame.fromDelta(delta.df.where(col("term").isin(ulits: _*))),
+      knownTouched = Some(affB)))
     // 6. rescore the affected docs against the post-merge index under the
     //    NEW constants, fanned out to their matching queries by the
     //    broadcast (query_id, term) dimension; a fully retracted doc (or a
@@ -256,6 +305,11 @@ final class MultiBm25State(emptyPosting: ZSetFrame,
       "doc_id", nBuckets)
     topIdx.merge(out, checkpointDelta = false, knownTouched = Some(outB))
     prevStepPins = Seq(affected)
+    // 9. durable commit point: the constants sidecar lands LAST (see the
+    //    durIdx scaladoc for the torn-step contract)
+    stepGen += 1
+    durIdx.foreach(d => MultiBm25State.writeConsts(
+      d.path, stepGen, nDocs, tToks, dfU.toMap, qsets))
     out
   }
 
@@ -263,6 +317,98 @@ final class MultiBm25State(emptyPosting: ZSetFrame,
     prevStepPins.foreach(Pinned.release)
     prevStepPins = Nil
     qIdx.close(); scoreIdx.close(); bucketTop.close(); topIdx.close()
+  }
+
+  /** Rebuild the derived indexes (scoreIdx / bucketTop / topIdx) from the
+    * posting trace under the CURRENT constants — the restore path's second
+    * half. Exact by the screen's induction: every pre-crash stored score
+    * equals a from-scratch evaluation under the constants at the last
+    * committed step, so the rebuilt indexes are bit-identical to the lost
+    * in-memory ones and subsequent steps emit the same replacement deltas
+    * an uninterrupted run would. Emits nothing (the consumer already holds
+    * the integrated pre-restart output). */
+  private def rebuildDerived(): Unit = {
+    import spark.implicits._
+    val dfNewTab = uterms.map(t => (t, dfU.getOrElse(t, 0L))).toDF("term", "df")
+    val rows = qIdx.view(0 until nBuckets).consolidate.df
+    val newScores = rows.join(broadcast(dfNewTab), Seq("term"))
+      .join(broadcast(qtTab), Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        Bm25.sq(col("tf"), col("dl"), col("df"),
+          lit(nDocs), lit(tToks), grid).as("sq"))
+      .groupBy("query_id", "doc_id").agg(sum(col("sq")).as("score_q"))
+    scoreIdx.merge(ZSetFrame.fromTable(newScores))
+    val bEx = pmod(hash(col("doc_id")), lit(nBuckets))
+    val newBT = scoreIdx.view(0 until nBuckets).consolidate.df
+      .select("query_id", "doc_id", "score_q")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"), bEx)
+          .orderBy(col("score_q").desc, col("doc_id").asc)))
+      .where(col("rn") <= topK).drop("rn")
+    bucketTop.merge(ZSetFrame.fromTable(newBT))
+    val cand = bucketTop.view(0 until nBuckets).consolidate.df
+      .select("query_id", "doc_id", "score_q")
+    val newTop = cand.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score_q").desc, col("doc_id").asc)))
+      .where(col("rnk") <= topK)
+    topIdx.merge(ZSetFrame.fromTable(newTop))
+  }
+}
+
+object MultiBm25State {
+  private val ConstsFile = "_graft_bm25_consts.txt"
+
+  private def qsetsSig(qsets: Seq[(String, Seq[String])]): String =
+    qsets.map { case (q, ts) => s"$q:${ts.mkString("|")}" }.mkString(";")
+
+  private[incremental] def writeConsts(path: String, gen: Long, n: Long,
+      t: Long, df: Map[String, Long],
+      qsets: Seq[(String, Seq[String])]): Unit = {
+    val body = (Seq(s"gen=$gen", s"nDocs=$n", s"tToks=$t",
+      s"qsets=${qsetsSig(qsets)}") ++
+      df.toSeq.sortBy(_._1).map { case (k, v) => s"df.$k=$v" })
+      .mkString("", "\n", "\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, ConstsFile),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Re-attach to a durable retrieval state written by a
+    * `durablePath`-enabled instance — the recovery path (a fresh driver
+    * resumes the CDC replay where the last COMMITTED step left off): the
+    * posting trace comes back through [[DurableKeyedState.restore]] and is
+    * bulk-loaded into a fresh in-memory spine, the constants come from the
+    * sidecar, and the derived indexes are rebuilt from scratch (exact —
+    * see `rebuildDerived`). The standing query sets must match the writer's
+    * (the sidecar records their signature); `restored.committedGen` tells
+    * the CDC source which deltas to replay. */
+  def restore(spark: org.apache.spark.sql.SparkSession, path: String,
+              qsets: Seq[(String, Seq[String])], nBuckets: Int,
+              topK: Int = 10, grid: Double = 1e6): MultiBm25State = {
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path, ConstsFile))
+    val kv = lines.toArray(Array.empty[String]).filter(_.contains("="))
+      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+    require(kv("qsets") == qsetsSig(qsets),
+      "graft: MultiBm25State.restore qsets do not match the durable " +
+        s"state's (stored ${kv("qsets")}) — the trace is restricted to the " +
+        "writer's union term set; attach with the same standing queries")
+    val dur = DurableKeyedState.restore(spark, path)
+    require(dur.nBuckets == nBuckets,
+      s"graft: durable trace has ${dur.nBuckets} buckets, caller asked $nBuckets")
+    val snapshot = dur.snapshot.consolidate
+    val st = new MultiBm25State(
+      ZSetFrame.fromDelta(snapshot.df.where(org.apache.spark.sql.functions.lit(false))),
+      qsets, nBuckets, topK, grid, dur)
+    st.nDocs = kv("nDocs").toLong
+    st.tToks = kv("tToks").toLong
+    kv.foreach { case (k, v) =>
+      if (k.startsWith("df.")) st.dfU(k.drop(3)) = v.toLong }
+    st.stepGen = kv("gen").toLong
+    st.qIdx.merge(snapshot)
+    st.rebuildDerived()
+    st
   }
 }
 
@@ -273,15 +419,19 @@ final class MultiBm25State(emptyPosting: ZSetFrame,
   * dimension projected away from the emitted delta — it is constant, so
   * Z-set semantics are untouched): t13/q89 certify the shared engine
   * through this surface, t14 certifies the multi-query fan-out. */
-final class Bm25State(emptyPosting: ZSetFrame, val qterms: Seq[String],
-                      val nBuckets: Int, val topK: Int = 10,
-                      val grid: Double = 1e6) {
+final class Bm25State private (inner: MultiBm25State, val qterms: Seq[String]) {
 
-  private val inner = new MultiBm25State(
-    emptyPosting, Seq("q" -> qterms), nBuckets, topK, grid)
+  def this(emptyPosting: ZSetFrame, qterms: Seq[String],
+           nBuckets: Int, topK: Int = 10, grid: Double = 1e6,
+           durablePath: Option[String] = None) =
+    this(new MultiBm25State(emptyPosting, Seq("q" -> qterms), nBuckets,
+      topK, grid, durablePath), qterms)
 
   /** Diagnostic passthrough (see [[MultiBm25State.lastAffected]]). */
   private[graft] def lastAffected: DataFrame = inner.lastAffected
+
+  /** Durable commit generation (see [[MultiBm25State.committedGen]]). */
+  def committedGen: Long = inner.committedGen
 
   /** One step; see [[MultiBm25State.step]]. The emitted rows integrate to
     * (doc_id, score_q, rnk). */
@@ -289,4 +439,14 @@ final class Bm25State(emptyPosting: ZSetFrame, val qterms: Seq[String],
     inner.step(delta).select(col("doc_id"), col("score_q"), col("rnk"))
 
   def close(): Unit = inner.close()
+}
+
+object Bm25State {
+  /** Recovery path for a `durablePath`-enabled instance — see
+    * [[MultiBm25State.restore]]. */
+  def restore(spark: org.apache.spark.sql.SparkSession, path: String,
+              qterms: Seq[String], nBuckets: Int,
+              topK: Int = 10, grid: Double = 1e6): Bm25State =
+    new Bm25State(MultiBm25State.restore(
+      spark, path, Seq("q" -> qterms), nBuckets, topK, grid), qterms)
 }

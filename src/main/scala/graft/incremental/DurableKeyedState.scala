@@ -35,19 +35,30 @@ import graft.core.ZSetFrame
   * `aggStep` eagerly materializes everything it returns. */
 final class DurableKeyedState private (
     val spark: SparkSession, val keys: Seq[String], val nBuckets: Int,
-    val path: String, schema: StructType) {
+    val path: String, schema: StructType,
+    initialLive: Set[Int]) {
 
   private val colsInOrder: Seq[String] = schema.fieldNames.toSeq
   private val readSchema = StructType(
     schema.fields :+ StructField("__bucket", IntegerType, nullable = true))
 
+  /** COMMITTED live-bucket set (ADVICE r15): the meta file records which
+    * partition dirs are part of the state, and every read filters to it —
+    * so a crash between a merge's data write and its emptied-dir cleanup
+    * cannot resurrect fully-retracted rows (the dir is stale garbage the
+    * moment the meta excludes it; the delete that follows is hygiene, not
+    * correctness). The meta write is the merge's bucket-set commit point:
+    * it lands AFTER the data write and BEFORE the deletes. */
+  private var liveBuckets: Set[Int] = initialLive
+
   private def keyExprs: Seq[Column] = keys.map(col)
   def bucketId: Column = pmod(hash(keyExprs: _*), lit(nBuckets))
 
-  /** The state table with its partition column. An explicit schema makes an
-    * empty directory read as an empty relation instead of failing schema
-    * inference. */
+  /** The state table with its partition column, restricted to the
+    * COMMITTED live buckets. An explicit schema makes an empty directory
+    * read as an empty relation instead of failing schema inference. */
   private def stateDf: DataFrame = spark.read.schema(readSchema).parquet(path)
+    .where(col("__bucket").isin(liveBuckets.toSeq.map(Integer.valueOf): _*))
 
   /** Bucket ids a delta's keys hash into (one small job). */
   def touchedBuckets(delta: ZSetFrame): Seq[Int] =
@@ -103,7 +114,12 @@ final class DurableKeyedState private (
     out.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__bucket").parquet(path)
+    // bucket-set COMMIT: the meta's live set excludes the emptied buckets
+    // the moment it lands — a crash before the deletes below leaves stale
+    // dirs that every reader ignores (resurrection impossible; ADVICE r15)
     val emptied = touched.toSet -- present
+    liveBuckets = liveBuckets -- emptied ++ present
+    DurableKeyedState.writeMeta(path, keys, nBuckets, schema, liveBuckets)
     if (emptied.nonEmpty) {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -129,6 +145,14 @@ final class DurableKeyedState private (
 object DurableKeyedState {
   private val MetaFile = "_graft_state.txt"
 
+  private[incremental] def writeMeta(path: String, keys: Seq[String],
+      nBuckets: Int, schema: StructType, live: Set[Int]): Unit = {
+    val meta =
+      s"keys=${keys.mkString(",")}\nnBuckets=$nBuckets\n" +
+        s"buckets=${live.toSeq.sorted.mkString(",")}\nschema=${schema.json}\n"
+    Files.write(Paths.get(path, MetaFile), meta.getBytes(StandardCharsets.UTF_8))
+  }
+
   /** Initialize (or reset) a durable state at `path` from `init` and attach. */
   def create(path: String, keys: Seq[String], nBuckets: Int,
              init: ZSetFrame): DurableKeyedState = {
@@ -136,27 +160,35 @@ object DurableKeyedState {
     val colsInOrder = init.dataCols.toSeq :+ ZSetFrame.W
     val df = init.consolidate.df.select(colsInOrder.map(col): _*)
     val schema = df.schema
-    val st = new DurableKeyedState(spark, keys, nBuckets, path, schema)
+    val bucketed = df.withColumn("__bucket",
+      pmod(hash(keys.map(col): _*), lit(nBuckets))).localCheckpoint(true)
+    val live = bucketed.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val st = new DurableKeyedState(spark, keys, nBuckets, path, schema, live)
     // full (static) overwrite: a create resets the whole table...
-    df.withColumn("__bucket", st.bucketId)
-      .write.mode("overwrite").partitionBy("__bucket").parquet(path)
-    // ...so the sidecar is written after the table
-    val meta =
-      s"keys=${keys.mkString(",")}\nnBuckets=$nBuckets\nschema=${schema.json}\n"
-    Files.write(Paths.get(path, MetaFile), meta.getBytes(StandardCharsets.UTF_8))
+    bucketed.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+    // ...so the sidecar (incl. the live-bucket commit) is written after it
+    writeMeta(path, keys, nBuckets, schema, live)
+    Pinned.unpersistTree(bucketed.rdd)
     st
   }
 
   /** Re-attach to a durable state written by `create` — the recovery path:
     * a fresh SparkSession (new driver) resumes exactly where the previous
-    * one stopped. */
+    * one stopped. Partition dirs outside the meta's committed live-bucket
+    * set are ignored (crash debris; see `liveBuckets`). */
   def restore(spark: SparkSession, path: String): DurableKeyedState = {
     val lines = Files.readAllLines(Paths.get(path, MetaFile))
     val kv = lines.toArray(Array.empty[String]).filter(_.contains("="))
       .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
     val schema = DataType.fromJson(kv("schema")).asInstanceOf[StructType]
+    val live = kv.get("buckets") match {
+      case Some(b) => b.split(',').filter(_.nonEmpty).map(_.toInt).toSet
+      // pre-r16 table without a committed set: every dir is live
+      case None => (0 until kv("nBuckets").toInt).toSet
+    }
     new DurableKeyedState(spark, kv("keys").split(',').toSeq.filter(_.nonEmpty),
-      kv("nBuckets").toInt, path, schema)
+      kv("nBuckets").toInt, path, schema, live)
   }
 
 }

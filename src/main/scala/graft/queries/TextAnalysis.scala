@@ -215,6 +215,48 @@ object TextAnalysis extends QueryModule {
         .select("doc_id", "score_q", "rnk")
     }),
 
+    // DURABLE RESTART FOR THE SCREENED RETRIEVAL FAMILY (q92, VERDICT r15
+    // #4 — the reference's persistent-spine property, crates/dbsp/src/
+    // trace/persistent/mod.rs:1-40, applied to the flagship operator):
+    // t13's CDC replay with the posting trace mirrored into a
+    // DurableKeyedState-backed parquet table plus a constants sidecar.
+    // Mid-replay the in-memory state is TORN DOWN (close() releases every
+    // pinned trace) and re-attached from disk — the derived score/top-k
+    // indexes are rebuilt from the durable trace under the recorded
+    // constants (bit-identical by the screen's exactness induction) — and
+    // the replay continues; the integrated output must still equal t13's
+    // batch top-10 over the surviving corpus. Recovery loses nothing.
+    "q92_durable_bm25" -> ((s, dir) => {
+      import graft.core.ZSetFrame
+      val E = 4
+      val nB = 32
+      val qterms = Postings.QueryTerms
+      val tfAll = Postings.build(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          withDl = true)
+        .select("doc_id", "term", "tf", "dl")
+        .localCheckpoint(true)
+      val path = s"/tmp/graft_durable_q92_${System.nanoTime()}"
+      var st = new graft.incremental.Bm25State(
+        ZSetFrame.fromTable(tfAll.where(lit(false))), qterms, nB,
+        durablePath = Some(path))
+      val outs =
+        (0 until E).map { i =>
+          if (i == 2) { // driver restart point: drop memory, resume from disk
+            st.close()
+            st = graft.incremental.Bm25State.restore(s, path, qterms, nB)
+          }
+          st.step(ZSetFrame.fromTable(
+            tfAll.where(pmod(col("doc_id"), lit(E)) === i)))
+        } :+
+        st.step(ZSetFrame.fromDelta(
+          tfAll.where(pmod(col("doc_id"), lit(10)) === 3)
+            .withColumn(ZSetFrame.W, lit(-1L))))
+      st.close()
+      ZSetFrame.sumAll(outs).consolidate.toDF
+        .select("doc_id", "score_q", "rnk")
+    }),
+
     // MULTI-QUERY INCREMENTAL RETRIEVAL (t14, VERDICT r13 #7) — a real
     // retrieval index serves MANY standing ranked queries, not one:
     // MultiBm25State maintains four concurrent query sets (one of them
@@ -771,6 +813,11 @@ object TextAnalysis extends QueryModule {
       // t15's integrated replacement deltas must match it bit-for-bit
       // (shared generator; the pq IEEE sequence is PmiState.pq's)
       "t15_inc_pmi" -> Postings.pmiOracleSql("doc_id % 10 <> 3"),
+
+      // t13's batch oracle verbatim: a mid-replay teardown+restore from
+      // the durable posting trace must change NOTHING in the integrated
+      // output (the persistent-spine recovery property)
+      "q92_durable_bm25" -> Postings.bm25Top10OracleSql("doc_id % 10 <> 3"),
 
       // batch per-doc best-centroid cosine over the surviving corpus —
       // t16's integrated replacement deltas must match it bit-for-bit

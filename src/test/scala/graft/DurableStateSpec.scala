@@ -107,6 +107,104 @@ class DurableStateSpec extends SparkSpec {
     assert(st2.snapshot.consolidate.df.count() === 0)
   }
 
+  /** Deterministic toy posting sets for the Bm25 durable-restart law —
+    * one generator shared by both replay halves and both runs. */
+  private def bmDoc(i: Int): Seq[(Long, String, Long, Long)] = {
+    val pool = Seq("spark", "query", "alpha", "beta", "gamma")
+    val r = new scala.util.Random(1700 + i)
+    val terms = Seq.fill(2 + r.nextInt(4))(pool(r.nextInt(pool.size)))
+      .groupBy(identity).toSeq.sortBy(_._1)
+    val dl = terms.map(_._2.size).sum.toLong
+    terms.map { case (t, xs) => (i.toLong, t, xs.size.toLong, dl) }
+  }
+
+  private def bmDelta(s: SparkSession, ids: Seq[Int], w: Long): ZSetFrame = {
+    import s.implicits._
+    ZSetFrame.fromDelta(ids.flatMap(bmDoc)
+      .map { case (d, t, tf, dl) => (d, t, tf, dl, w) }
+      .toDF("doc_id", "term", "tf", "dl", ZSetFrame.W))
+  }
+
+  test("durable Bm25: teardown + new-session restore resumes exactly (VERDICT r15 #4)") {
+    import graft.incremental.Bm25State
+    val qterms = Seq("spark", "query")
+    def emptyP(s: SparkSession) = {
+      import s.implicits._
+      ZSetFrame.fromTable(Seq.empty[(Long, String, Long, Long)]
+        .toDF("doc_id", "term", "tf", "dl"))
+    }
+    val steps: Seq[(Seq[Int], Long)] = Seq(
+      (0 until 10, 1L), (10 until 18, 1L), (Seq(3, 11), -1L),
+      (18 until 24, 1L), (Seq(5, 20), -1L))
+    // uninterrupted control: plain in-memory state
+    val st1 = new Bm25State(emptyP(spark), qterms, nBuckets = 8)
+    val outs1 = steps.map { case (ids, w) => st1.step(bmDelta(spark, ids, w)) }
+    st1.close()
+    // durable run: 3 steps, TEARDOWN (every in-memory trace released),
+    // restore on a FRESH SparkSession, remaining 2 steps
+    val dir = java.nio.file.Files.createTempDirectory("graft_durbm").toString
+    var st2 = new Bm25State(emptyP(spark), qterms, nBuckets = 8,
+      durablePath = Some(dir))
+    val outsA = steps.take(3).map { case (ids, w) =>
+      st2.step(bmDelta(spark, ids, w)) }
+    assert(st2.committedGen == 3L)
+    st2.close()
+    val s2 = spark.newSession()
+    st2 = Bm25State.restore(s2, dir, qterms, nBuckets = 8)
+    assert(st2.committedGen == 3L) // the sidecar's ack watermark round-trips
+    val outsB = steps.drop(3).map { case (ids, w) =>
+      st2.step(bmDelta(s2, ids, w)) }
+    st2.close()
+    // identical integrated output stream — recovery loses nothing
+    assertSameRows(
+      ZSetFrame.sumAll(outs1).consolidate.df,
+      (ZSetFrame.sumAll(outsA).consolidate.df
+        unionByName ZSetFrame.sumAll(outsB).consolidate.df)
+        .groupBy("doc_id", "score_q", "rnk")
+        .agg(sum(ZSetFrame.W).as(ZSetFrame.W))
+        .where(col(ZSetFrame.W) =!= 0))
+    // attaching with DIFFERENT standing queries must fail loudly: the
+    // durable trace is restricted to the writer's union term set
+    val e = intercept[IllegalArgumentException] {
+      Bm25State.restore(s2, dir, Seq("spark", "other"), nBuckets = 8)
+    }
+    assert(e.getMessage.contains("qsets"))
+  }
+
+  test("crash debris: a partition dir outside the committed live set is ignored") {
+    // ADVICE r15: the emptied-dir delete runs AFTER the meta's live-bucket
+    // commit — a crash between them leaves the stale dir on disk. Readers
+    // (including a fresh restore) must ignore it: resurrection is
+    // impossible regardless of where the crash lands.
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = java.nio.file.Files.createTempDirectory("graft_durdebris").toString
+    val st = DurableKeyedState.create(dir, Seq("k"), 4, emptyState(spark))
+    st.merge(ZSetFrame.fromDelta(Seq((1L, 10L, 1L), (1L, 11L, 1L))
+      .toDF("k", "v", ZSetFrame.W)))
+    // snapshot the live bucket dir's files (what a crashed delete leaves)
+    val bdir = new java.io.File(dir).listFiles()
+      .find(_.getName.startsWith("__bucket=")).get
+    val saved = bdir.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+      val tmp = Files.createTempFile("debris", ".parquet")
+      Files.copy(f.toPath, tmp, StandardCopyOption.REPLACE_EXISTING); (f.getName, tmp)
+    }
+    // full retraction: meta now excludes the bucket AND the dir is deleted
+    st.merge(ZSetFrame.fromDelta(Seq((1L, 10L, -1L), (1L, 11L, -1L))
+      .toDF("k", "v", ZSetFrame.W)))
+    // simulate the crash-before-delete: put the stale dir back
+    Files.createDirectories(bdir.toPath)
+    saved.foreach { case (name, tmp) =>
+      Files.copy(tmp, Paths.get(bdir.toString, name),
+        StandardCopyOption.REPLACE_EXISTING) }
+    // both the live handle and a fresh restore must read EMPTY state
+    assert(st.snapshot.consolidate.df.count() === 0,
+      "stale partition dir must be invisible to the live handle")
+    val st2 = DurableKeyedState.restore(spark, dir)
+    assert(st2.snapshot.consolidate.df.count() === 0,
+      "stale partition dir must be invisible after restore")
+  }
+
   test("merge fails loudly when knownTouched misses a delta bucket") {
     // code-review r15: an under-inclusive span would make the dynamic
     // overwrite REPLACE an unread partition with just the delta rows -
