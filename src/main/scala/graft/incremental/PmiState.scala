@@ -129,7 +129,18 @@ final class PmiState(emptyTerms: ZSetFrame, val terms: Seq[String],
 
   private def tlits: Seq[Any] = terms.map(_.asInstanceOf[Any])
 
-  /** One step. `delta` holds consolidated (doc_id, term) rows with ±1
+  /** One step. PLAN-STABILITY CONTRACT (ADVICE r15): the caller's delta
+    * plan must be stable under re-evaluation (already materialized, or a
+    * deterministic filter of materialized data) — the step reads it in two
+    * independent jobs (the pairDelta checkpoint and the stat action), and
+    * a nondeterministic plan would land different rows in the driver
+    * constants than in the pair trace. Same contract as
+    * [[RollingLinearState.step]]'s checkpointDelta=false mode; every
+    * in-repo caller passes checkpointed/deterministic deltas, and the
+    * alternative — an extra eager pin per step — would tax the quiet-step
+    * barrier floor this state exists to minimize (the pmi_growth gate).
+    *
+    * `delta` holds consolidated (doc_id, term) rows with ±1
     * weights — one row per DISTINCT term of the doc (presence, not tf),
     * the doc's FULL distinct-term set per polarity: insert ships +1 rows,
     * retract ships −1 rows, and a CDC UPDATE may ship both sets in one

@@ -45,19 +45,28 @@ private[graft] class BucketUnionRDD(
     }
   }
 
-  override def getPreferredLocations(split: Partition): Seq[String] = {
-    val bp = split.asInstanceOf[BucketUnionPartition]
-    // hosts across ALL contributing parents' partitions, most-frequent
-    // first (code-review r15): consulting only the FIRST parent with a
-    // choice — and only its first partition — gave locality to one spine
-    // segment and remote-fetched every other segment's pinned blocks on
-    // every read of a multi-segment bucket (and returned Nil outright when
-    // that one segment had no locations even if the others did).
-    val hosts = dependencies.iterator.zipWithIndex.flatMap { case (dep, i) =>
-      val parent = dep.rdd.asInstanceOf[RDD[InternalRow]]
-      bp.choices(i).iterator.flatMap(pi =>
-        parent.preferredLocations(parent.partitions(pi)))
-    }.toSeq
-    hosts.groupBy(identity).toSeq.sortBy(-_._2.size).map(_._1)
-  }
+  /** Memoized per-split host lists (ADVICE r15): segments are immutable
+    * once installed — and this RDD is rebuilt per view, so the cache can
+    * never go stale — while the scheduler may consult locations several
+    * times per job; without the memo the enumeration cost grew with a
+    * bucket's unconsolidated spine depth on every call. */
+  @transient private lazy val locCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Seq[String]]()
+
+  override def getPreferredLocations(split: Partition): Seq[String] =
+    locCache.computeIfAbsent(split.index, _ => {
+      val bp = split.asInstanceOf[BucketUnionPartition]
+      // hosts across ALL contributing parents' partitions, most-frequent
+      // first (code-review r15): consulting only the FIRST parent with a
+      // choice — and only its first partition — gave locality to one spine
+      // segment and remote-fetched every other segment's pinned blocks on
+      // every read of a multi-segment bucket (and returned Nil outright when
+      // that one segment had no locations even if the others did).
+      val hosts = dependencies.iterator.zipWithIndex.flatMap { case (dep, i) =>
+        val parent = dep.rdd.asInstanceOf[RDD[InternalRow]]
+        bp.choices(i).iterator.flatMap(pi =>
+          parent.preferredLocations(parent.partitions(pi)))
+      }.toSeq
+      hosts.groupBy(identity).toSeq.sortBy(-_._2.size).map(_._1)
+    })
 }
