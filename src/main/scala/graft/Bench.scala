@@ -37,7 +37,22 @@ object Bench {
     * discipline — makes the COMMITTED artifact the clean evidence instead
     * of a side run (VERDICT r9 #1). The child inherits this JVM's flags
     * (add-opens, heap, codecache, log4j) and env (SPARK_GRAFT_CPUS). */
-  def stepBenchIsolated(base: Long, steps: Int, mode: String = ""): String = {
+  /** As [[stepBenchIsolated]], also returning the child's compact
+    * gated-growth summary line (second element; "{}" if absent). */
+  def stepBenchIsolated2(base: Long, steps: Int, mode: String = "")
+      : (String, String) = {
+    val out = stepBenchRaw(base, steps, mode)
+    def line(prefix: String): Option[String] =
+      out.linesIterator.find(_.startsWith(prefix)).map(_.stripPrefix(prefix))
+    (line("[stepbench] ")
+      .getOrElse(sys.error("stepbench child printed no [stepbench] line")),
+      line("[stepbench-compact] ").getOrElse("{}"))
+  }
+
+  def stepBenchIsolated(base: Long, steps: Int, mode: String = ""): String =
+    stepBenchIsolated2(base, steps, mode)._1
+
+  private def stepBenchRaw(base: Long, steps: Int, mode: String = ""): String = {
     import scala.jdk.CollectionConverters._
     import scala.sys.process._
     val javaBin = java.nio.file.Paths.get(
@@ -74,9 +89,7 @@ object Bench {
       l => { errTail += l; if (errTail.size > 40) errTail.removeHead(); () }))
     require(code == 0,
       s"stepbench child JVM exited $code; stderr tail:\n${errTail.mkString("\n")}")
-    out.toString.linesIterator.find(_.startsWith("[stepbench] "))
-      .map(_.stripPrefix("[stepbench] "))
-      .getOrElse(sys.error("stepbench child printed no [stepbench] line"))
+    out.toString
   }
 
   /** Fixed-cost host-speed canary (VERDICT r14 #5): r14 spent forensic
@@ -180,6 +193,21 @@ object Bench {
     val canaryCpu = if (canaryOk) median(canaryCpuRuns) else 0.0
     val canaryBar = if (canaryOk) median(canaryBarRuns) else 0.0
     val canarySec = canaryCpu + canaryBar
+    // FORK/STATE-BUILD canary (VERDICT r15 #2): the cpu+barrier canary
+    // predicted the WRONG direction for r15's step_bench section (faster
+    // canary, 1.95× slower section) — forked-JVM startup + state-build
+    // (shuffle writes, pinning) is its own host dimension. One frozen-shape
+    // child run (JVM + session + 200k keyed seed + 2 steps), timed as wall;
+    // step_bench_norm = section_sec / fork_sec is the figure to diff
+    // across boxes the way total_norm already is for queries.
+    val canaryFork = section("canary_fork") {
+      try {
+        val t0 = System.nanoTime()
+        stepBenchIsolated(200000L, 2, "canaryfork")
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => 0.0 }
+    }
+    val forkOk = canaryFork > 0.0
     val errors = scala.collection.mutable.Map[String, String]()
     // untimed maintenance (per-rep pinned-state sweep + per-query explicit
     // GC) is accumulated and reported so the wall-vs-timed gap is
@@ -283,8 +311,14 @@ object Bench {
         else s"""{"cpu_runs":[${canaryCpuRuns.map(num(_)).mkString(",")}],""" +
           s""""barrier_runs":[${canaryBarRuns.map(num(_)).mkString(",")}],""" +
           s""""cpu_sec":${num(canaryCpu)},"barrier_sec":${num(canaryBar)},""" +
-          s""""sec":${num(canarySec)}}"""},""" +
+          s""""sec":${num(canarySec)},""" +
+          s""""fork_sec":${if (forkOk) num(canaryFork, 1) else "null"}}"""},""" +
       s""""total_norm":${if (canaryOk) num(total / canarySec, 1) else "null"},""" +
+      s""""step_bench_norm":${sectionSec.get("step_bench")
+        .filter(_ => forkOk).map(s => num(s / canaryFork, 1)).getOrElse("null")},""" +
+      s""""step_bench_xl_norm":${sectionSec.get("step_bench_xl")
+        .filter(s => forkOk && s > 60.0) // deferred tier = a few ms, not a section
+        .map(s => num(s / canaryFork, 1)).getOrElse("null")},""" +
       s""""query_norm":$queryNormJson,""" +
       s""""maintenance":{"sweep_sec":${num(sweepSec, 1)},"gc_sec":${num(gcSec, 1)}},""" +
       s""""errors":$errJson,""" +
@@ -306,7 +340,7 @@ object Bench {
     // ALSO measured through the micro-batched incremental path, which is
     // the figure comparable to BASELINE.md's per-event streaming ev/s
     val throughput = section("throughput") {
-      try Throughput.json(spark, reps)
+      try Throughput.json(spark, reps, if (canaryOk) canarySec else 0.0)
       catch { case e: Throwable => s"""{"error":"${e.getClass.getName}"}""" }
     }
     writePartial(Pending, Pending, throughput)
@@ -320,9 +354,12 @@ object Bench {
     // committed artifact, the naive control at XL-style reduced samples
     // (VERDICT r14 #2: the base tier was the driver budget's biggest item)
     val xlOptIn = sys.env.get("SPARK_GRAFT_STEPBENCH_XL").contains("1")
-    val stepBench = section("step_bench") {
-      try stepBenchIsolated(500000L, 10, if (xlOptIn) "full" else "")
-      catch { case e: Throwable => s"""{"error":"${e.getClass.getName}"}""" }
+    val (stepBench, stepBenchC) = section("step_bench") {
+      try stepBenchIsolated2(500000L, 10, if (xlOptIn) "full" else "")
+      catch { case e: Throwable =>
+        val err = s"""{"error":"${e.getClass.getName}"}"""
+        (err, err)
+      }
     }
     writePartial(stepBench, Pending, throughput)
     // XL tier (VERDICT r10 #1): the 5M→50M decade in its OWN isolated
@@ -335,12 +372,17 @@ object Bench {
     // the r14 outlier re-run policy in StepBench.jsonXl) while a default
     // run defers to that committed evidence and keeps the unconditional
     // gates (queries, throughput, base step-bench) inside budget.
-    val stepBenchXl = section("step_bench_xl") {
-      if (!xlOptIn)
-        """{"deferred":true,"optin":"SPARK_GRAFT_STEPBENCH_XL=1",""" +
+    val (stepBenchXl, stepBenchXlC) = section("step_bench_xl") {
+      if (!xlOptIn) {
+        val d = """{"deferred":true,"optin":"SPARK_GRAFT_STEPBENCH_XL=1",""" +
           """"see":"committed BENCH_LOCAL.json"}"""
-      else try stepBenchIsolated(5000000L, 10, "xl")
-        catch { case e: Throwable => s"""{"error":"${e.getClass.getName}"}""" }
+        (d, """{"deferred":true}""")
+      }
+      else try stepBenchIsolated2(5000000L, 10, "xl")
+        catch { case e: Throwable =>
+          val err = s"""{"error":"${e.getClass.getName}"}"""
+          (err, err)
+        }
     }
     val full = artifactJson(stepBench, stepBenchXl, throughput, complete = true)
     // A run with ANY errored query / step_bench / throughput section must
@@ -358,7 +400,7 @@ object Bench {
     // artifact produced by an OLDER binary — is caught by BenchArtifactSpec
     // at test time, and the env-filter mechanism that can actually shrink
     // the set is guarded explicitly below)
-    val healthy = errors.isEmpty && canaryOk &&
+    val healthy = errors.isEmpty && canaryOk && forkOk &&
       !stepBench.startsWith("{\"error\"") && !throughput.startsWith("{\"error\"") &&
       !stepBenchXl.startsWith("{\"error\"") &&
       !sys.env.contains("SPARK_GRAFT_THROUGHPUT_ONLY")
@@ -376,16 +418,28 @@ object Bench {
     try java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get("BENCH_LOCAL.partial.json"))
     catch { case _: Throwable => () }
-    // compact line budget ~2 KB (the driver's stdout capture is size-
-    // limited): totals + gates + errors only — per-query timings live in
-    // the committed BENCH_LOCAL.json
+    // COMPACT LINE HARD BUDGET: the driver keeps only the LAST 2000 bytes
+    // of stdout — r14/r15's line embedded the full step_bench + per-family
+    // throughput JSON, overflowed the window, and the driver's `parsed`
+    // came back null (the line's HEAD was cut off). The line now carries
+    // gate VERDICTS only (growth ratios, ok-counts, worst family, the
+    // build/measure split, normalized totals); every detailed figure lives
+    // in the committed artifact the "detail" field names.
+    val errCompact = {
+      val es = errors.toSeq.sortBy(_._1).take(3)
+        .map { case (k, v) => s""""$k":"${v.take(40)}"""" }
+      s"""{"n":${errors.size}${if (es.nonEmpty) "," + es.mkString(",") else ""}}"""
+    }
     val compact =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,""" +
       s""""canary_sec":${if (canaryOk) num(canarySec) else "null"},""" +
+      s""""canary_fork_sec":${if (forkOk) num(canaryFork, 1) else "null"},""" +
       s""""total_norm":${if (canaryOk) num(total / canarySec, 1) else "null"},""" +
-      s""""n_queries":${results.size},"errors":$errJson,"step_bench":$stepBench,""" +
-      s""""step_bench_xl":$stepBenchXl,""" +
-      s""""throughput":${Throughput.compact},"detail":"$outName","sf":"$sfDir"}"""
+      s""""step_bench_norm":${sectionSec.get("step_bench")
+        .filter(_ => forkOk).map(s => num(s / canaryFork, 1)).getOrElse("null")},""" +
+      s""""n_queries":${results.size},"errors":$errCompact,""" +
+      s""""step_growth":$stepBenchC,"step_xl":$stepBenchXlC,""" +
+      s""""throughput":${Throughput.summary},"detail":"$outName","sf":"$sfDir"}"""
     // The driver extracts this JSON from stdout: silence logging BEFORE
     // stop() so no shutdown-hook chatter can print after (or interleave
     // with) the line, and make it the process's very last output.

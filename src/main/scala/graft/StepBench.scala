@@ -41,10 +41,15 @@ object StepBench {
     val empty = ZSetFrame.fromDelta(
       Seq.empty[(Long, Long, Long)].toDF("k", "v", ZSetFrame.W))
     val st = new KeyedState(Seq("k"), nBuckets, empty)
-    // output deltas are emitted (materialized) per step — aggStep eagerly
-    // checkpoints them (OutputHandle pattern); the consumer integrates
-    // them, so no O(|out|) accumulator scan here
-    st.aggStep(ZSetFrame.fromTable(seedRows(spark, n, nKeys)))(aggFn)
+    // SEED VIA merge(), NOT aggStep() (VERDICT r15 #1 — the section's cost
+    // was ~99% state BUILD): aggStep's seed pays two full-state aggregate
+    // jobs (agg(new) − agg(empty)) whose output this harness discards, and
+    // subsequent steps derive the old output from the TRACE, never from
+    // stored outputs — so a trace-only seed yields the identical state at
+    // a fraction of the build cost. knownTouched = all: a dense seed
+    // touches every bucket by construction, no discovery job.
+    st.merge(ZSetFrame.fromTable(seedRows(spark, n, nKeys)),
+      checkpointDelta = false, knownTouched = Some(0 until nBuckets))
     val ts = (1 to steps).map { i =>
       // knownTouched from the delta's own keys, mapped driver-side
       // (KeyedState.bucketsOfLongKeys == SQL hash(); a CDC source knows
@@ -139,7 +144,11 @@ object StepBench {
     val st = new KeyedState(Seq("k"), nBuckets, empty)
     val seed = spark.range(n).select(
       pmod(col("id"), lit(nKeys)).as("k"), col("id").as("ts"))
-    st.aggStep(ZSetFrame.fromTable(seed))(aggFn)
+    // trace-only seed (see runKeyed): skips the seed's full-corpus WINDOW
+    // SORT — the single most expensive build job of the old tier — while
+    // leaving every timed step's state bit-identical
+    st.merge(ZSetFrame.fromTable(seed),
+      checkpointDelta = false, knownTouched = Some(0 until nBuckets))
     val ts = (1 to steps).map { i =>
       // 2 touched keys: insert one late row, retract the previous step's
       // (same delta shape as smallDelta — timing track, not an oracle)
@@ -190,14 +199,13 @@ object StepBench {
     val seed = spark.range(n).select(
       pmod(col("id"), lit(nKeys)).as("k"), col("id").as("ts"),
       pmod(col("id"), lit(100L)).as("v"))
-    // outputs are CONSUMER-owned pinned checkpoints; this harness is the
-    // consumer and discards them, so it releases each right away — the 50M
-    // seed's (un-consolidated) output alone pins several GB, and leaving
-    // step outputs resident showed up as a growing per-step tail at the XL
-    // tier (memory pressure, not step cost)
-    graft.incremental.Pinned.release(
-      st.step(ZSetFrame.fromTable(seed), 0L, n - 1, touchedKeys = None,
-        strategy = force).df)
+    // SEED VIA ingest() (VERDICT r15 #1): the old step()-seed assembled
+    // window outputs for the WHOLE corpus — several expensive join/agg
+    // jobs whose (multi-GB at XL) result this harness released unread.
+    // ingest is the state-only bulk-load path (spine + partials + stats,
+    // the step's own merge branch verbatim), so timed steps see an
+    // identical state without the build paying for discarded output.
+    st.ingest(ZSetFrame.fromTable(seed), 0L, n - 1, touchedKeys = None)
     val ts = (1 to steps).map { i =>
       val rows = (0 until 2).flatMap { j =>
         val k = (i * 31L + j * 97L) % nKeys
@@ -238,7 +246,10 @@ object StepBench {
             + (col("id") / gramsPerDoc) * 7L)).as("g"))
     val nDocs = n / gramsPerDoc
     val st = new graft.queries.Dedup.LshDedupState
-    st.advance(slice(0, nDocs)) // seed: the accumulated corpus
+    // bulk-load seed (VERDICT r15 #1): the accumulated corpus installs
+    // trace+store slices without the same-batch candidate pass whose
+    // output this harness never read; steps probe the identical trace
+    st.advance(slice(0, nDocs), discover = false)
     val ts = (1 to steps).map { i =>
       val d = slice(nDocs + (i - 1) * 500L, 500L)
       val t0 = System.nanoTime()
@@ -383,12 +394,31 @@ object StepBench {
     * samples (the r10 run-to-run swings were floor-sample scarcity, not
     * seed-level conditions: within-run step noise and cross-run noise are
     * the same scheduling/GC tail) at a third of the seed cost. */
+  /** Per-config cost attribution (VERDICT r15 #1): label → (build_sec,
+    * measure_sec). measure = Σ timed step seconds; build = config wall −
+    * measure (state seed + delta construction + the post-run pinned
+    * sweep) — the decomposition that makes a slow step_bench section
+    * attributable from the artifact alone. Cleared per tier run. */
+  private val trackCost =
+    scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+
+  private def recordCost(label: String, wall: Double, measure: Double): Unit =
+    trackCost(label) = (math.max(wall - measure, 0.0), measure)
+
+  private def trackCostJson: String =
+    trackCost.map { case (l, (b, m)) =>
+      f""""$l":{"build":$b%.1f,"measure":$m%.1f}""" }.mkString("{", ",", "}")
+
   private def floorRun(spark: SparkSession, label: String)
                       (run: () => Seq[Double]): Double = {
     val t0 = System.nanoTime()
-    val f = floorOf(run())
+    val ts = run()
+    val f = floorOf(ts)
     graft.incremental.Pinned.sweepSession(spark.sparkContext)
-    System.err.println(f"[stepbench cfg] $label floor=$f%.3f wall=${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val wall = (System.nanoTime() - t0) / 1e9
+    recordCost(label, wall, ts.sum)
+    System.err.println(f"[stepbench cfg] $label floor=$f%.3f wall=$wall%.1f s " +
+      f"(build=${wall - ts.sum}%.1f measure=${ts.sum}%.1f)")
     f
   }
 
@@ -474,7 +504,7 @@ object StepBench {
     * 1/N crossing-rate claim made visible in the prune series). Returns
     * (times, affected-fractions), quiet steps then burst steps. */
   def runPmi(spark: SparkSession, nDocs: Long, steps: Int,
-             nB: Int): (Seq[Double], Seq[Double]) = {
+             nB: Int, bursts: Int = 2): (Seq[Double], Seq[Double]) = {
     import spark.implicits._
     import graft.incremental.PmiState
     val terms = (0 until 8).map(i => s"u$i")
@@ -510,13 +540,27 @@ object StepBench {
       timed(ZSetFrame.fromDelta(ins.unionByName(ret)))
     }
     val burstBase = nDocs + steps * D
-    val burst = (0 until 2).map { b =>
+    val burst = (0 until bursts).map { b =>
       timed(ZSetFrame.fromDelta(
         termRows(burstBase + b * B, burstBase + (b + 1) * B, lit(b))
           .withColumn(ZSetFrame.W, lit(1L))))
     }
     st.close()
     (quiet ++ burst, prunes.toSeq)
+  }
+
+  /** Gated-growth + cost-total summary of the last json()/jsonXl() run —
+    * what Bench's size-limited compact stdout line carries (VERDICT r15
+    * #1/#6: the full tier JSON grew past the driver's 2000-byte stdout
+    * tail, truncating the compact line's head and leaving `parsed` null;
+    * the full evidence lives in the committed artifact, the compact line
+    * carries the gate verdicts and the build/measure split only). */
+  @volatile var lastCompact: String = "{}"
+
+  private def costTotalsJson: String = {
+    val b = trackCost.valuesIterator.map(_._1).sum
+    val m = trackCost.valuesIterator.map(_._2).sum
+    f""""build_sec":$b%.1f,"measure_sec":$m%.1f"""
   }
 
   /** The base tier. `full = false` (the default / driver run) trims the
@@ -531,13 +575,23 @@ object StepBench {
     * Every gated flat track keeps its full sampling unconditionally. */
   def json(spark: SparkSession, base: Long, steps: Int,
            full: Boolean = true): String = {
+    trackCost.clear()
     val nKeys = base / 50
     def floor(label: String)(run: () => Seq[Double]): Double =
       floorRun(spark, label)(run)
-    // sample counts match the former floors-of-3/5-runs discipline (3×steps
-    // and 5×steps post-warmup samples), paid for with ONE seed per config
-    val s3 = steps * 3
-    val s5 = steps * 5
+    // SAMPLE COUNTS, two-speed (VERDICT r15 #1 — the 40-min driver budget):
+    // the committed (full) tier keeps the former floors-of-3/5-runs
+    // discipline (3×steps, 5×steps for the two noisiest floors) with ONE
+    // seed per config; the trimmed (driver) tier samples every gated pair
+    // at the XL tier's accepted 2×steps level. Rationale: with the r16
+    // seed fast-paths the tier's cost is ~70% MEASURE (track_cost proves
+    // it per-artifact), so samples are now the budget lever the seeds used
+    // to be; 2×steps is the sampling level the XL gates have used since
+    // r12 with the same [lo, hi] bands, and the outlier policy (median of
+    // 3 pairs on an out-of-band first pair) remains the scarcity safety
+    // net. The committed artifact — the evidence of record — is untrimmed.
+    val s3 = steps * (if (full) 3 else 2)
+    val s5 = steps * (if (full) 5 else 2)
     // the gated flat tracks run under the outlier policy (gatedPair):
     // band [0.5, 1.5] — every one of them claims ~1.0 growth, so a first
     // pair outside the band is session noise to be measured away, not
@@ -573,7 +627,11 @@ object StepBench {
     val (xS, xSc, xG) = gated("radix_scaled")(
       () => runRadix(spark, base, nKeys, s3, 256))(
       () => runRadix(spark, base * 10, nKeys * 10, s3, 2560))
-    val xL = floor("radix_l")(() => runRadix(spark, base * 10, nKeys * 10, s3, 256))
+    // radix_l is a CONTROL (the fixed-bucket bucket-size term), not a gate:
+    // the trimmed tier samples it like the other controls (fewer steps —
+    // its one job is "growth exists at fixed buckets")
+    val xL = floor("radix_l")(() => runRadix(spark, base * 10, nKeys * 10,
+      if (full) s3 else steps, 256))
     val (dS, dL, dG) = gated("dedup")(
       () => runDedup(spark, base, s3))(
       () => runDedup(spark, base * 10, s3))
@@ -604,19 +662,39 @@ object StepBench {
     // claimed 3× — the same floor-sample scarcity the one-seed rationale
     // calls out; code-review r13)
     val (tfSt, tfSp) = {
+      val t0 = System.nanoTime()
       val r = runTfIdf(spark, base, s3, 64)
       graft.incremental.Pinned.sweepSession(spark.sparkContext)
+      recordCost("tfidf_s", (System.nanoTime() - t0) / 1e9, r._1.sum)
       r
     }
     val (tfLt, tfLp) = {
+      val t0 = System.nanoTime()
       val r = runTfIdf(spark, base * 10, s3, 640)
       graft.incremental.Pinned.sweepSession(spark.sparkContext)
+      recordCost("tfidf_l", (System.nanoTime() - t0) / 1e9, r._1.sum)
       r
     }
     val tfS = floorOf(tfSt)
     val tfL = floorOf(tfLt)
     System.err.println(f"[stepbench cfg] tfidf floors $tfS%.3f -> $tfL%.3f; " +
       f"prune small=${tfSp.max}%.4f large=${tfLp.max}%.4f (max affected fraction)")
+    // pmi (VERDICT r15 #3): the QUIET floor promoted to a gated pair —
+    // STEPBENCH.md r15 carries the two clean reproductions the promotion
+    // rule demands (1.77→1.39 and 2.99→2.47 s, prune columns identical).
+    // A quiet step is pure driver arithmetic + O(Δ) routing (measured
+    // affected fraction 0.0000 — the prune figures below re-certify it
+    // every run), so its floor is a barrier floor: sampled at 1× steps
+    // (the diagnostics' own sample count, reproduced twice), with the
+    // outlier policy as the safety net. Bursts are load-dependent BY
+    // DESIGN (the 1/N crossing-rate law) and stay diagnostic-only.
+    var pmiPruneS = 0.0
+    var pmiPruneL = 0.0
+    val (pS, pL, pG) = gated("pmi")(
+      () => { val (ts, pr) = runPmi(spark, base, steps, 64, bursts = 0)
+        pmiPruneS = if (pr.nonEmpty) pr.max else 0.0; ts })(
+      () => { val (ts, pr) = runPmi(spark, base * 10, steps, 640, bursts = 0)
+        pmiPruneL = if (pr.nonEmpty) pr.max else 0.0; ts })
     // galen: the 6-rule mutual recursion (GalenBench) at 1× and 10× the
     // parent-forest size. Unlike the other tracks, a galen iteration's
     // delta GROWS with n (the closure is n·log₂ n facts split over ~6
@@ -627,8 +705,10 @@ object StepBench {
     // raw per-iteration floors for context; ONE run per size (a run
     // already yields ~6 iteration samples).
     def galenRun(n: Long): (Double, Double) = {
+      val t0 = System.nanoTime()
       val (_, _, ts, dr) = GalenBench.run(spark, n)
       graft.incremental.Pinned.sweepSession(spark.sparkContext)
+      recordCost(s"galen_$n", (System.nanoTime() - t0) / 1e9, ts.sum)
       val floor = (if (ts.size > 2) ts.drop(1) else ts).min
       val perFact = ts.zip(dr).collect {
         case (t, r) if r > 0 => t / r }.min
@@ -655,7 +735,12 @@ object StepBench {
     // carry the outlier policy (median of 3 ratios when the first pair
     // lands outside [0.5, 1.5]; all pairs in gate_runs)
     val gateRunsJson = gateRunsJsonStr(gateRuns)
-    f"""{"stat":"per_step_floor_one_seed_3x_steps_upsert_tri_5x_outlier_median_of_3","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"keyed_small_sec":$kS%.3f,"keyed_large_sec":$kL%.3f,"naive_steps_small":$nStepsS,"naive_steps_large":$nStepsL,"naive_small_sec":$nS%.3f,"naive_large_sec":$nL%.3f,"upsert_small_sec":$uS%.3f,"upsert_large_sec":$uL%.3f,"rolling_small_sec":$rS%.3f,"rolling_large_sec":$rL%.3f,"radix_small_sec":$xS%.3f,"radix_large_sec":$xL%.3f,"radix_scaled_large_sec":$xSc%.3f,"dedup_small_sec":$dS%.3f,"dedup_large_sec":$dL%.3f,"ann_small_sec":$aS%.3f,"ann_large_sec":$aL%.3f,"tri_small_sec":$tS%.3f,"tri_large_sec":$tL%.3f,"tfidf_small_sec":$tfS%.3f,"tfidf_large_sec":$tfL%.3f,"tfidf_prune_small":${tfSp.max}%.4f,"tfidf_prune_large":${tfLp.max}%.4f,$galenJson,"keyed_growth":$kG%.2f,"naive_growth":${nL / nS}%.2f,"upsert_growth":$uG%.2f,"rolling_growth":$rG%.2f,"radix_growth":${xL / xS}%.2f,"radix_scaled_growth":$xG%.2f,"dedup_growth":$dG%.2f,"ann_growth":$aG%.2f,"tri_growth":$tG%.2f,"tfidf_growth":${tfL / tfS}%.2f,"gate_runs":$gateRunsJson}"""
+    lastCompact =
+      f"""{"keyed":$kG%.2f,"upsert":$uG%.2f,"rolling":$rG%.2f,"radix_scaled":$xG%.2f,"dedup":$dG%.2f,"ann":$aG%.2f,"tri":$tG%.2f,"tfidf":${tfL / tfS}%.2f,"pmi":$pG%.2f,"naive":${nL / nS}%.2f,$costTotalsJson}"""
+    val statLabel =
+      if (full) "per_step_floor_one_seed_3x_steps_upsert_tri_5x_pmi_1x_outlier_median_of_3"
+      else "per_step_floor_one_seed_trimmed_2x_steps_pmi_1x_outlier_median_of_3"
+    f"""{"stat":"$statLabel","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"keyed_small_sec":$kS%.3f,"keyed_large_sec":$kL%.3f,"naive_steps_small":$nStepsS,"naive_steps_large":$nStepsL,"naive_small_sec":$nS%.3f,"naive_large_sec":$nL%.3f,"upsert_small_sec":$uS%.3f,"upsert_large_sec":$uL%.3f,"rolling_small_sec":$rS%.3f,"rolling_large_sec":$rL%.3f,"radix_small_sec":$xS%.3f,"radix_large_sec":$xL%.3f,"radix_scaled_large_sec":$xSc%.3f,"dedup_small_sec":$dS%.3f,"dedup_large_sec":$dL%.3f,"ann_small_sec":$aS%.3f,"ann_large_sec":$aL%.3f,"tri_small_sec":$tS%.3f,"tri_large_sec":$tL%.3f,"tfidf_small_sec":$tfS%.3f,"tfidf_large_sec":$tfL%.3f,"tfidf_prune_small":${tfSp.max}%.4f,"tfidf_prune_large":${tfLp.max}%.4f,"pmi_small_sec":$pS%.3f,"pmi_large_sec":$pL%.3f,"pmi_prune_small":$pmiPruneS%.4f,"pmi_prune_large":$pmiPruneL%.4f,$galenJson,"keyed_growth":$kG%.2f,"naive_growth":${nL / nS}%.2f,"upsert_growth":$uG%.2f,"rolling_growth":$rG%.2f,"radix_growth":${xL / xS}%.2f,"radix_scaled_growth":$xG%.2f,"dedup_growth":$dG%.2f,"ann_growth":$aG%.2f,"tri_growth":$tG%.2f,"tfidf_growth":${tfL / tfS}%.2f,"pmi_growth":$pG%.2f,"gate_runs":$gateRunsJson,"track_cost":$trackCostJson}"""
   }
 
   /** The XL tier (VERDICT r10 #1): the same flat-growth claims one decade
@@ -681,6 +766,7 @@ object StepBench {
     * gates; a 50M full recompute per step is exactly the cost the gated
     * tracks exist to avoid). */
   def jsonXl(spark: SparkSession, base: Long, steps: Int): String = {
+    trackCost.clear()
     val nKeys = base / 50
     def floor(label: String)(run: () => Seq[Double]): Double =
       floorRun(spark, label)(run)
@@ -737,7 +823,9 @@ object StepBench {
     val nS = floor("naive_xl_s")(() => runNaive(spark, base, nKeys, math.min(steps, 4)))
     val nL = floor("naive_xl_l")(() => runNaive(spark, base * 10, nKeys * 10, 3))
     val gateRunsJson = gateRunsJsonStr(gateRuns)
-    f"""{"stat":"xl_per_step_floor_one_seed_2x_steps_controls_fewer_outlier_median_of_3","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"bucket_bytes":"constant (10x buckets at 10x state; keyed_xl_fixed is the unscaled control)","keyed_xl_small_sec":$kS%.3f,"keyed_xl_large_sec":$kL%.3f,"keyed_xl_fixed_large_sec":$kLfix%.3f,"upsert_xl_small_sec":$uS%.3f,"upsert_xl_large_sec":$uL%.3f,"rolling_xl_small_sec":$rS%.3f,"rolling_xl_large_sec":$rL%.3f,"radix_scaled_xl_small_sec":$xS%.3f,"radix_scaled_xl_mid_sec":$xMid%.3f,"radix_scaled_xl_large_sec":$xL%.3f,"naive_xl_small_sec":$nS%.3f,"naive_xl_large_sec":$nL%.3f,"keyed_xl_growth":$kG%.2f,"keyed_xl_fixed_growth":${kLfix / kS}%.2f,"upsert_xl_growth":$uG%.2f,"rolling_xl_growth":$rG%.2f,"radix_scaled_xl_growth":${xL / xS}%.2f,"radix_xl_samecfg_growth":$xG%.2f,"radix_xl_bucketcount_ratio":${xMid / xS}%.2f,"naive_xl_growth":${nL / nS}%.2f,"xl_gate_runs":$gateRunsJson}"""
+    lastCompact =
+      f"""{"keyed_xl":$kG%.2f,"upsert_xl":$uG%.2f,"rolling_xl":$rG%.2f,"samecfg":$xG%.2f,"fixed_ctl":${kLfix / kS}%.2f,"naive_ctl":${nL / nS}%.2f,$costTotalsJson}"""
+    f"""{"stat":"xl_per_step_floor_one_seed_2x_steps_controls_fewer_outlier_median_of_3","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"bucket_bytes":"constant (10x buckets at 10x state; keyed_xl_fixed is the unscaled control)","keyed_xl_small_sec":$kS%.3f,"keyed_xl_large_sec":$kL%.3f,"keyed_xl_fixed_large_sec":$kLfix%.3f,"upsert_xl_small_sec":$uS%.3f,"upsert_xl_large_sec":$uL%.3f,"rolling_xl_small_sec":$rS%.3f,"rolling_xl_large_sec":$rL%.3f,"radix_scaled_xl_small_sec":$xS%.3f,"radix_scaled_xl_mid_sec":$xMid%.3f,"radix_scaled_xl_large_sec":$xL%.3f,"naive_xl_small_sec":$nS%.3f,"naive_xl_large_sec":$nL%.3f,"keyed_xl_growth":$kG%.2f,"keyed_xl_fixed_growth":${kLfix / kS}%.2f,"upsert_xl_growth":$uG%.2f,"rolling_xl_growth":$rG%.2f,"radix_scaled_xl_growth":${xL / xS}%.2f,"radix_xl_samecfg_growth":$xG%.2f,"radix_xl_bucketcount_ratio":${xMid / xS}%.2f,"naive_xl_growth":${nL / nS}%.2f,"xl_gate_runs":$gateRunsJson,"track_cost":$trackCostJson}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -760,6 +848,17 @@ object StepBench {
     spark.sparkContext.setLogLevel("WARN")
     if (args.length > 2 && args(2) == "xl") {
       println("[stepbench] " + jsonXl(spark, base, steps))
+      println("[stepbench-compact] " + lastCompact)
+    } else if (args.length > 2 && args(2) == "canaryfork") {
+      // FORK/STATE-BUILD canary (VERDICT r15 #2): one FROZEN-SHAPE config —
+      // child JVM + session init (paid by this process's startup) + a
+      // 200k-row keyed seed + 2 steps. The parent times the whole child
+      // wall; the figure normalizes the step_bench section the way
+      // canary_sec normalizes the queries (the cpu+barrier canary measured
+      // the WRONG direction for step_bench in r15: fork/build cost is a
+      // different host dimension — JVM startup, shuffle writes, pinning).
+      runKeyed(spark, 200000L, 4000L, 2, 64)
+      println("[stepbench] {}")
     } else if (args.length > 2 && args(2) == "dedup") {
       // diagnostic mode: one dedup run per scale, per-step times on stderr
       runDedup(spark, base, steps)
@@ -843,11 +942,13 @@ object StepBench {
         System.err.println(
           f"[stepbench tri n=$n] " + ts.map(t => f"$t%.2f").mkString(" "))
       }
-    } else
+    } else {
       // "full" = the opt-in committed-artifact run (galen + full naive
       // sampling); default = the trimmed driver tier (VERDICT r14 #2)
       println("[stepbench] " + json(spark, base, steps,
         full = args.length > 2 && args(2) == "full"))
+      println("[stepbench-compact] " + lastCompact)
+    }
     spark.stop()
   }
 }

@@ -661,9 +661,15 @@ object Throughput {
 
   // ------------------------------------------------------------- reporting
 
-  /** Compact per-family summary for the size-limited stdout line; set by
-    * the last `json` call. */
+  /** Compact per-family summary; set by the last `json` call. (No longer
+    * on the stdout compact line — 24 families overflowed the driver's
+    * 2000-byte tail window; see `summary`.) */
   @volatile var compact: String = "{}"
+
+  /** One-object gate summary for the size-limited stdout compact line:
+    * family count, 2×-gate pass count, and the worst family's ratio vs
+    * the published baseline. Set by the last `json` call. */
+  @volatile var summary: String = "{}"
 
   /** One measured run: wall seconds + the per-step times stepTimed captured
     * (empty for batch families, which have no step loop). */
@@ -720,7 +726,12 @@ object Throughput {
     * vs the reference ev/s, the mode label, the 2× gate, and the full
     * per-run evidence (`runs` nested per attempt; `step_times` per run for
     * incremental families). */
-  def json(spark: SparkSession, reps: Int = 1): String = {
+  /** `canarySec`: the host-speed canary figure (VERDICT r15 #2) — when
+    * > 0, each family also carries `rps_norm` = rows_per_sec × canary_sec
+    * (rows per canary-time, the host-invariant figure to diff across
+    * rounds the way query_norm is for the query suite). */
+  def json(spark: SparkSession, reps: Int = 1,
+           canarySec: Double = 0.0): String = {
     // dev loop only: SPARK_GRAFT_THROUGHPUT_ONLY=q18,q4 narrows the family
     // set; unset (the bench/driver path) runs everything
     val only = sys.env.get("SPARK_GRAFT_THROUGHPUT_ONLY")
@@ -777,13 +788,23 @@ object Throughput {
       val runs = r.attempts.map(a =>
         a.map(x => Bench.num(x.sec)).mkString("[", ",", "]")).mkString("[", ",", "]")
       val note = famNotes.get(r.key).map(n => s""","note":"$n"""").getOrElse("")
+      val norm = if (canarySec > 0)
+        s""","rps_norm":${(r.rps * canarySec).toLong}""" else ""
       s""""${r.key}":{"rows_per_sec":${r.rps},"baseline_ev_per_sec":${r.base.toLong},""" +
-        s""""ratio":${Bench.num(r.base / r.rps, 2)},"mode":"${r.mode}","rows":${r.rows},""" +
+        s""""ratio":${Bench.num(r.base / r.rps, 2)}$norm,"mode":"${r.mode}","rows":${r.rows},""" +
         s""""attempts":${r.attempts.size},"runs":$runs$extra$note,"within_2x":${r.ok}}"""
     }
     compact = results.map { r =>
       s""""${r.key}":{"rps":${r.rps},"m":"${r.mode.head}","ok":${r.ok}}"""
     }.mkString("{", ",", "}")
+    summary =
+      if (results.isEmpty) "{}"
+      else {
+        val worst = results.maxBy(r => r.base / r.rps)
+        s"""{"n":${results.size},"ok":${results.count(_.ok)},""" +
+          s""""worst":"${worst.key}",""" +
+          s""""worst_ratio":${Bench.num(worst.base / worst.rps, 2)}}"""
+      }
     (Seq(
       s""""note":"stateful 2x gate = *_inc entries; best-attempt median of reps runs"""",
       s""""note2":"batch families $rowsN rows, incremental families $incRowsN rows"""") ++ parts)

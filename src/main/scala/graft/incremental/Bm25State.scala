@@ -329,6 +329,7 @@ final class MultiBm25State(emptyPosting: ZSetFrame,
     * the integrated pre-restart output). */
   private def rebuildDerived(): Unit = {
     import spark.implicits._
+    val all: Option[Seq[Int]] = Some(0 until nBuckets) // full rebuild: no discovery jobs
     val dfNewTab = uterms.map(t => (t, dfU.getOrElse(t, 0L))).toDF("term", "df")
     val rows = qIdx.view(0 until nBuckets).consolidate.df
     val newScores = rows.join(broadcast(dfNewTab), Seq("term"))
@@ -337,7 +338,7 @@ final class MultiBm25State(emptyPosting: ZSetFrame,
         Bm25.sq(col("tf"), col("dl"), col("df"),
           lit(nDocs), lit(tToks), grid).as("sq"))
       .groupBy("query_id", "doc_id").agg(sum(col("sq")).as("score_q"))
-    scoreIdx.merge(ZSetFrame.fromTable(newScores))
+    scoreIdx.merge(ZSetFrame.fromTable(newScores), knownTouched = all)
     val bEx = pmod(hash(col("doc_id")), lit(nBuckets))
     val newBT = scoreIdx.view(0 until nBuckets).consolidate.df
       .select("query_id", "doc_id", "score_q")
@@ -345,14 +346,14 @@ final class MultiBm25State(emptyPosting: ZSetFrame,
         Window.partitionBy(col("query_id"), bEx)
           .orderBy(col("score_q").desc, col("doc_id").asc)))
       .where(col("rn") <= topK).drop("rn")
-    bucketTop.merge(ZSetFrame.fromTable(newBT))
+    bucketTop.merge(ZSetFrame.fromTable(newBT), knownTouched = all)
     val cand = bucketTop.view(0 until nBuckets).consolidate.df
       .select("query_id", "doc_id", "score_q")
     val newTop = cand.withColumn("rnk", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("score_q").desc, col("doc_id").asc)))
       .where(col("rnk") <= topK)
-    topIdx.merge(ZSetFrame.fromTable(newTop))
+    topIdx.merge(ZSetFrame.fromTable(newTop), knownTouched = all)
   }
 }
 

@@ -198,6 +198,58 @@ final class RollingLinearState(init: ZSetFrame, keyCol: String, tsCol: String,
     cellsRead * avgCell
   }
 
+  /** BULK LOAD: apply `delta` to the STATE ONLY — spine append + partials
+    * replace + adaptive stats, no output assembly. This is the bootstrap
+    * path a deployment uses to prime a rolling state from historical data
+    * whose window outputs are not wanted (and what the step-bench seeds
+    * use: a seed's output assembly over the whole corpus was the tier's
+    * single most expensive job, VERDICT r15 #1). The post-ingest state is
+    * bit-identical to `step`'s — the merges below are the step's own merge
+    * branch verbatim — so subsequent `step` calls emit exactly what they
+    * would after an output-producing load of the same data. */
+  def ingest(delta: ZSetFrame, lo: Long, hi: Long,
+             touchedKeys: Option[Seq[Long]]): Unit = {
+    retireQ.advance()
+    val C = chunkLen
+    val aligned = withChunk(ZSetFrame.fromDelta(
+      delta.df.select((dataCols :+ ZSetFrame.W).map(col): _*)))
+    val d = aligned.localCheckpoint(eager = true)
+    retireQ.retire(d.df)
+    val all: Seq[Int] = 0 until nBuckets
+    val dBuckets = touchedKeys.fold(all)(ks =>
+      bucketsFor(ks, floorDiv(lo, C), floorDiv(hi, C)))
+    chunkLoSeen = math.min(chunkLoSeen, floorDiv(lo, C))
+    chunkHiSeen = math.max(chunkHiSeen, floorDiv(hi, C))
+    val dAgg = d.df.groupBy(col(keyCol), col(CH))
+      .agg(sum(col(ZSetFrame.W)).as("d_cnt"),
+        sum(col(valCol) * col(ZSetFrame.W)).as("d_vsum"))
+    val oldP = partials.view(dBuckets).consolidate.df
+      .select(col(keyCol), col(CH), col("p_cnt"), col("p_vsum"))
+    val joinedP = dAgg.join(oldP, Seq(keyCol, CH), "left_outer")
+    val newRows = joinedP.select(col(keyCol), col(CH),
+      (coalesce(col("p_cnt"), lit(0L)) + col("d_cnt")).as("p_cnt"),
+      (coalesce(col("p_vsum"), lit(0L)) + col("d_vsum")).as("p_vsum"),
+      lit(1L).as(ZSetFrame.W))
+    val retractRows = joinedP.where(col("p_cnt").isNotNull)
+      .select(col(keyCol), col(CH), col("p_cnt"), col("p_vsum"),
+        lit(-1L).as(ZSetFrame.W))
+    val pDelta = ZSetFrame.fromDelta(
+      newRows.where(col("p_cnt") =!= 0L || col("p_vsum") =!= 0L)
+        .unionByName(retractRows))
+    val (oldT, newT) = partials.merge(pDelta, checkpointDelta = true,
+      Some(dBuckets))
+    def stats(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(coalesce(sum(col("p_cnt")), lit(0L)),
+        count(lit(1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (oSum, oCnt) = stats(oldT.df)
+    val (nSum, nCnt) = stats(newT.df)
+    rowsNet += nSum - oSum
+    cellsOccupied += nCnt - oCnt
+    spine.merge(d, checkpointDelta = false, Some(dBuckets), append = true)
+  }
+
   /** One step: apply `delta` (cols = init's data cols + weight; event times
     * within [lo, hi]; keys within `touchedKeys` — CDC batch metadata;
     * `touchedKeys = None` declares a DENSE batch touching every key, so

@@ -114,8 +114,20 @@ object Dedup extends QueryModule {
       Vector(merged)
     }
 
-    /** Advance by one arriving batch's shingle store slice (doc_id, g). */
-    def advance(shRaw: DataFrame): Unit = {
+    /** Advance by one arriving batch's shingle store slice (doc_id, g).
+      *
+      * `discover = false` is the BULK-LOAD mode (a real curation shape:
+      * dedup new arrivals against a historical corpus that is already
+      * known clean — you want the trace primed but not the historical
+      * pairs re-discovered): the batch's store and band-bucket slices are
+      * built, pinned and installed exactly as usual, but the candidate
+      * probe + exact verify are skipped, so no pair among (or against)
+      * this batch's docs is ever reported. Subsequent discovering steps'
+      * per-step cost is unchanged — they probe the same installed trace.
+      * (Also what the step-bench dedup seed uses, VERDICT r15 #1: the
+      * seed's same-batch candidate pass was build cost paying for output
+      * the harness discards.) */
+    def advance(shRaw: DataFrame, discover: Boolean = true): Unit = {
       val spark = shRaw.sparkSession
       import spark.implicits._
       val sc = spark.sparkContext
@@ -137,6 +149,21 @@ object Dedup extends QueryModule {
           .as[(Int, Long, Long)].rdd
           .map { case (b, h, d) => ((b, h), d) }
           .partitionBy(bucketPart))
+
+      if (!discover) {
+        // bulk load: install + MATERIALIZE both slices (a discovering step
+        // would otherwise pay this batch's materialization inside its own
+        // probe — cost must not shift into later steps), skip the probe
+        dStore.count(); dBuckets.count()
+        storeSlices = storeSlices :+ dStore
+        traceSlices = traceSlices :+ dBuckets
+        if (gens % BucketedUpsertState.TruncateEvery == 0) {
+          storeSlices = consolidate(sc, storeSlices)
+          traceSlices = consolidate(sc, traceSlices)
+          if (res != null) res = res.localCheckpoint(true)
+        }
+        return
+      }
 
       // store ∪ Δ first: same-batch candidates verify against Δ's own grams
       storeSlices = storeSlices :+ dStore

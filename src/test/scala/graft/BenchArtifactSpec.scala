@@ -44,11 +44,28 @@ class BenchArtifactSpec extends AnyFunSuite {
     val tracks = Seq("keyed_growth", "naive_growth", "upsert_growth",
       "rolling_growth", "radix_growth", "radix_scaled_growth", "dedup_growth", "ann_growth",
       "tri_growth", "tfidf_growth", "galen_growth",
+      // the PMI quiet floor, gated since r16 (VERDICT r15 #3)
+      "pmi_growth",
       // the XL decade (5M→50M; VERDICT r10 #1)
       "keyed_xl_growth", "upsert_xl_growth", "rolling_xl_growth",
       "radix_scaled_xl_growth", "naive_xl_growth")
     val absent = tracks.filterNot(t => text.contains("\"" + t + "\""))
     assert(absent.isEmpty,
       s"artifact lacks step-bench tracks $absent; re-run graft.Bench at HEAD")
+  }
+
+  test("committed BENCH_LOCAL.json carries the r16 attribution/normalization fields") {
+    assume(!skip, "SPARK_GRAFT_SKIP_ARTIFACT_CHECK set - dev loop")
+    assert(artifact.exists(),
+      "BENCH_LOCAL.json missing - run graft.Bench on the final code")
+    val text = java.nio.file.Files.readString(artifact.toPath)
+    // VERDICT r15 #1/#2: per-track build/measure attribution inside the
+    // step-bench sections, the fork/state-build canary, and the normalized
+    // step-bench figure that makes cross-box section deltas mechanical
+    val fields = Seq("track_cost", "build", "measure", "fork_sec",
+      "step_bench_norm", "rps_norm")
+    val absent = fields.filterNot(f => text.contains("\"" + f + "\""))
+    assert(absent.isEmpty,
+      s"artifact lacks r16 fields $absent; re-run graft.Bench at HEAD")
   }
 }
