@@ -563,6 +563,98 @@ object StepBench {
     f""""build_sec":$b%.1f,"measure_sec":$m%.1f"""
   }
 
+  /** Per-step seconds AND per-step affected fractions for the incremental
+    * COSINE assignment state (the t16 shape, incremental/CosineState.scala
+    * — the fourth Screened state). Corpus: nDocs synthetic docs, ~8 terms
+    * each drawn from U (16 centroid-support terms) ∪ filler with a hot/
+    * cold df spread; each quiet step inserts D=2 docs and retracts D=2
+    * (N constant, df drift ±2). The claim under diagnosis mirrors PMI's
+    * quiet-floor shape with TF-IDF's affected-set economics: crossings of
+    * iq = min(floor(idfGrid·N/df), idfGrid·idfCap) are decided ON THE
+    * DRIVER over |U| terms; quiet steps (no crossing) cost O(Δ) routing +
+    * the delta-doc rescore; a crossing step rescoes the crossed terms'
+    * doc fan-out. At production idfGrid=64 a hot term (df ≈ N/8) crosses
+    * with probability ≈ idfGrid·(N/df)·|Δ|/N = 512·2/N per step — so the
+    * quiet regime DOMINATES as the corpus grows, while the ratio cap
+    * freezes rare terms outright; two BURST steps (B docs of one term)
+    * then force a mid-band crossing to show the fan-out cost. Returns
+    * (times, affected fractions), quiet then burst. */
+  def runCosSim(spark: SparkSession, nDocs: Long, steps: Int,
+                nB: Int, bursts: Int = 2): (Seq[Double], Seq[Double]) = {
+    import spark.implicits._
+    import graft.incremental.CosineState
+    val cents = graft.queries.Postings.CosineCentroids
+    val uterms = cents.flatMap(_._2.map(_._1)).distinct
+    val nU = uterms.size.toLong
+    // doc i holds 4 U terms + a filler term. Slot j draws from the FIRST
+    // (j+1)·4 terms, so term popularity is banded — hot (idx 0-3, df ≈
+    // 0.52·N), mid, cold (idx 12-15, df ≈ N/16) — and the quantized-idf
+    // values land at generic (non-boundary) fractions; a first cut drew
+    // every term uniformly, which pinned ALL dfs at N/4 where 64·N/df sits
+    // EXACTLY on an integer boundary and every ±1 df move crossed — a
+    // fixture artifact, not operator behavior.
+    def postings(docLo: Long, docHi: Long) = {
+      val ids = spark.range(docLo, docHi)
+      val terms = typedLit(uterms)
+      ids.select(col("id").as("doc_id"),
+          explode(sequence(lit(0), lit(3))).as("j"))
+        // 83% slot-presence jitter: detunes the dfs from the exact
+        // rational points the pure modular draw lands on (verified
+        // offline: without it several terms sit < 0.01 from a floor
+        // boundary and every ±1 df move crosses — a fixture artifact;
+        // with it the nearest term is ~0.016 away, so 500k-doc steps
+        // cross occasionally and 5M-doc steps are quiet, which is the
+        // 1/N law the diagnostic exists to show)
+        .where(pmod(col("doc_id") * 7919L + col("j") * 104729L,
+          lit(1000L)) < 830L)
+        .select(col("doc_id"),
+          element_at(terms,
+            (pmod(col("doc_id") * 2654435761L + col("j") * (col("j") + 1L)
+              * 7919L, least((col("j") + 1L) * 4L, lit(nU))) + 1)
+              .cast("int")).as("term"),
+          (pmod(col("doc_id") + col("j"), lit(3L)) + 1L).as("tf"))
+        .groupBy("doc_id", "term").agg(sum("tf").as("tf"))
+        .unionByName(ids.select(col("id").as("doc_id"),
+          concat(lit("f"), pmod(col("id") * 31L, lit(1000L))).as("term"),
+          lit(1L).as("tf")))
+    }
+    val empty = ZSetFrame.fromDelta(
+      Seq.empty[(Long, String, Long, Long)].toDF("doc_id", "term", "tf", ZSetFrame.W))
+    val st = new CosineState(empty, cents, nB)
+    st.step(ZSetFrame.fromTable(postings(0, nDocs)))
+    val prunes = scala.collection.mutable.Buffer[Double]()
+    def timed(delta: ZSetFrame): Double = {
+      val t0 = System.nanoTime()
+      val out = st.step(delta)
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.incremental.Pinned.release(out.df)
+      prunes += st.lastAffected.count().toDouble / nDocs
+      dt
+    }
+    val D = 2L
+    val quiet = (1 to steps).map { i =>
+      val ins = postings(nDocs + (i - 1) * D, nDocs + i * D)
+        .withColumn(ZSetFrame.W, lit(1L))
+      val ret = postings((i - 1) * D, i * D)
+        .withColumn(ZSetFrame.W, lit(-1L))
+      timed(ZSetFrame.fromDelta(ins.unionByName(ret)))
+    }
+    // burst: B one-term docs spike a COLD term's df (idx 12+ — small df,
+    // large relative move; its iq = 64·N/df shifts by several quanta, the
+    // topical-ingest crossing the screen must then fan out)
+    val B = 200L
+    val burstBase = nDocs + steps * D
+    val burst = (0 until bursts).map { b =>
+      timed(ZSetFrame.fromDelta(
+        spark.range(burstBase + b * B, burstBase + (b + 1) * B)
+          .select(col("id").as("doc_id"),
+            lit(uterms((12 + b) % uterms.size)).as("term"),
+            lit(1L).as("tf"), lit(1L).as(ZSetFrame.W))))
+    }
+    st.close()
+    (quiet ++ burst, prunes.toSeq)
+  }
+
   /** The base tier. `full = false` (the default / driver run) trims the
     * two most expensive non-gated lines (VERDICT r14 #2 — the base tier
     * became the driver budget's biggest item once XL went opt-in): the
@@ -930,6 +1022,22 @@ object StepBench {
         val (quiet, burst) = ts.splitAt(ts.size - 2)
         System.err.println(
           f"[stepbench pmi n=$n nb=$nb] quiet_floor=${floorOf(quiet)}%.3f " +
+            f"burst=${burst.map(t => f"$t%.2f").mkString(",")} | " +
+            ts.map(t => f"$t%.2f").mkString(" ") +
+            " | prune " + pr.map(p => f"$p%.4f").mkString(" "))
+        graft.incremental.Pinned.sweepSession(spark.sparkContext)
+      }
+    } else if (args.length > 2 && args(2) == "cossim") {
+      // diagnostic (r16, the pmi/anntri discipline — diagnose first, gate
+      // only what reproduces): incremental cosine-assignment per-step cost
+      // at 1× and 10× docs, constant bucket bytes. The claim is the PMI
+      // quiet-floor shape (driver-decided crossings, zero cluster screen
+      // on quiet steps) with TF-IDF's affected fan-out on crossing steps.
+      Seq((base, 64), (base * 10, 640)).foreach { case (n, nb) =>
+        val (ts, pr) = runCosSim(spark, n, steps, nb)
+        val (quiet, burst) = ts.splitAt(ts.size - 2)
+        System.err.println(
+          f"[stepbench cossim n=$n nb=$nb] quiet_floor=${floorOf(quiet)}%.3f " +
             f"burst=${burst.map(t => f"$t%.2f").mkString(",")} | " +
             ts.map(t => f"$t%.2f").mkString(" ") +
             " | prune " + pr.map(p => f"$p%.4f").mkString(" "))
