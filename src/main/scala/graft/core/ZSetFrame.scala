@@ -129,16 +129,20 @@ final class ZSetFrame private (val df: DataFrame) extends Serializable {
   /** Weight → repetition array, TOTAL over all weights (code-review r15):
     * bare sequence(1, w) auto-reverses its step when w < 1, so a w=0 row
     * exploded into TWO phantom copies and w=−1 into THREE — fabricated
-    * rows with no error. A non-positive weight violates the declared
-    * positive-multiset contract and now FAILS LOUDLY (ADVICE r15: the r15
-    * fix silently dropped such rows, letting an upstream retraction bug
-    * yield plausibly-wrong min/max/avg results with no signal — the same
-    * fail-loud discipline as the PMI/Bm25 step-contract riders). Callers
-    * with legitimately-cancelling ± pairs consolidate first. */
+    * rows with no error. A weight-0 row means ZERO copies and is
+    * REACHABLE legitimately (linearAggDelta emits them when a folded
+    * value is 0; raw deltas may carry them) — it contributes nothing,
+    * silently. A NEGATIVE weight is different: it violates the declared
+    * positive-multiset contract and now FAILS LOUDLY (ADVICE r15: the
+    * r15 fix silently dropped such rows, letting an upstream retraction
+    * bug yield plausibly-wrong min/max/avg results with no signal — the
+    * same fail-loud discipline as the PMI/Bm25 step-contract riders).
+    * Callers with legitimately-cancelling ± pairs consolidate first. */
   private def repWeights: Column =
     when(col(W) > 0L, sequence(lit(1L), col(W)))
+      .when(col(W) === 0L, array().cast("array<bigint>"))
       .otherwise(raise_error(concat(
-        lit("graft: non-positive weight "), col(W).cast("string"),
+        lit("graft: negative weight "), col(W).cast("string"),
         lit(" reached a multiset expansion - positive-multiset contract " +
           "violated (an upstream retraction bug; consolidate first)")))
         .cast("array<bigint>"))

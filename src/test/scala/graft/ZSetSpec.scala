@@ -74,18 +74,21 @@ class ZSetSpec extends SparkSpec {
     }
   }
 
-  test("weight expansion is total: w=0 and w<0 rows contribute ZERO copies") {
+  test("weight expansion is total: w=0 is ZERO copies, w<0 fails loudly") {
     // code-review r15: bare sequence(1, w) auto-reverses its step when
     // w < 1, so a weight-0 row exploded into TWO phantom copies and a
     // weight -1 row into THREE - fabricated rows with no error. Weight-0
-    // rows are reachable (linearAggDelta emits them when the folded value
-    // is 0; raw fromDelta deltas may carry them).
+    // rows are reachable legitimately (linearAggDelta emits them when the
+    // folded value is 0; raw fromDelta deltas may carry them) and mean
+    // ZERO copies. ADVICE r15: a NEGATIVE weight is a positive-multiset
+    // contract violation - silently dropping it (the first r15 fix) let
+    // an upstream retraction bug yield plausibly-wrong min/max/avg with
+    // no signal, so it now raises.
     import spark.implicits._
     val z = ZSetFrame.fromDelta(Seq(
         (1L, 2L),  // 2 copies
         (2L, 1L),  // 1 copy
-        (3L, 0L),  // ZERO copies (was 2)
-        (4L, -1L)) // ZERO copies (was 3)
+        (3L, 0L))  // ZERO copies (was 2 phantom copies pre-r15)
       .toDF("k", ZSetFrame.W))
     assert(z.toMultisetDF.collect().map(_.getLong(0)).sorted.toSeq
       === Seq(1L, 1L, 2L))
@@ -96,5 +99,9 @@ class ZSetSpec extends SparkSpec {
     assert(agg.df.select("k", "n").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
       === Seq((1L, 2L), (2L, 1L)))
+    // a negative weight fails loudly instead of vanishing
+    val neg = ZSetFrame.fromDelta(Seq((4L, -1L)).toDF("k", ZSetFrame.W))
+    val e = intercept[Exception] { neg.toMultisetDF.collect() }
+    assert(e.getMessage.contains("negative weight"), e.getMessage)
   }
 }
