@@ -566,7 +566,7 @@ object StepBench {
   /** Per-step seconds AND per-step affected fractions for the incremental
     * COSINE assignment state (the t16 shape, incremental/CosineState.scala
     * — the fourth Screened state). Corpus: nDocs synthetic docs, ~8 terms
-    * each drawn from U (16 centroid-support terms) ∪ filler with a hot/
+    * each drawn from U (the 15 distinct centroid-support terms) ∪ filler with a hot/
     * cold df spread; each quiet step inserts D=2 docs and retracts D=2
     * (N constant, df drift ±2). The claim under diagnosis mirrors PMI's
     * quiet-floor shape with TF-IDF's affected-set economics: crossings of
@@ -584,11 +584,13 @@ object StepBench {
     import spark.implicits._
     import graft.incremental.CosineState
     val cents = graft.queries.Postings.CosineCentroids
+    // |U| = 15 (the four supports overlap on window/merge/join), so the
+    // j=3 band caps at 15 and the cold band is idx 12-14
     val uterms = cents.flatMap(_._2.map(_._1)).distinct
     val nU = uterms.size.toLong
     // doc i holds 4 U terms + a filler term. Slot j draws from the FIRST
     // (j+1)·4 terms, so term popularity is banded — hot (idx 0-3, df ≈
-    // 0.52·N), mid, cold (idx 12-15, df ≈ N/16) — and the quantized-idf
+    // 0.52·N), mid, cold (idx 12-14, df ≈ N/18) — and the quantized-idf
     // values land at generic (non-boundary) fractions; a first cut drew
     // every term uniformly, which pinned ALL dfs at N/4 where 64·N/df sits
     // EXACTLY on an integer boundary and every ±1 df move crossed — a
@@ -621,7 +623,11 @@ object StepBench {
     val empty = ZSetFrame.fromDelta(
       Seq.empty[(Long, String, Long, Long)].toDF("doc_id", "term", "tf", ZSetFrame.W))
     val st = new CosineState(empty, cents, nB)
-    st.step(ZSetFrame.fromTable(postings(0, nDocs)))
+    // the seed's emitted assignment delta is consumer-owned and O(nDocs)
+    // rows — release it or it pins for the whole run (the runRolling
+    // lesson; code-review r16)
+    graft.incremental.Pinned.release(
+      st.step(ZSetFrame.fromTable(postings(0, nDocs))).df)
     val prunes = scala.collection.mutable.Buffer[Double]()
     def timed(delta: ZSetFrame): Double = {
       val t0 = System.nanoTime()

@@ -149,7 +149,8 @@ final class ZSetFrame private (val df: DataFrame) extends Serializable {
 
   /** General (non-linear) aggregate — min/max/avg/argmax etc. Requires
     * set-or-positive-multiset input; rows are logically repeated `weight`
-    * times (w ≤ 0 rows contribute nothing — see repWeights).
+    * times (w = 0 rows contribute nothing; w < 0 raises — consolidate
+    * first; see repWeights).
     * reference: aggregate/mod.rs:204. For weight==1 inputs this is a
     * plain groupBy (Catalyst partial agg applies); general weights expand
     * via sequence() first. */
@@ -167,8 +168,8 @@ final class ZSetFrame private (val df: DataFrame) extends Serializable {
   /** Forget weights (caller asserts they are all +1, e.g. after distinctZ). */
   def toDF: DataFrame = df.drop(W)
 
-  /** Expand weights into row multiplicity (positive weights only; w ≤ 0
-    * rows contribute nothing — see repWeights). */
+  /** Expand weights into row multiplicity (w = 0 rows contribute nothing;
+    * w < 0 raises — consolidate first; see repWeights). */
   def toMultisetDF: DataFrame =
     df.withColumn("__rep", explode(repWeights))
       .drop("__rep", W)

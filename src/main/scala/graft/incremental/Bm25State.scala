@@ -93,15 +93,26 @@ final class MultiBm25State(emptyPosting: ZSetFrame,
                              * (bit-identical by the screen's exactness
                              * induction: every stored score equals a
                              * from-scratch evaluation under the CURRENT
-                             * constants). Durability point = the sidecar
-                             * write, which lands AFTER the trace write: a
-                             * crash between the two leaves a torn step,
-                             * detectable by the caller's acked-step
-                             * counter vs the sidecar's `gen` — the
-                             * standard replay-from-last-commit recovery
-                             * contract (the delta merge is NOT idempotent,
-                             * so the source must resend exactly the
-                             * un-acked deltas). */
+                             * constants).
+                             *
+                             * COMMIT PROTOCOL (code-review r16 — the
+                             * delta merge is NOT idempotent, so a torn
+                             * step must never be silently replayable):
+                             * each step writes an INTENT marker (gen
+                             * N+1) before touching the trace, then the
+                             * trace merge, then the constants sidecar
+                             * (gen N+1, atomic rename) as the commit
+                             * point. restore() REFUSES an intent newer
+                             * than the committed gen — a crash anywhere
+                             * inside the step window is DETECTED, not
+                             * silently double-applied; recovery from a
+                             * torn step is out of scope here (it needs a
+                             * transactional table format or a state
+                             * snapshot — at deployment, run the durable
+                             * trace on one). A CLEAN teardown/restore —
+                             * what q92 and DurableStateSpec certify —
+                             * resumes exactly, and `committedGen` tells
+                             * the CDC source which deltas to resend. */
                            durablePath: Option[String] = None) {
   import ZSetFrame.W
 
@@ -241,13 +252,18 @@ final class MultiBm25State(emptyPosting: ZSetFrame,
     //    docs are in `affected`, so affB covers the merge's touched buckets
     qIdx.merge(ZSetFrame.fromDelta(delta.df.where(col("term").isin(ulits: _*))),
       checkpointDelta = false, knownTouched = Some(affB), append = true)
-    // 5b. durable mirror: the same U-restricted delta lands in the
-    //     disk-backed trace (touched-partition rewrite; affB is a superset
-    //     of the delta's span, so crossing steps rewrite a few extra
-    //     buckets unchanged — correct by merge's superset contract)
-    durIdx.foreach(_.merge(
-      ZSetFrame.fromDelta(delta.df.where(col("term").isin(ulits: _*))),
-      knownTouched = Some(affB)))
+    // 5b. durable mirror: INTENT marker first (the commit-protocol guard —
+    //     see the durIdx scaladoc), then the same U-restricted delta lands
+    //     in the disk-backed trace (touched-partition rewrite; affB is a
+    //     superset of the delta's span, so crossing steps rewrite a few
+    //     extra buckets unchanged — correct by merge's superset contract)
+    durIdx.foreach { d =>
+      DurableKeyedState.atomicWrite(d.path,
+        MultiBm25State.IntentFile, s"gen=${stepGen + 1}\n")
+      d.merge(
+        ZSetFrame.fromDelta(delta.df.where(col("term").isin(ulits: _*))),
+        knownTouched = Some(affB))
+    }
     // 6. rescore the affected docs against the post-merge index under the
     //    NEW constants, fanned out to their matching queries by the
     //    broadcast (query_id, term) dimension; a fully retracted doc (or a
@@ -305,11 +321,11 @@ final class MultiBm25State(emptyPosting: ZSetFrame,
       "doc_id", nBuckets)
     topIdx.merge(out, checkpointDelta = false, knownTouched = Some(outB))
     prevStepPins = Seq(affected)
-    // 9. durable commit point: the constants sidecar lands LAST (see the
-    //    durIdx scaladoc for the torn-step contract)
+    // 9. durable COMMIT point: the constants sidecar (atomic rename) lands
+    //    LAST, with gen == the intent's — see the durIdx commit protocol
     stepGen += 1
     durIdx.foreach(d => MultiBm25State.writeConsts(
-      d.path, stepGen, nDocs, tToks, dfU.toMap, qsets))
+      d.path, stepGen, nDocs, tToks, dfU.toMap, qsets, topK, grid))
     out
   }
 
@@ -359,20 +375,19 @@ final class MultiBm25State(emptyPosting: ZSetFrame,
 
 object MultiBm25State {
   private val ConstsFile = "_graft_bm25_consts.txt"
+  private[incremental] val IntentFile = "_graft_bm25_intent.txt"
 
   private def qsetsSig(qsets: Seq[(String, Seq[String])]): String =
     qsets.map { case (q, ts) => s"$q:${ts.mkString("|")}" }.mkString(";")
 
   private[incremental] def writeConsts(path: String, gen: Long, n: Long,
       t: Long, df: Map[String, Long],
-      qsets: Seq[(String, Seq[String])]): Unit = {
+      qsets: Seq[(String, Seq[String])], topK: Int, grid: Double): Unit = {
     val body = (Seq(s"gen=$gen", s"nDocs=$n", s"tToks=$t",
-      s"qsets=${qsetsSig(qsets)}") ++
+      s"qsets=${qsetsSig(qsets)}", s"topK=$topK", s"grid=$grid") ++
       df.toSeq.sortBy(_._1).map { case (k, v) => s"df.$k=$v" })
       .mkString("", "\n", "\n")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(path, ConstsFile),
-      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    DurableKeyedState.atomicWrite(path, ConstsFile, body)
   }
 
   /** Re-attach to a durable retrieval state written by a
@@ -395,6 +410,30 @@ object MultiBm25State {
       "graft: MultiBm25State.restore qsets do not match the durable " +
         s"state's (stored ${kv("qsets")}) — the trace is restricted to the " +
         "writer's union term set; attach with the same standing queries")
+    // grid/topK are part of the state's identity: a restore under a
+    // different quantization (or k) would rebuild scores that never cancel
+    // against the consumer's integrated pre-restart output (code-review r16)
+    require(kv.get("topK").forall(_.toInt == topK) &&
+        kv.get("grid").forall(_.toDouble == grid),
+      s"graft: MultiBm25State.restore topK/grid ($topK/$grid) do not match " +
+        s"the durable state's (${kv.get("topK")}/${kv.get("grid")})")
+    // TORN-STEP DETECTION (the commit protocol — see the durIdx scaladoc):
+    // an intent newer than the committed gen means a step crashed between
+    // its trace write window and its commit; the trace may hold that
+    // step's postings under the PREVIOUS constants, and replaying the
+    // delta would double-apply it. Refuse loudly.
+    val intentPath = java.nio.file.Paths.get(path, IntentFile)
+    if (java.nio.file.Files.exists(intentPath)) {
+      val ikv = java.nio.file.Files.readAllLines(intentPath)
+        .toArray(Array.empty[String]).filter(_.contains("="))
+        .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+      require(ikv.get("gen").exists(_.toLong == kv("gen").toLong),
+        s"graft: durable retrieval state at $path is TORN — intent gen " +
+          s"${ikv.get("gen")} vs committed gen ${kv("gen")}: a step crashed " +
+          "mid-commit and its delta may be partially applied; restore from " +
+          "a state snapshot (or run the durable trace on a transactional " +
+          "table format) instead of replaying")
+    }
     val dur = DurableKeyedState.restore(spark, path)
     require(dur.nBuckets == nBuckets,
       s"graft: durable trace has ${dur.nBuckets} buckets, caller asked $nBuckets")

@@ -145,13 +145,26 @@ final class DurableKeyedState private (
 object DurableKeyedState {
   private val MetaFile = "_graft_state.txt"
 
-  private[incremental] def writeMeta(path: String, keys: Seq[String],
-      nBuckets: Int, schema: StructType, live: Set[Int]): Unit = {
-    val meta =
-      s"keys=${keys.mkString(",")}\nnBuckets=$nBuckets\n" +
-        s"buckets=${live.toSeq.sorted.mkString(",")}\nschema=${schema.json}\n"
-    Files.write(Paths.get(path, MetaFile), meta.getBytes(StandardCharsets.UTF_8))
+  /** Atomically replace a small sidecar file: write-to-temp + ATOMIC_MOVE
+    * (code-review r16: a plain truncate-and-rewrite destroys the LAST
+    * committed content the instant the write starts — a crash mid-write
+    * would leave the supposedly durable state unrecoverable or, worse,
+    * a cleanly-parsing prefix). */
+  private[incremental] def atomicWrite(path: String, name: String,
+      body: String): Unit = {
+    val dir = Paths.get(path)
+    val tmp = Files.createTempFile(dir, s".$name", ".tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
+
+  private[incremental] def writeMeta(path: String, keys: Seq[String],
+      nBuckets: Int, schema: StructType, live: Set[Int]): Unit =
+    atomicWrite(path, MetaFile,
+      s"keys=${keys.mkString(",")}\nnBuckets=$nBuckets\n" +
+        s"buckets=${live.toSeq.sorted.mkString(",")}\nschema=${schema.json}\n")
 
   /** Initialize (or reset) a durable state at `path` from `init` and attach. */
   def create(path: String, keys: Seq[String], nBuckets: Int,

@@ -249,21 +249,40 @@ object TextAnalysis extends QueryModule {
       var st = new graft.incremental.Bm25State(
         ZSetFrame.fromTable(tfAll.where(lit(false))), qterms, nB,
         durablePath = Some(path))
-      val outs =
-        (0 until E).map { i =>
-          if (i == 1) { // driver restart point: drop memory, resume from disk
-            st.close()
-            st = graft.incremental.Bm25State.restore(s, path, qterms, nB)
-          }
-          st.step(ZSetFrame.fromTable(
-            tfAll.where(pmod(col("doc_id"), lit(E)) === i)))
-        } :+
-        st.step(ZSetFrame.fromDelta(
-          tfAll.where(pmod(col("doc_id"), lit(10)) === 3)
-            .withColumn(ZSetFrame.W, lit(-1L))))
-      st.close()
-      ZSetFrame.sumAll(outs).consolidate.toDF
-        .select("doc_id", "score_q", "rnk")
+      try {
+        // epochs split on EVEN residues (doc_id % 4 = 0 / 2) and the
+        // retraction on doc_id % 10 = 4 — the corpus is even-only, so
+        // odd-selecting predicates would make every post-restore delta
+        // EMPTY and the restart would certify nothing (code-review r16)
+        val outs =
+          (0 until E).map { i =>
+            if (i == 1) { // driver restart point: drop memory, resume from disk
+              st.close()
+              st = graft.incremental.Bm25State.restore(s, path, qterms, nB)
+            }
+            st.step(ZSetFrame.fromTable(
+              tfAll.where(pmod(col("doc_id"), lit(2 * E)) === 2 * i)))
+          } :+
+          st.step(ZSetFrame.fromDelta(
+            tfAll.where(pmod(col("doc_id"), lit(10)) === 4)
+              .withColumn(ZSetFrame.W, lit(-1L))))
+        // step outputs are eagerly checkpointed by the state — the lazy
+        // integration below stays valid after close() and the dir delete
+        ZSetFrame.sumAll(outs).consolidate.toDF
+          .select("doc_id", "score_q", "rnk")
+      } finally {
+        st.close()
+        // the durable state dir is per-invocation scratch — delete it or
+        // every bench rep leaks a posting-trace parquet into /tmp
+        try {
+          import java.nio.file.{Files, Paths}
+          import scala.jdk.CollectionConverters._
+          val root = Paths.get(path)
+          if (Files.exists(root))
+            Files.walk(root).iterator().asScala.toSeq.reverse
+              .foreach(p => Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }
+      }
     }),
 
     // MULTI-QUERY INCREMENTAL RETRIEVAL (t14, VERDICT r13 #7) — a real
@@ -823,12 +842,12 @@ object TextAnalysis extends QueryModule {
       // (shared generator; the pq IEEE sequence is PmiState.pq's)
       "t15_inc_pmi" -> Postings.pmiOracleSql("doc_id % 10 <> 3"),
 
-      // t13's batch oracle over q92's half-corpus replay: a mid-replay
-      // teardown+restore from the durable posting trace must change
-      // NOTHING in the integrated output (the persistent-spine recovery
-      // property)
+      // t13's batch oracle over q92's half-corpus replay (retraction on
+      // the EVEN residue 4 — see the query): a mid-replay teardown+restore
+      // from the durable posting trace must change NOTHING in the
+      // integrated output (the persistent-spine recovery property)
       "q92_durable_bm25" ->
-        Postings.bm25Top10OracleSql("doc_id % 10 <> 3 AND doc_id % 2 = 0"),
+        Postings.bm25Top10OracleSql("doc_id % 10 <> 4 AND doc_id % 2 = 0"),
 
       // batch per-doc best-centroid cosine over the surviving corpus —
       // t16's integrated replacement deltas must match it bit-for-bit

@@ -169,6 +169,24 @@ class DurableStateSpec extends SparkSpec {
       Bm25State.restore(s2, dir, Seq("spark", "other"), nBuckets = 8)
     }
     assert(e.getMessage.contains("qsets"))
+    // ... as must a different grid/topK (the state's identity — a restore
+    // under another quantization rebuilds scores that never cancel against
+    // the consumer's integrated pre-restart output; code-review r16)
+    val eg = intercept[IllegalArgumentException] {
+      Bm25State.restore(s2, dir, qterms, nBuckets = 8, grid = 1e4)
+    }
+    assert(eg.getMessage.contains("grid"))
+    // TORN-STEP DETECTION: an intent marker newer than the committed gen
+    // (a crash between a step's trace write and its commit) must REFUSE
+    // restore — replaying the delta would double-apply it (the merge is
+    // not idempotent; code-review r16)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_graft_bm25_intent.txt"),
+      "gen=99\n".getBytes("UTF-8"))
+    val et = intercept[IllegalArgumentException] {
+      Bm25State.restore(s2, dir, qterms, nBuckets = 8)
+    }
+    assert(et.getMessage.contains("TORN"))
   }
 
   test("crash debris: a partition dir outside the committed live set is ignored") {
