@@ -10,7 +10,15 @@ object Fold {
 
   /** Keep the last N doubles (by arrival order within the sorted group) and
     * finish with their mean — the reference's nexmark q6 "average of last 10"
-    * fold (reference: crates/nexmark/src/queries/q6.rs:97-110). */
+    * fold (reference: crates/nexmark/src/queries/q6.rs:97-110).
+    *
+    * SINGLE-PARTITION GROUPS ONLY (code-review r16): merge ranks the
+    * incoming buffer's values as newer, so for a group spanning multiple
+    * partitions the kept element set depends on Spark's nondeterministic
+    * partial-merge order and the mean is not reproducible. That is the
+    * reference fold's own arrival-order semantics, which only a
+    * single-partition group preserves; use [[LastNAvgBy]] — the
+    * order-carrying rendition — for distributed groups (q83 does). */
   class LastNAvg[IN](n: Int, get: IN => Double) extends Aggregator[IN, List[Double], Double] {
     def zero: List[Double] = Nil
     def reduce(b: List[Double], v: IN): List[Double] = (get(v) :: b).take(n)

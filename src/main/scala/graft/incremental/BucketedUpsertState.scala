@@ -168,17 +168,6 @@ final class LongLongMap private (
     }
   }
 
-  /** Copy with headroom for `extra` more entries (persisted generations are
-    * immutable — a step merges into a copy, never in place). */
-  def copyWith(extra: Int): LongLongMap =
-    if ((n + extra) * 10L < ks.length * 7L)
-      new LongLongMap(ks.clone(), vs.clone(), n)
-    else {
-      val m = new LongLongMap(n + extra)
-      foreach((k, v) => { val i = m.slot(k); m.ks(i) = k; m.vs(i) = v; m.n += 1 })
-      m
-    }
-
   def foreach(f: (Long, Long) => Unit): Unit = {
     var i = 0
     while (i < ks.length) { if (ks(i) != Long.MinValue) f(ks(i), vs(i)); i += 1 }
@@ -261,7 +250,14 @@ final class BucketedUpsertStateLong(
     val merged = prevState.zipPartitions(d, preservesPartitioning = true) {
       (si, di) =>
         val spine = if (si.hasNext) si.next()._1 else Nil
-        val overlay = new LongLongMap(1024)
+        // overlay sized to the touched case only (code-review r16): a
+        // sparse delta used to allocate a 2048-slot (32 KB) map for EVERY
+        // bucket and prepend it even when empty — per-step memory and
+        // spilled-spine bytes scaled with nBuckets, not |Δ|, and reads
+        // probed through the empty layers. Untouched buckets now keep
+        // their spine untouched and emit a 16-slot empty overlay.
+        val touched = di.hasNext
+        val overlay = new LongLongMap(if (touched) 1024 else 16)
         di.foreach { case (k, v) =>
           if (overlay.has(k)) overlay.put(k, v, cmb)
           else {
@@ -277,7 +273,7 @@ final class BucketedUpsertStateLong(
             overlay.put(k, if (found) cmb(cur, v) else v, (_, b) => b)
           }
         }
-        val grown = overlay :: spine
+        val grown = if (overlay.size > 0) overlay :: spine else spine
         val newSpine =
           if (doCompact && grown.lengthCompare(1) > 0) {
             val base = new LongLongMap(grown.iterator.map(_.size).sum)
@@ -296,7 +292,11 @@ final class BucketedUpsertStateLong(
     val prev = pinned
     pinned = merged
     if (prev != null) prev.unpersist(blocking = false)
-    merged.mapPartitions(_.flatMap(_._2.iterator), preservesPartitioning = false)
+    // overlay keys hash to their own partition by construction, so the
+    // emitted delta IS partitioner-aligned — declare it (code-review r16:
+    // a cascade feeding this delta into a same-width state re-shuffled
+    // every step for nothing; snapshot already declares it)
+    merged.mapPartitions(_.flatMap(_._2.iterator), preservesPartitioning = true)
   }
 
   /** Full current state (spine folded per bucket); partitioner preserved. */

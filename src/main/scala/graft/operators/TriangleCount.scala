@@ -50,7 +50,17 @@ final class TriangleCountState(spark: SparkSession, nBuckets: Int = 32) {
 
   /** Advance by one edge delta (u < v rows, ±weights); returns this step's
     * triangle delta (u,v,w, weight) — eagerly materialized, sum of weights
-    * = ΔT. Accumulated over steps, the weights telescope to the count. */
+    * = ΔT. Accumulated over steps, the weights telescope to the count.
+    *
+    * PLAN-STABILITY CONTRACT (code-review r16, the PmiState discipline):
+    * the caller's dE plan must be stable under re-evaluation (already
+    * materialized, or a deterministic filter of materialized data) — the
+    * step reads it in several independent jobs (trace merges, both
+    * bilinear join terms, the wedge maintenance), and a nondeterministic
+    * plan would silently diverge the traces from the emitted deltas.
+    * Every in-repo caller passes checkpointed/deterministic deltas; the
+    * alternative — an extra eager pin per step — would tax the gated
+    * tri-track barrier floor. */
   def advance(dE: ZSetFrame): ZSetFrame = {
     // J1: wedge delta through the u-keyed self-join. merge() returns the
     // old/new content of exactly the delta's buckets — both probe views.

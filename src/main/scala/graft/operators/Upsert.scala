@@ -14,12 +14,15 @@ import org.apache.spark.sql.functions._
 object Upsert {
 
   /** Latest command per key (deterministic via `ordering` tiebreaks), with
-    * rows matching `isDelete` treated as tombstones and dropped. */
+    * rows matching `isDelete` treated as tombstones and dropped. A NULL
+    * `isDelete` is an UPSERT (code-review r16: bare `!isDelete` is NULL
+    * for a NULL predicate and the WHERE silently dropped the key — a
+    * three-valued-logic trap, not last-write-wins semantics). */
   def lastWriteWins(commands: DataFrame, keys: Seq[String],
                     ordering: Seq[Column], isDelete: Column): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering.map(_.desc): _*)
     commands.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1 && !isDelete)
+      .where(col("__rn") === 1 && !coalesce(isDelete, lit(false)))
       .drop("__rn")
   }
 }

@@ -200,8 +200,12 @@ object StreamOps {
     val q = stream.writeStream
       .foreachBatch((batch: DataFrame, id: Long) => step(batch, id))
       .start()
-    q.processAllAvailable()
-    q.stop()
+    // stop() on EVERY exit path (code-review r16 — the same leak the r15
+    // fix closed in runToMemory): an interrupt/exception inside
+    // processAllAvailable otherwise leaves the query running for the
+    // session's lifetime, holding state stores and consuming the source
+    try q.processAllAvailable()
+    finally q.stop()
   }
 
   /** Drive a streaming query from a memory sink to completion (test/dev

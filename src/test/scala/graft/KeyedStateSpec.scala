@@ -301,7 +301,10 @@ class KeyedStateSpec extends SparkSpec {
     stL.close()
   }
 
-  test("LongLongMap: put/combine/growth/copy semantics") {
+  test("LongLongMap: put/combine/growth semantics") {
+    // (copyWith was removed in r16: it was the pre-r11
+    // copy-the-whole-bucket-per-step design's vehicle, dead since the
+    // spine-overlay layout — code-review r16)
     import graft.incremental.LongLongMap
     val m = new LongLongMap(4)
     (0L until 1000L).foreach(k => m.put(k, k * 2, math.max))
@@ -309,10 +312,6 @@ class KeyedStateSpec extends SparkSpec {
     assert(m.size == 1000)
     (0L until 1000L).foreach(k => assert(m.getOrElse(k, -1L) == k * 2))
     assert(m.getOrElse(5000L, -1L) == -1L)
-    val c = m.copyWith(10)
-    c.put(5000L, 9L, math.max)
-    assert(c.getOrElse(5000L, -1L) == 9L)
-    assert(m.getOrElse(5000L, -1L) == -1L, "copy must not alias the original")
     // negative keys (hash mixing must handle the full long range)
     m.put(-77L, 3L, math.max)
     assert(m.getOrElse(-77L, -1L) == 3L)
