@@ -232,8 +232,22 @@ object VectorFunctions {
   def lshBucketNative(e: Column, nPlanes: Int): Column =
     ColumnBridge.column(LshBucket(ColumnBridge.expression(e), nPlanes))
 
+  /** The ONE `graft_dot` SQL builder — shared by the temp-function path
+    * below and the SparkSessionExtensions production wiring
+    * ([[graft.GraftExtensions]]); code-review r16: two verbatim copies
+    * could drift, and arity was unchecked — a third argument was silently
+    * DROPPED (wrong results, no error) and a missing one threw a raw
+    * IndexOutOfBoundsException instead of naming the function. */
+  private[graft] val dotSqlBuilder
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+        => org.apache.spark.sql.catalyst.expressions.Expression = { args =>
+    require(args.length == 2,
+      s"graft_dot requires exactly 2 arguments, got ${args.length}")
+    FloatDotProduct(args.head, args(1))
+  }
+
   /** Register `graft_dot` for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => FloatDotProduct(exprs.head, exprs(1)), "built-in")
+      "graft_dot", dotSqlBuilder, "built-in")
 }

@@ -30,9 +30,32 @@ object Pinned {
     * checkpoint-truncated chains — every segment, every eager step
     * output — the first persisted node is the only one, so the behavior
     * is unchanged. */
-  def unpersistTree(rdd: RDD[_]): Unit =
-    if (rdd.getStorageLevel != StorageLevel.NONE) rdd.unpersist(false)
-    else rdd.dependencies.foreach(d => unpersistTree(d.rdd))
+  /** The walk must never pass THROUGH a released boundary (code-review
+    * r16): `unpersist` drops the storage level synchronously, so when a
+    * plan reaches the same persisted generation by TWO paths (self-join /
+    * union, or two sibling frames sharing an ancestor), the second path
+    * used to see level NONE and recurse into the node's untruncated
+    * lineage — unpersisting blocks a live state still serves (the exact
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND mode the rule above forbids). Two
+    * guards: a per-walk identity set (dual paths within one release), and
+    * a hard stop at checkpoint-marked nodes even when already released
+    * (sibling releases across calls — checkpoint metadata survives
+    * unpersist, so the boundary stays visible). */
+  def unpersistTree(rdd: RDD[_]): Unit = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[RDD[_], java.lang.Boolean]())
+    def walk(r: RDD[_]): Unit =
+      if (seen.add(r)) {
+        // isCheckpointed covers BOTH reliable and local checkpoints once
+        // materialized (every pinned generation is count()'d before use),
+        // and checkpoint metadata survives unpersist — the boundary stays
+        // visible after release
+        if (r.getStorageLevel != StorageLevel.NONE) r.unpersist(false)
+        else if (r.isCheckpointed) ()
+        else r.dependencies.foreach(d => walk(d.rdd))
+      }
+    walk(rdd)
+  }
 
   /** Release a (possibly null) pinned DataFrame. */
   def release(df: DataFrame): Unit =

@@ -22,17 +22,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * there is no second, weaker execution path to certify. */
 object SqlProgram {
 
-  /** Split on top-level semicolons: quotes ('', "", ``) and `--` line
-    * comments are respected; a trailing statement needs no `;`. */
+  /** Split on top-level semicolons: quotes ('', "", ``), `--` line
+    * comments AND `/* … */` bracketed comments are respected (code-review
+    * r16: a `;` inside a bracketed comment used to split the program
+    * mid-comment); a trailing statement needs no `;`. Fragments that are
+    * COMMENT-ONLY after the last semicolon are dropped — Spark accepts a
+    * program ending in `; -- done`, so run() must too. */
   private[graft] def split(program: String): Seq[String] = {
     val stmts = scala.collection.mutable.Buffer[String]()
     val sb = new StringBuilder
     var quote: Char = 0
     var comment = false
+    var block = false
     var i = 0
     while (i < program.length) {
       val c = program.charAt(i)
-      if (comment) {
+      if (block) {
+        sb += c
+        if (c == '*' && i + 1 < program.length && program.charAt(i + 1) == '/') {
+          sb += '/'; i += 1; block = false
+        }
+      } else if (comment) {
         sb += c
         if (c == '\n') comment = false
       } else if (quote != 0) {
@@ -48,13 +58,34 @@ object SqlProgram {
         case '\'' | '"' | '`' => quote = c; sb += c
         case '-' if i + 1 < program.length && program.charAt(i + 1) == '-' =>
           comment = true; sb += c
+        case '/' if i + 1 < program.length && program.charAt(i + 1) == '*' =>
+          block = true; sb += c
         case ';' => stmts += sb.toString; sb.clear()
         case _ => sb += c
       }
       i += 1
     }
     stmts += sb.toString
-    stmts.map(_.trim).filter(_.nonEmpty).toSeq
+    stmts.map(_.trim).filter(s => s.nonEmpty && !isCommentOnly(s)).toSeq
+  }
+
+  /** True when a fragment holds nothing but comments/whitespace (it is not
+    * a statement — executing it would be a ParseException Spark itself
+    * would not raise on the same program). */
+  private def isCommentOnly(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        val nl = s.indexOf('\n', i)
+        i = if (nl < 0) s.length else nl + 1
+      } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        val end = s.indexOf("*/", i + 2)
+        i = if (end < 0) s.length else end + 2
+      } else if (c.isWhitespace) i += 1
+      else return false
+    }
+    true
   }
 
   /** Execute the program's statements in order; returns the LAST one's

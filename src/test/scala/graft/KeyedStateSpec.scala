@@ -318,6 +318,29 @@ class KeyedStateSpec extends SparkSpec {
     assert(m.iterator.size == m.size)
   }
 
+  test("unpersistTree never walks THROUGH a released node into deeper pins") {
+    // code-review r16: unpersist drops the storage level synchronously, so
+    // when a plan reaches the same persisted generation by TWO paths the
+    // second path saw level NONE and recursed into the node's lineage —
+    // unpersisting blocks a live owner still serves. The deeper pin below
+    // must survive the dual-path release.
+    import graft.incremental.Pinned
+    import org.apache.spark.storage.StorageLevel
+    val sc = spark.sparkContext
+    val deep = sc.parallelize(1 to 10, 2).persist(StorageLevel.MEMORY_ONLY)
+    deep.count()
+    val mid = deep.map(identity).persist(StorageLevel.MEMORY_ONLY)
+    mid.count()
+    val twoPaths = mid.map(identity).union(mid.map(_ + 1))
+    try {
+      Pinned.unpersistTree(twoPaths)
+      assert(mid.getStorageLevel == StorageLevel.NONE,
+        "the owned first-persisted node must be released")
+      assert(deep.getStorageLevel != StorageLevel.NONE,
+        "the deeper pin belongs to someone else and must survive")
+    } finally deep.unpersist(false)
+  }
+
   test("repeated compact() without merges releases superseded segments (idle-GC tick)") {
     // code-review r15: install retires superseded segments at the CURRENT
     // generation and the RetireQueue frees only on advance(), which ran

@@ -128,6 +128,23 @@ class OperatorSpec extends SparkSpec {
     assertSameRows(viaSql, viaApi)
   }
 
+  test("graft_dot rejects wrong arity instead of silently dropping arguments") {
+    // code-review r16: the SQL builder ignored a third argument (wrong
+    // results, no error) and threw a raw IndexOutOfBounds on one argument;
+    // the shared builder (also the GraftExtensions production wiring) now
+    // validates arity
+    graft.functions.VectorFunctions.register(spark)
+    spark.read.parquet(s"$sf0001/embeddings.parquet").createOrReplaceTempView("emb")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_dot(embedding, embedding, embedding) FROM emb").collect()
+    }
+    assert(e.getMessage.contains("exactly 2"), e.getMessage)
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT graft_dot(embedding) FROM emb").collect()
+    }
+    assert(e1.getMessage.contains("exactly 2"), e1.getMessage)
+  }
+
   test("q86 geo join: bit-exact vs a JVM model with the same op order; dim side broadcast") {
     val out = graft.queries.Analytics.queries("q86_geo_distance")(spark, sf0001)
     // the supplier side is a small dim — the join must be broadcast, never

@@ -59,6 +59,20 @@ class SinkSpec extends SparkSpec {
     assert(dd.size == 2 && dd(0).contains("'a'';b'"))
   }
 
+  test("SqlProgram.split: bracketed comments are opaque; comment-only fragments drop") {
+    import graft.sources.SqlProgram
+    // a ; inside /* ... */ must not split (code-review r16)
+    val bc = SqlProgram.split("SELECT 1 /* step 1; then read back */; SELECT 2")
+    assert(bc.size == 2, bc)
+    assert(bc(0) == "SELECT 1 /* step 1; then read back */")
+    // a trailing comment-only fragment is NOT a statement — Spark accepts
+    // a program ending in '; -- done', so run() must too
+    val tc = SqlProgram.split("SELECT 1; -- done")
+    assert(tc == Seq("SELECT 1"), tc)
+    val tb = SqlProgram.split("SELECT 1; /* done */\n  ")
+    assert(tb == Seq("SELECT 1"), tb)
+  }
+
   test("SqlProgram.run: source binding -> view chain -> sink -> read-back") {
     import graft.sources.SqlProgram
     val src = java.nio.file.Files.createTempDirectory("graft_prog_src").toString
