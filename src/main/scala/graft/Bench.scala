@@ -426,8 +426,13 @@ object Bench {
     // build/measure split, normalized totals); every detailed figure lives
     // in the committed artifact the "detail" field names.
     val errCompact = {
+      // defense-in-depth (ADVICE r16): error values are sanitized at
+      // insertion, but THIS line's parseability is the whole point of the
+      // compact format — re-strip JSON-breaking chars so no future insert
+      // path can corrupt it
       val es = errors.toSeq.sortBy(_._1).take(3)
-        .map { case (k, v) => s""""$k":"${v.take(40)}"""" }
+        .map { case (k, v) =>
+          s""""$k":"${v.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(40)}"""" }
       s"""{"n":${errors.size}${if (es.nonEmpty) "," + es.mkString(",") else ""}}"""
     }
     val compact =

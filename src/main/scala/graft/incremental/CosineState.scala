@@ -144,6 +144,26 @@ final class CosineState(emptyTf: ZSetFrame,
   private var nDocs = 0L
   private val dfU = scala.collection.mutable.Map[String, Long]()
 
+  /** Term-routed screen span (VERDICT r16 #6): per U term, the CUMULATIVE
+    * union of doc-bucket ids its postings ever landed in — maintained on
+    * the driver from the same ≤|U|+1-row stat action (the bucket sets ride
+    * the per-term aggregation rows; terms are a dimension, so the map is
+    * ≤|U| entries × ≤nBuckets ints). A crossing step then screens only
+    * `view(span(crossed))` instead of all nBuckets — the doc-keyed trace
+    * cannot bucket-prune by term the way TfIdfState's term-keyed index
+    * can, but the span map routes crossed terms to the buckets that can
+    * hold their docs. Deletions never shrink the span: a SUPERSET span is
+    * always correct (the semi-join against the broadcast crossed list
+    * filters the extra buckets' rows), and monotone growth keeps the
+    * invariant trivial — every doc holding term t shipped a (doc, t) delta
+    * row when it arrived, so its bucket is in span(t). */
+  private val termSpan = scala.collection.mutable.Map[String, Set[Int]]()
+
+  /** Diagnostic: bucket ids the last step's screen actually scanned
+    * (empty on quiet steps — zero cluster work; the StepBench cossim
+    * diagnostic and the law test's pruning gate read it). */
+  private[graft] var lastScreenBuckets: Seq[Int] = Nil
+
   /** The quantized idf — the ONE integer sequence shared by the driver-side
     * crossing decision, the broadcast iq table, and the DuckDB oracle
     * (LEAST((idfGrid·N) // df, idfGrid·idfCap)). MinValue marks vanished
@@ -179,26 +199,38 @@ final class CosineState(emptyTf: ZSetFrame,
     // 1. ONE bounded action: ΔN (distinct doc rows — carrying the
     //    unit-weight contract check) + Δdf per U term (postings are unique
     //    per (doc, term, polarity), so presence weight == row weight) —
-    //    ≤ |U|+1 rows
+    //    ≤ |U|+1 rows. Each term row ALSO carries its delta's doc-bucket
+    //    set (the term-routed span's increment — same action, no extra
+    //    job), so term rows are kept even when their df movement cancels
+    //    (a CDC move between docs leaves df unchanged but the new doc's
+    //    bucket must still enter the span).
     val docAgg = d.select(col("doc_id"), col(W)).distinct()
       .agg(coalesce(sum(col(W)), lit(0L)).as("a"),
         coalesce(max(abs(col(W))), lit(1L)).as("viol"))
-      .select(lit(null).cast("string").as("term"), col("a"), col("viol"))
-    val dfAgg = ut.groupBy("term").agg(sum(col(W)).as("a"))
-      .where(col("a") =!= 0L)
-      .select(col("term"), col("a"), lit(0L).as("viol"))
+      .select(lit(null).cast("string").as("term"), col("a"), col("viol"),
+        array().cast("array<int>").as("bks"))
+    val dfAgg = ut.groupBy("term").agg(sum(col(W)).as("a"),
+        collect_set(pmod(hash(col("doc_id")), lit(nBuckets))).as("bks"))
+      .select(col("term"), col("a"), lit(0L).as("viol"), col("bks"))
     val statRows = docAgg.unionByName(dfAgg).collect()
     val nOld = nDocs
     val dfOld = dfU.toMap
     statRows.foreach { r =>
       if (r.isNullAt(0)) {
-        require(r.getLong(2) == 1L,
+        // ≤ 1, not == 1 (ADVICE r16): a delta consisting solely of
+        // weight-0 rows — harmless no-op rows a raw delta may carry — has
+        // max(abs(w)) = 0 and must pass through as the no-op it is
+        require(r.getLong(2) <= 1L,
           "graft: Cosine step contract violated — a delta row carries a " +
             "weight beyond ±1; the presence-based N/df maintenance would " +
             "be silently corrupted")
         nDocs += r.getLong(1)
-      } else
-        dfU(r.getString(0)) = dfU.getOrElse(r.getString(0), 0L) + r.getLong(1)
+      } else {
+        val t = r.getString(0)
+        if (r.getLong(1) != 0L) dfU(t) = dfU.getOrElse(t, 0L) + r.getLong(1)
+        termSpan(t) = termSpan.getOrElse(t, Set.empty) ++
+          r.getSeq[Int](3)
+      }
     }
     // 2. floor crossings of the quantized idf — decided ON THE DRIVER over
     //    the |U| term dimension (the PMI degenerate-coupling discipline)
@@ -207,11 +239,20 @@ final class CosineState(emptyTf: ZSetFrame,
     }
     // 3. screen: docs holding a crossed term — one no-shuffle semi-join of
     //    the posting trace vs the broadcast crossed list; SKIPPED when
-    //    nothing crossed (zero cluster work on quiet steps)
+    //    nothing crossed (zero cluster work on quiet steps), and BUCKET-
+    //    PRUNED by the term-routed span on crossing steps (VERDICT r16 #6:
+    //    the former `view(0 until nBuckets)` scanned the full trace — a
+    //    crossing step now reads only the buckets that can hold a crossed
+    //    term's docs, O(crossed-term postings) instead of O(corpus ∩ U))
     import spark.implicits._
+    val screenSpan =
+      if (crossed.isEmpty) Nil
+      else crossed.flatMap(t => termSpan.getOrElse(t, Set.empty))
+        .distinct.sorted
+    lastScreenBuckets = screenSpan
     val screened =
-      if (crossed.isEmpty) ut.select("doc_id").where(lit(false))
-      else postIdx.view(0 until nBuckets).consolidate.df
+      if (screenSpan.isEmpty) ut.select("doc_id").where(lit(false))
+      else postIdx.view(screenSpan).consolidate.df
         .join(broadcast(crossed.toDF("term")), Seq("term"))
         .select("doc_id")
     val (affected, affB) = Screened.affectedKeys(screened,

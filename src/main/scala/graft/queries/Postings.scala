@@ -111,7 +111,13 @@ object Postings {
     * envelope), so the committed cos_q is bit-portable. */
   def cosineTop1OracleSql(pred: String,
                           cents: Seq[(String, Seq[(String, Long)])] = CosineCentroids,
-                          idfGrid: Long = 64L, idfCap: Long = 64L): String = {
+                          idfGrid: Long = 64L, idfCap: Long = 64L,
+                          /** Output quantization grid — must equal the
+                            * state's `grid` ctor param (ADVICE r16: this
+                            * was a hard-coded 1e6 while CosineState took a
+                            * parameter — a non-default-grid state would
+                            * silently mismatch this oracle). */
+                          grid: Double = 1e6): String = {
     val uterms = cents.flatMap(_._2.map(_._1)).distinct
     val inList = uterms.map("'" + _ + "'").mkString(", ")
     val centVals = cents.flatMap { case (cid, ts) =>
@@ -145,7 +151,7 @@ object Postings {
            SELECT dt.doc_id, dt.cid,
              CAST(FLOOR(CAST(dt.dot AS DOUBLE)
                / (SQRT(CAST(nd.nd2 AS DOUBLE)) * SQRT(CAST(nc.nc2 AS DOUBLE)))
-               * 1e6) AS BIGINT) AS cos_q
+               * $grid) AS BIGINT) AS cos_q
            FROM dt JOIN nd USING (doc_id) JOIN nc USING (cid)),
          r AS (
            SELECT *, row_number() OVER

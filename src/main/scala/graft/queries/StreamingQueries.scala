@@ -1050,6 +1050,60 @@ object StreamingQueries extends QueryModule {
             .localCheckpoint(true)
         }
       } finally st.close()
+    }),
+
+    // STREAMING INCREMENTAL COSINE ASSIGNMENT (q93, VERDICT r16 #1) —
+    // t16's CosineState driven by the real streaming engine, completing
+    // the streaming row of the screened-family matrix (t12→q88, t13→q89,
+    // t14→q90, t15→q91, t16→q93): the q89–q91 CDC replay (SAME staged dir
+    // — the replay is identical, only the maintained state differs, so
+    // the five queries share one staging cost) through the shared drive.
+    // Each micro-batch advances the driver-held constants (N, the |U| df
+    // values), decides quantized-idf floor crossings on the driver (quiet
+    // micro-batches schedule zero cluster-side screening), and emits the
+    // per-doc best-centroid replacement delta. The retraction epoch
+    // exercises downward N/df maintenance and retract-side crossings.
+    // Integrated output ≡ the batch per-doc argmax over the surviving
+    // corpus (t16's oracle verbatim).
+    "q93_stream_inc_cosine" -> ((s, dir) => {
+      import graft.core.ZSetFrame
+      import graft.incremental.CosineState
+      val E = 4
+      val staged = stageSlicedDir(s, dir, "documents", "dbm255", E + 1,
+        _ => col("slice"),
+        xform = df => df.select(col("doc_id"), col("text"),
+            pmod(col("doc_id"), lit(E)).cast("int").as("slice"),
+            lit(1L).as("w"))
+          .unionByName(df.where(pmod(col("doc_id"), lit(10)) === 3)
+            .select(col("doc_id"), col("text"), lit(E).as("slice"),
+              lit(-1L).as("w"))))
+      // shared posting builder (VERDICT r13 #3) — t16's shape (no dl; the
+      // cosine is length-normalized by ‖d‖ itself)
+      def toPostings(df: DataFrame): DataFrame =
+        Postings.build(df, withDl = false)
+          .select(col("doc_id"), col("term"), col("tf"),
+            col("w").as(ZSetFrame.W))
+      val template = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("w", lit(1L))
+      val st = new CosineState(
+        ZSetFrame.fromDelta(toPostings(template.where(lit(false)))),
+        Postings.CosineCentroids, 32)
+      val acc = new graft.incremental.Incremental.State(ZSetFrame.fromDelta(
+        toPostings(template.where(lit(false)))
+          .select(col("doc_id"), lit("").as("cid"), lit(0L).as("cos_q"),
+            col(ZSetFrame.W))))
+      val schema = s.read.parquet(staged).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+      try {
+        driveForeachBatch(src, "graft_scos_ck") { batch =>
+          acc.update(st.step(ZSetFrame.fromDelta(toPostings(batch))))
+        } {
+          acc.acc.consolidate.toDF
+            .select("doc_id", "cid", "cos_q")
+            .localCheckpoint(true)
+        }
+      } finally st.close()
     })
   )
 
@@ -1071,6 +1125,10 @@ object StreamingQueries extends QueryModule {
     // t15's oracle VERBATIM (shared generator): batch per-doc PMI
     // association sum over the surviving corpus
     "q91_stream_inc_pmi" -> Postings.pmiOracleSql("doc_id % 10 <> 3"),
+    // t16's oracle VERBATIM (shared generator): batch per-doc best-centroid
+    // cosine over the surviving corpus — iq and the cosine IEEE sequence
+    // are CosineState's token-for-token
+    "q93_stream_inc_cosine" -> Postings.cosineTop1OracleSql("doc_id % 10 <> 3"),
     "q33_stream_tumble" ->
       s"""SELECT epoch_ms(ts) - epoch_ms(ts) % 3600000 AS wstart, event_type,
             count(*) AS n, ${oSum("value")} AS sum_value

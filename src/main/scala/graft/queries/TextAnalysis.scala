@@ -46,6 +46,22 @@ object TextAnalysis extends QueryModule {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Delete a per-invocation /tmp scratch tree (the durable-restart
+    * queries' state dirs) — best-effort, and the Files.walk stream is
+    * CLOSED (ADVICE r16: the old iterator-to-Seq form never closed the
+    * stream — one leaked directory handle per bench invocation). */
+  private def deleteScratchTree(path: String): Unit =
+    try {
+      import java.nio.file.{Files, Path, Paths}
+      val root = Paths.get(path)
+      if (Files.exists(root)) {
+        val walk = Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => { Files.deleteIfExists(p); () })
+        finally walk.close()
+      }
+    } catch { case _: Throwable => () }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TF-IDF top term per document — the doc-term-matrix shape every
     // keyword-extraction / BM25-retrieval pipeline runs. tf from one
@@ -258,6 +274,10 @@ object TextAnalysis extends QueryModule {
           (0 until E).map { i =>
             if (i == 1) { // driver restart point: drop memory, resume from disk
               st.close()
+              // null BETWEEN close and restore (ADVICE r16): if restore
+              // throws, the finally below must not close the already-closed
+              // state a second time
+              st = null
               st = graft.incremental.Bm25State.restore(s, path, qterms, nB)
             }
             st.step(ZSetFrame.fromTable(
@@ -271,17 +291,8 @@ object TextAnalysis extends QueryModule {
         ZSetFrame.sumAll(outs).consolidate.toDF
           .select("doc_id", "score_q", "rnk")
       } finally {
-        st.close()
-        // the durable state dir is per-invocation scratch — delete it or
-        // every bench rep leaks a posting-trace parquet into /tmp
-        try {
-          import java.nio.file.{Files, Paths}
-          import scala.jdk.CollectionConverters._
-          val root = Paths.get(path)
-          if (Files.exists(root))
-            Files.walk(root).iterator().asScala.toSeq.reverse
-              .foreach(p => Files.deleteIfExists(p))
-        } catch { case _: Throwable => () }
+        if (st != null) st.close()
+        deleteScratchTree(path)
       }
     }),
 

@@ -25,22 +25,28 @@ object SqlProgram {
   /** Split on top-level semicolons: quotes ('', "", ``), `--` line
     * comments AND `/* … */` bracketed comments are respected (code-review
     * r16: a `;` inside a bracketed comment used to split the program
-    * mid-comment); a trailing statement needs no `;`. Fragments that are
-    * COMMENT-ONLY after the last semicolon are dropped — Spark accepts a
-    * program ending in `; -- done`, so run() must too. */
+    * mid-comment); a trailing statement needs no `;`. Bracketed comments
+    * NEST, as Spark's lexer accepts (SPARK-28880) — a depth counter, not a
+    * boolean, or a top-level `;` after an inner comment-close splits
+    * mid-comment (ADVICE r16). Fragments that are COMMENT-ONLY after the last
+    * semicolon are dropped — Spark accepts a program ending in `; -- done`,
+    * so run() must too. */
   private[graft] def split(program: String): Seq[String] = {
     val stmts = scala.collection.mutable.Buffer[String]()
     val sb = new StringBuilder
     var quote: Char = 0
     var comment = false
-    var block = false
+    var block = 0 // bracketed-comment nesting depth
     var i = 0
     while (i < program.length) {
       val c = program.charAt(i)
-      if (block) {
+      if (block > 0) {
         sb += c
         if (c == '*' && i + 1 < program.length && program.charAt(i + 1) == '/') {
-          sb += '/'; i += 1; block = false
+          sb += '/'; i += 1; block -= 1
+        } else if (c == '/' && i + 1 < program.length &&
+            program.charAt(i + 1) == '*') {
+          sb += '*'; i += 1; block += 1
         }
       } else if (comment) {
         sb += c
@@ -59,7 +65,7 @@ object SqlProgram {
         case '-' if i + 1 < program.length && program.charAt(i + 1) == '-' =>
           comment = true; sb += c
         case '/' if i + 1 < program.length && program.charAt(i + 1) == '*' =>
-          block = true; sb += c
+          block = 1; sb += c; sb += '*'; i += 1
         case ';' => stmts += sb.toString; sb.clear()
         case _ => sb += c
       }
@@ -80,8 +86,19 @@ object SqlProgram {
         val nl = s.indexOf('\n', i)
         i = if (nl < 0) s.length else nl + 1
       } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
-        val end = s.indexOf("*/", i + 2)
-        i = if (end < 0) s.length else end + 2
+        // nesting-aware skip (ADVICE r16): scan with a depth counter so an
+        // inner */ does not end the outer comment early
+        var depth = 1
+        var j = i + 2
+        while (depth > 0 && j < s.length) {
+          if (s.charAt(j) == '*' && j + 1 < s.length && s.charAt(j + 1) == '/') {
+            depth -= 1; j += 2
+          } else if (s.charAt(j) == '/' && j + 1 < s.length &&
+              s.charAt(j + 1) == '*') {
+            depth += 1; j += 2
+          } else j += 1
+        }
+        i = if (depth > 0) s.length else j
       } else if (c.isWhitespace) i += 1
       else return false
     }
