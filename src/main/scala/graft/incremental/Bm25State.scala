@@ -116,15 +116,16 @@ final class MultiBm25State(emptyPosting: ZSetFrame,
                            durablePath: Option[String] = None) {
   import ZSetFrame.W
 
-  private var durIdx: Option[DurableKeyedState] =
-    durablePath.map(p => DurableKeyedState.create(
-      p, Seq("doc_id"), nBuckets, emptyPosting))
+  private var durIdx: Option[DurableMirror] =
+    durablePath.map(p => DurableMirror.create(
+      p, Seq("doc_id"), nBuckets, emptyPosting,
+      MultiBm25State.IntentFile, MultiBm25State.ConstsFile))
 
   /** Restore-path constructor: ATTACH to an existing durable trace instead
     * of create-resetting it (see [[MultiBm25State.restore]]). */
   private[incremental] def this(emptyPosting: ZSetFrame,
       qsets: Seq[(String, Seq[String])], nBuckets: Int, topK: Int,
-      grid: Double, dur: DurableKeyedState) = {
+      grid: Double, dur: DurableMirror) = {
     this(emptyPosting, qsets, nBuckets, topK, grid, None)
     durIdx = Some(dur)
   }
@@ -252,15 +253,14 @@ final class MultiBm25State(emptyPosting: ZSetFrame,
     //    docs are in `affected`, so affB covers the merge's touched buckets
     qIdx.merge(ZSetFrame.fromDelta(delta.df.where(col("term").isin(ulits: _*))),
       checkpointDelta = false, knownTouched = Some(affB), append = true)
-    // 5b. durable mirror: INTENT marker first (the commit-protocol guard —
-    //     see the durIdx scaladoc), then the same U-restricted delta lands
-    //     in the disk-backed trace (touched-partition rewrite; affB is a
+    // 5b. durable mirror: INTENT marker first (the DurableMirror commit
+    //     protocol), then the same U-restricted delta lands in the
+    //     disk-backed trace (touched-partition rewrite; affB is a
     //     superset of the delta's span, so crossing steps rewrite a few
     //     extra buckets unchanged — correct by merge's superset contract)
-    durIdx.foreach { d =>
-      DurableKeyedState.atomicWrite(d.path,
-        MultiBm25State.IntentFile, s"gen=${stepGen + 1}\n")
-      d.merge(
+    durIdx.foreach { m =>
+      m.intend(stepGen + 1)
+      m.merge(
         ZSetFrame.fromDelta(delta.df.where(col("term").isin(ulits: _*))),
         knownTouched = Some(affB))
     }
@@ -322,10 +322,10 @@ final class MultiBm25State(emptyPosting: ZSetFrame,
     topIdx.merge(out, checkpointDelta = false, knownTouched = Some(outB))
     prevStepPins = Seq(affected)
     // 9. durable COMMIT point: the constants sidecar (atomic rename) lands
-    //    LAST, with gen == the intent's — see the durIdx commit protocol
+    //    LAST, with gen == the intent's — see the DurableMirror protocol
     stepGen += 1
-    durIdx.foreach(d => MultiBm25State.writeConsts(
-      d.path, stepGen, nDocs, tToks, dfU.toMap, qsets, topK, grid))
+    durIdx.foreach(_.commit(stepGen,
+      MultiBm25State.constsOf(nDocs, tToks, dfU.toMap, qsets, topK, grid)))
     out
   }
 
@@ -374,21 +374,20 @@ final class MultiBm25State(emptyPosting: ZSetFrame,
 }
 
 object MultiBm25State {
-  private val ConstsFile = "_graft_bm25_consts.txt"
+  private[incremental] val ConstsFile = "_graft_bm25_consts.txt"
   private[incremental] val IntentFile = "_graft_bm25_intent.txt"
 
   private def qsetsSig(qsets: Seq[(String, Seq[String])]): String =
     qsets.map { case (q, ts) => s"$q:${ts.mkString("|")}" }.mkString(";")
 
-  private[incremental] def writeConsts(path: String, gen: Long, n: Long,
-      t: Long, df: Map[String, Long],
-      qsets: Seq[(String, Seq[String])], topK: Int, grid: Double): Unit = {
-    val body = (Seq(s"gen=$gen", s"nDocs=$n", s"tToks=$t",
-      s"qsets=${qsetsSig(qsets)}", s"topK=$topK", s"grid=$grid") ++
-      df.toSeq.sortBy(_._1).map { case (k, v) => s"df.$k=$v" })
-      .mkString("", "\n", "\n")
-    DurableKeyedState.atomicWrite(path, ConstsFile, body)
-  }
+  /** The state's constants codec (the DurableMirror sidecar body). */
+  private[incremental] def constsOf(n: Long, t: Long, df: Map[String, Long],
+      qsets: Seq[(String, Seq[String])], topK: Int, grid: Double)
+      : Seq[(String, String)] =
+    Seq("nDocs" -> n.toString, "tToks" -> t.toString,
+      "qsets" -> qsetsSig(qsets), "topK" -> topK.toString,
+      "grid" -> grid.toString) ++
+      df.toSeq.sortBy(_._1).map { case (k, v) => s"df.$k" -> v.toString }
 
   /** Re-attach to a durable retrieval state written by a
     * `durablePath`-enabled instance — the recovery path (a fresh driver
@@ -402,10 +401,11 @@ object MultiBm25State {
   def restore(spark: org.apache.spark.sql.SparkSession, path: String,
               qsets: Seq[(String, Seq[String])], nBuckets: Int,
               topK: Int = 10, grid: Double = 1e6): MultiBm25State = {
-    val lines = java.nio.file.Files.readAllLines(
-      java.nio.file.Paths.get(path, ConstsFile))
-    val kv = lines.toArray(Array.empty[String]).filter(_.contains("="))
-      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+    // torn-step detection + trace re-attach live in the shared protocol
+    // (DurableMirror, VERDICT r16 #4); the state-identity validations
+    // below are this state's own constants codec
+    val (mirror, kv) = DurableMirror.attach(spark, path, nBuckets,
+      IntentFile, ConstsFile, "retrieval")
     require(kv("qsets") == qsetsSig(qsets),
       "graft: MultiBm25State.restore qsets do not match the durable " +
         s"state's (stored ${kv("qsets")}) — the trace is restricted to the " +
@@ -417,30 +417,10 @@ object MultiBm25State {
         kv.get("grid").forall(_.toDouble == grid),
       s"graft: MultiBm25State.restore topK/grid ($topK/$grid) do not match " +
         s"the durable state's (${kv.get("topK")}/${kv.get("grid")})")
-    // TORN-STEP DETECTION (the commit protocol — see the durIdx scaladoc):
-    // an intent newer than the committed gen means a step crashed between
-    // its trace write window and its commit; the trace may hold that
-    // step's postings under the PREVIOUS constants, and replaying the
-    // delta would double-apply it. Refuse loudly.
-    val intentPath = java.nio.file.Paths.get(path, IntentFile)
-    if (java.nio.file.Files.exists(intentPath)) {
-      val ikv = java.nio.file.Files.readAllLines(intentPath)
-        .toArray(Array.empty[String]).filter(_.contains("="))
-        .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
-      require(ikv.get("gen").exists(_.toLong == kv("gen").toLong),
-        s"graft: durable retrieval state at $path is TORN — intent gen " +
-          s"${ikv.get("gen")} vs committed gen ${kv("gen")}: a step crashed " +
-          "mid-commit and its delta may be partially applied; restore from " +
-          "a state snapshot (or run the durable trace on a transactional " +
-          "table format) instead of replaying")
-    }
-    val dur = DurableKeyedState.restore(spark, path)
-    require(dur.nBuckets == nBuckets,
-      s"graft: durable trace has ${dur.nBuckets} buckets, caller asked $nBuckets")
-    val snapshot = dur.snapshot.consolidate
+    val snapshot = mirror.dur.snapshot.consolidate
     val st = new MultiBm25State(
       ZSetFrame.fromDelta(snapshot.df.where(org.apache.spark.sql.functions.lit(false))),
-      qsets, nBuckets, topK, grid, dur)
+      qsets, nBuckets, topK, grid, mirror)
     st.nDocs = kv("nDocs").toLong
     st.tToks = kv("tToks").toLong
     kv.foreach { case (k, v) =>

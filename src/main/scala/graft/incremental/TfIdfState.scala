@@ -55,8 +55,42 @@ final class TfIdfState(emptyTf: ZSetFrame, val nBuckets: Int,
                          * cross once df ≳ tf·C), fine enough to rank terms
                          * within a doc. Tests shrink it to force the
                          * pruning regime at toy corpus sizes. */
-                       val C: Long = 10000L) {
+                       val C: Long = 10000L,
+                       /** DURABLE mirror of the posting set (VERDICT r16
+                         * #4 — the second Screened state on the shared
+                         * [[DurableMirror]] intent/commit protocol): when
+                         * set, every step also merges its full delta into
+                         * a doc-keyed disk-backed [[DurableKeyedState]]
+                         * and commits a constants sidecar. The postings +
+                         * C are the state's PRIMARY data; all four
+                         * in-memory traces are derivable — tfIdx/fwdIdx
+                         * are the postings keyed two ways, dfIdx is the
+                         * per-term presence count over them, top1 is the
+                         * batch argmax under the current df — and are
+                         * REBUILT at [[TfIdfState.restore]], bit-identical
+                         * by the screen's exactness induction (every
+                         * stored top-1 row equals a from-scratch batch
+                         * evaluation under the current constants). */
+                       durablePath: Option[String] = None) {
   import ZSetFrame.W
+
+  private var durIdx: Option[DurableMirror] =
+    durablePath.map(p => DurableMirror.create(
+      p, Seq("doc_id"), nBuckets, emptyTf,
+      TfIdfState.IntentFile, TfIdfState.ConstsFile))
+
+  /** Restore-path constructor: ATTACH to an existing durable trace instead
+    * of create-resetting it (see [[TfIdfState.restore]]). */
+  private[incremental] def this(emptyTf: ZSetFrame, nBuckets: Int, C: Long,
+      dur: DurableMirror) = {
+    this(emptyTf, nBuckets, C, None)
+    durIdx = Some(dur)
+  }
+
+  /** Completed-step counter — the durable mirror's commit generation (the
+    * caller's ack watermark; see [[DurableMirror]]). */
+  private var stepGen = 0L
+  def committedGen: Long = stepGen
 
   /** floor(tf·C/df) as EXACT integer arithmetic: (tf·C − (tf·C mod df)) is
     * divisible by df, so the IEEE division is integer/integer with an
@@ -179,6 +213,14 @@ final class TfIdfState(emptyTf: ZSetFrame, val nBuckets: Int,
       throw e
     }
     fwdTask.get()
+    // 4b. durable mirror (the DurableMirror intent/commit protocol):
+    //     INTENT marker, then the FULL delta lands in the doc-keyed
+    //     disk-backed trace (touched-partition rewrite; docBuckets is the
+    //     caller-threaded superset of the delta's doc span when present)
+    durIdx.foreach { m =>
+      m.intend(stepGen + 1)
+      m.merge(delta, knownTouched = docBuckets)
+    }
     // 5. df index: replace the moved terms' aggregated rows
     val dfDelta = ZSetFrame.fromDelta(
       moved.where(col("df_new") =!= 0L)
@@ -215,6 +257,10 @@ final class TfIdfState(emptyTf: ZSetFrame, val nBuckets: Int,
     // is a published diagnostic; moved feeds nothing after this point but
     // shares the retire cadence for uniformity)
     prevStepPins = Seq(moved, affected)
+    // 8. durable COMMIT point: the constants sidecar (atomic rename) lands
+    //    LAST, with gen == the intent's — see the DurableMirror protocol
+    stepGen += 1
+    durIdx.foreach(_.commit(stepGen, Seq("c" -> C.toString)))
     out
   }
 
@@ -222,5 +268,66 @@ final class TfIdfState(emptyTf: ZSetFrame, val nBuckets: Int,
     prevStepPins.foreach(Pinned.release)
     prevStepPins = Nil
     tfIdx.close(); fwdIdx.close(); dfIdx.close(); top1.close()
+  }
+
+  /** Rebuild the derived indexes (dfIdx, top1) from the bulk-loaded
+    * posting indexes — the restore path's second half. Exact by the
+    * screen's induction: every pre-crash stored top-1 row equals a
+    * from-scratch batch evaluation under the current df values, so the
+    * rebuilt indexes are bit-identical to the lost in-memory ones and
+    * subsequent steps emit the same replacement deltas an uninterrupted
+    * run would. Emits nothing (the consumer already holds the integrated
+    * pre-restart output). */
+  private def rebuildDerived(): Unit = {
+    val all: Option[Seq[Int]] = Some(0 until nBuckets) // full rebuild: no discovery jobs
+    val postings = fwdIdx.view(0 until nBuckets).consolidate.df
+    // df = per-term presence count (postings are unique per (doc, term))
+    val dfRows = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    dfIdx.merge(ZSetFrame.fromDelta(
+      dfRows.select(col("term"), col("df"), lit(1L).as(W))),
+      knownTouched = all)
+    val scored = postings
+      .join(dfIdx.view(0 until nBuckets).consolidate.df, Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf"),
+        scoreQ(col("tf"), col("df")).as("score_q"))
+    val newTop = scored.withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("score_q").desc, col("term").asc)))
+      .where(col("rn") === 1)
+      .select("doc_id", "term", "tf", "score_q")
+    top1.merge(ZSetFrame.fromTable(newTop), knownTouched = all)
+  }
+}
+
+object TfIdfState {
+  private[incremental] val ConstsFile = "_graft_tfidf_consts.txt"
+  private[incremental] val IntentFile = "_graft_tfidf_intent.txt"
+
+  /** Re-attach to a durable tf-idf state written by a `durablePath`-enabled
+    * instance — the recovery path (a fresh driver resumes the CDC replay
+    * where the last COMMITTED step left off): the posting set comes back
+    * through the shared [[DurableMirror.attach]] (torn-step refusal
+    * included), is bulk-loaded into the two in-memory posting indexes
+    * (term- and doc-keyed), and the derived df/top-1 indexes are rebuilt
+    * from scratch (exact — see `rebuildDerived`). `restored.committedGen`
+    * tells the CDC source which deltas to replay. */
+  def restore(spark: org.apache.spark.sql.SparkSession, path: String,
+              nBuckets: Int, C: Long = 10000L): TfIdfState = {
+    val (mirror, kv) = DurableMirror.attach(spark, path, nBuckets,
+      IntentFile, ConstsFile, "tf-idf")
+    // C is the state's identity: a restore under a different quantization
+    // would rebuild top-1 rows that never cancel against the consumer's
+    // integrated pre-restart output
+    require(kv.get("c").forall(_.toLong == C),
+      s"graft: TfIdfState.restore quantization C ($C) does not match the " +
+        s"durable state's (${kv.get("c")})")
+    val snapshot = mirror.dur.snapshot.consolidate
+    val st = new TfIdfState(
+      ZSetFrame.fromDelta(snapshot.df.where(lit(false))), nBuckets, C, mirror)
+    st.stepGen = kv("gen").toLong
+    st.tfIdx.merge(snapshot)
+    st.fwdIdx.merge(snapshot)
+    st.rebuildDerived()
+    st
   }
 }

@@ -296,6 +296,56 @@ object TextAnalysis extends QueryModule {
       }
     }),
 
+    // DURABLE RESTART FOR THE TF-IDF SCREENED STATE (q94, VERDICT r16 #4
+    // — the reference persists EVERY trace, not one operator's:
+    // crates/dbsp/src/trace/persistent/mod.rs): t12's CDC replay with the
+    // posting set mirrored into a doc-keyed DurableKeyedState parquet
+    // table through the SHARED DurableMirror intent/commit protocol
+    // (factored out of the BM25 family this round — each state supplies
+    // only its constants codec and derived-index rebuild). Mid-replay the
+    // in-memory state is torn down and re-attached from disk — tfIdx/
+    // fwdIdx bulk-load from the durable postings, dfIdx/top1 rebuild from
+    // scratch under the recorded quantization C (bit-identical by the
+    // screen's exactness induction) — and the replay continues; the
+    // integrated output must still equal t12's batch top-term query over
+    // the surviving corpus. Proportions mirror q92's (the restart
+    // boundary is the property, not replay length): half corpus, 2 insert
+    // epochs on even residues + the doc_id%10==4 retraction, 8 buckets.
+    "q94_durable_tfidf" -> ((s, dir) => {
+      import graft.core.ZSetFrame
+      val E = 2
+      val nB = 8
+      val tfAll = Postings.build(
+          t(s, dir, "documents").select(col("doc_id"), col("text"))
+            .where(pmod(col("doc_id"), lit(2)) === 0),
+          withDl = false)
+        .localCheckpoint(true)
+      val path = s"/tmp/graft_durable_q94_${System.nanoTime()}"
+      var st = new graft.incremental.TfIdfState(
+        ZSetFrame.fromTable(tfAll.where(lit(false))), nB,
+        durablePath = Some(path))
+      try {
+        val outs =
+          (0 until E).map { i =>
+            if (i == 1) { // driver restart point: drop memory, resume from disk
+              st.close()
+              st = null // see q92: a throwing restore must not double-close
+              st = graft.incremental.TfIdfState.restore(s, path, nB)
+            }
+            st.step(ZSetFrame.fromTable(
+              tfAll.where(pmod(col("doc_id"), lit(2 * E)) === 2 * i)))
+          } :+
+          st.step(ZSetFrame.fromDelta(
+            tfAll.where(pmod(col("doc_id"), lit(10)) === 4)
+              .withColumn(ZSetFrame.W, lit(-1L))))
+        ZSetFrame.sumAll(outs).consolidate.toDF
+          .select("doc_id", "term", "tf", "score_q")
+      } finally {
+        if (st != null) st.close()
+        deleteScratchTree(path)
+      }
+    }),
+
     // MULTI-QUERY INCREMENTAL RETRIEVAL (t14, VERDICT r13 #7) — a real
     // retrieval index serves MANY standing ranked queries, not one:
     // MultiBm25State maintains four concurrent query sets (one of them
@@ -859,6 +909,12 @@ object TextAnalysis extends QueryModule {
       // integrated output (the persistent-spine recovery property)
       "q92_durable_bm25" ->
         Postings.bm25Top10OracleSql("doc_id % 10 <> 4 AND doc_id % 2 = 0"),
+
+      // t12's batch oracle over q94's half-corpus replay (retraction on
+      // the EVEN residue 4): a mid-replay teardown+restore from the
+      // durable posting set must change NOTHING in the integrated output
+      "q94_durable_tfidf" ->
+        Postings.tfidfTop1OracleSql("doc_id % 10 <> 4 AND doc_id % 2 = 0"),
 
       // batch per-doc best-centroid cosine over the surviving corpus —
       // t16's integrated replacement deltas must match it bit-for-bit

@@ -189,6 +189,72 @@ class DurableStateSpec extends SparkSpec {
     assert(et.getMessage.contains("TORN"))
   }
 
+  /** Deterministic toy postings for the TfIdf durable-restart law (the
+    * bmDoc shape without dl — TfIdf is length-free). */
+  private def tfDelta(s: SparkSession, ids: Seq[Int], w: Long): ZSetFrame = {
+    import s.implicits._
+    ZSetFrame.fromDelta(ids.flatMap(bmDoc)
+      .map { case (d, t, tf, _) => (d, t, tf, w) }
+      .toDF("doc_id", "term", "tf", ZSetFrame.W))
+  }
+
+  test("durable TfIdf: teardown + new-session restore resumes exactly (VERDICT r16 #4)") {
+    import graft.incremental.TfIdfState
+    def emptyP(s: SparkSession) = {
+      import s.implicits._
+      ZSetFrame.fromTable(Seq.empty[(Long, String, Long)]
+        .toDF("doc_id", "term", "tf"))
+    }
+    val steps: Seq[(Seq[Int], Long)] = Seq(
+      (0 until 10, 1L), (10 until 18, 1L), (Seq(3, 11), -1L),
+      (18 until 24, 1L), (Seq(5, 20), -1L))
+    // uninterrupted control: plain in-memory state (shrunken C so the df
+    // drift actually crosses floors — the pruning regime at toy sizes)
+    val st1 = new TfIdfState(emptyP(spark), nBuckets = 8, C = 40L)
+    val outs1 = steps.map { case (ids, w) => st1.step(tfDelta(spark, ids, w)) }
+    st1.close()
+    // durable run: 3 steps, TEARDOWN (every in-memory trace released),
+    // restore on a FRESH SparkSession through the SHARED DurableMirror
+    // protocol, remaining 2 steps
+    val dir = java.nio.file.Files.createTempDirectory("graft_durtf").toString
+    var st2 = new TfIdfState(emptyP(spark), nBuckets = 8, C = 40L,
+      durablePath = Some(dir))
+    val outsA = steps.take(3).map { case (ids, w) =>
+      st2.step(tfDelta(spark, ids, w)) }
+    assert(st2.committedGen == 3L)
+    st2.close()
+    val s2 = spark.newSession()
+    st2 = TfIdfState.restore(s2, dir, nBuckets = 8, C = 40L)
+    assert(st2.committedGen == 3L) // the sidecar's ack watermark round-trips
+    val outsB = steps.drop(3).map { case (ids, w) =>
+      st2.step(tfDelta(s2, ids, w)) }
+    st2.close()
+    // identical integrated output stream — recovery loses nothing
+    assertSameRows(
+      ZSetFrame.sumAll(outs1).consolidate.df,
+      (ZSetFrame.sumAll(outsA).consolidate.df
+        unionByName ZSetFrame.sumAll(outsB).consolidate.df)
+        .groupBy("doc_id", "term", "tf", "score_q")
+        .agg(sum(ZSetFrame.W).as(ZSetFrame.W))
+        .where(col(ZSetFrame.W) =!= 0))
+    // attaching with a DIFFERENT quantization must fail loudly: C is the
+    // state's identity — a mismatched restore would rebuild top-1 rows
+    // that never cancel against the consumer's integrated output
+    val ec = intercept[IllegalArgumentException] {
+      TfIdfState.restore(s2, dir, nBuckets = 8, C = 999L)
+    }
+    assert(ec.getMessage.contains("quantization C"))
+    // TORN-STEP DETECTION through the shared protocol: an intent marker
+    // newer than the committed gen must REFUSE restore
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_graft_tfidf_intent.txt"),
+      "gen=99\n".getBytes("UTF-8"))
+    val et = intercept[IllegalArgumentException] {
+      TfIdfState.restore(s2, dir, nBuckets = 8, C = 40L)
+    }
+    assert(et.getMessage.contains("TORN"))
+  }
+
   test("crash debris: a partition dir outside the committed live set is ignored") {
     // ADVICE r15: the emptied-dir delete runs AFTER the meta's live-bucket
     // commit — a crash between them leaves the stale dir on disk. Readers

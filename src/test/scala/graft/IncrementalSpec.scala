@@ -930,6 +930,57 @@ class IncrementalSpec extends SparkSpec {
     } finally st.close()
   }
 
+  test("Cosine step contract: a weight-0-only delta is a no-op, not a violation (ADVICE r16)") {
+    import graft.incremental.CosineState
+    val empty = ZSetFrame.fromTable(
+      Seq.empty[(Long, String, Long)].toDF("doc_id", "term", "tf"))
+    val st = new CosineState(empty, Seq("ca" -> Seq("a" -> 1L)), nBuckets = 4)
+    try {
+      st.step(ZSetFrame.fromDelta(Seq((1L, "a", 1L, 1L))
+        .toDF("doc_id", "term", "tf", ZSetFrame.W)))
+      // a raw delta may legitimately carry harmless zero-copies rows (the
+      // ZSetFrame w=0 policy); max(abs(w)) is then 0, which must NOT trip
+      // the beyond-±1 check — and the step must change nothing
+      val out = st.step(ZSetFrame.fromDelta(Seq((9L, "a", 1L, 0L))
+        .toDF("doc_id", "term", "tf", ZSetFrame.W)))
+      assert(out.consolidate.df.count() === 0,
+        "a weight-0-only delta must emit no assignment change")
+    } finally st.close()
+  }
+
+  test("CosineState: crossing steps screen only the term-routed bucket span (VERDICT r16 #6)") {
+    import graft.incremental.CosineState
+    val nB = 16
+    val empty = ZSetFrame.fromTable(
+      Seq.empty[(Long, String, Long)].toDF("doc_id", "term", "tf"))
+    // idfCap = 1: iq saturates at idfGrid the moment df > 0, so the FIRST
+    // step (MinValue → 64) crosses and every later N-only drift is quiet —
+    // a controlled one-crossing fixture
+    val st = new CosineState(empty, Seq("ca" -> Seq("a" -> 1L)),
+      nBuckets = nB, idfGrid = 64L, idfCap = 1L)
+    try {
+      st.step(ZSetFrame.fromDelta(Seq(
+          (1L, "a", 1L, 1L), (2L, "a", 2L, 1L), (3L, "x", 1L, 1L))
+        .toDF("doc_id", "term", "tf", ZSetFrame.W)))
+      // the crossing step's screen must scan exactly the buckets that can
+      // hold term-a docs (the term-routed span), not all nB buckets
+      val expected = Seq(1L, 2L).toDF("doc_id")
+        .select(pmod(hash(col("doc_id")), lit(nB)).as("b"))
+        .collect().map(_.getInt(0)).toSet
+      assert(st.lastScreenBuckets.nonEmpty &&
+        st.lastScreenBuckets.toSet == expected,
+        s"screen span ${st.lastScreenBuckets} != term-a doc buckets $expected")
+      assert(st.lastScreenBuckets.size < nB,
+        "span pruning is vacuous - the fixture's span covers every bucket")
+      // N-only drift under the saturated cap: iq unchanged → a QUIET step,
+      // zero buckets screened
+      st.step(ZSetFrame.fromDelta(Seq((4L, "y", 1L, 1L))
+        .toDF("doc_id", "term", "tf", ZSetFrame.W)))
+      assert(st.lastScreenBuckets.isEmpty,
+        "a quiet step must schedule zero cluster-side screening")
+    } finally st.close()
+  }
+
   test("MultiBm25State: concurrent query sets over one shared index ≡ per-query batch top-k") {
     import graft.incremental.MultiBm25State
     // three standing queries; qc SHARES a term with each of qa/qb — a
