@@ -580,7 +580,7 @@ object StepBench {
     * then force a mid-band crossing to show the fan-out cost. Returns
     * (times, affected fractions), quiet then burst. */
   def runCosSim(spark: SparkSession, nDocs: Long, steps: Int,
-                nB: Int, bursts: Int = 2): (Seq[Double], Seq[Double]) = {
+                nB: Int, bursts: Int = 2): (Seq[Double], Seq[Double], Seq[Int]) = {
     import spark.implicits._
     import graft.incremental.CosineState
     val cents = graft.queries.Postings.CosineCentroids
@@ -629,12 +629,17 @@ object StepBench {
     graft.incremental.Pinned.release(
       st.step(ZSetFrame.fromTable(postings(0, nDocs))).df)
     val prunes = scala.collection.mutable.Buffer[Double]()
+    // per-step screen-span size (VERDICT r16 #6 evidence: 0 on quiet
+    // steps; on crossing steps, the number of BUCKETS the term-routed
+    // span actually scanned — sub-nB = the screen is bucket-pruned)
+    val spans = scala.collection.mutable.Buffer[Int]()
     def timed(delta: ZSetFrame): Double = {
       val t0 = System.nanoTime()
       val out = st.step(delta)
       val dt = (System.nanoTime() - t0) / 1e9
       graft.incremental.Pinned.release(out.df)
       prunes += st.lastAffected.count().toDouble / nDocs
+      spans += st.lastScreenBuckets.size
       dt
     }
     val D = 2L
@@ -658,7 +663,7 @@ object StepBench {
             lit(1L).as("tf"), lit(1L).as(ZSetFrame.W))))
     }
     st.close()
-    (quiet ++ burst, prunes.toSeq)
+    (quiet ++ burst, prunes.toSeq, spans.toSeq)
   }
 
   /** The base tier. `full = false` (the default / driver run) trims the
@@ -793,6 +798,30 @@ object StepBench {
         pmiPruneS = if (pr.nonEmpty) pr.max else 0.0; ts })(
       () => { val (ts, pr) = runPmi(spark, base * 10, steps, 640, bursts = 0)
         pmiPruneL = if (pr.nonEmpty) pr.max else 0.0; ts })
+    // cossim (VERDICT r16 #3): the QUIET floor promoted to a gated pair
+    // per the one-round seasoning rule — STEPBENCH.md r16 carries the two
+    // clean reproductions (quiet floors 2.43→2.24 / 1.49→1.24 s, prune
+    // series bit-identical across runs, affected fraction 0.0000 at 5M).
+    // A quiet step is driver arithmetic + O(Δ) routing (the pmi shape
+    // with TF-IDF's affected-set economics), so it samples at 1× steps
+    // with the outlier policy as the safety net; bursts are load-
+    // dependent BY DESIGN (the 1/N crossing-rate law) and stay
+    // diagnostic-only. The max screen-span count rides along: 0 when the
+    // whole run was quiet, sub-nB when the r17 term-routed span pruned a
+    // crossing, nB when a capped mid-band crossing legitimately saturated
+    // it (see CosineState.termSpan's pruning envelope) — the committed
+    // artifact shows which regime the run hit.
+    var cosPruneS = 0.0
+    var cosPruneL = 0.0
+    var cosSpanS = 0
+    var cosSpanL = 0
+    val (cS, cL, cG) = gated("cossim")(
+      () => { val (ts, pr, sp) = runCosSim(spark, base, steps, 64, bursts = 0)
+        cosPruneS = if (pr.nonEmpty) pr.max else 0.0
+        cosSpanS = if (sp.nonEmpty) sp.max else 0; ts })(
+      () => { val (ts, pr, sp) = runCosSim(spark, base * 10, steps, 640, bursts = 0)
+        cosPruneL = if (pr.nonEmpty) pr.max else 0.0
+        cosSpanL = if (sp.nonEmpty) sp.max else 0; ts })
     // galen: the 6-rule mutual recursion (GalenBench) at 1× and 10× the
     // parent-forest size. Unlike the other tracks, a galen iteration's
     // delta GROWS with n (the closure is n·log₂ n facts split over ~6
@@ -834,11 +863,11 @@ object StepBench {
     // lands outside [0.5, 1.5]; all pairs in gate_runs)
     val gateRunsJson = gateRunsJsonStr(gateRuns)
     lastCompact =
-      f"""{"keyed":$kG%.2f,"upsert":$uG%.2f,"rolling":$rG%.2f,"radix_scaled":$xG%.2f,"dedup":$dG%.2f,"ann":$aG%.2f,"tri":$tG%.2f,"tfidf":${tfL / tfS}%.2f,"pmi":$pG%.2f,"naive":${nL / nS}%.2f,$costTotalsJson}"""
+      f"""{"keyed":$kG%.2f,"upsert":$uG%.2f,"rolling":$rG%.2f,"radix_scaled":$xG%.2f,"dedup":$dG%.2f,"ann":$aG%.2f,"tri":$tG%.2f,"tfidf":${tfL / tfS}%.2f,"pmi":$pG%.2f,"cossim":$cG%.2f,"naive":${nL / nS}%.2f,$costTotalsJson}"""
     val statLabel =
-      if (full) "per_step_floor_one_seed_3x_steps_upsert_tri_5x_pmi_1x_outlier_median_of_3"
-      else "per_step_floor_one_seed_trimmed_2x_steps_pmi_1x_outlier_median_of_3"
-    f"""{"stat":"$statLabel","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"keyed_small_sec":$kS%.3f,"keyed_large_sec":$kL%.3f,"naive_steps_small":$nStepsS,"naive_steps_large":$nStepsL,"naive_small_sec":$nS%.3f,"naive_large_sec":$nL%.3f,"upsert_small_sec":$uS%.3f,"upsert_large_sec":$uL%.3f,"rolling_small_sec":$rS%.3f,"rolling_large_sec":$rL%.3f,"radix_small_sec":$xS%.3f,"radix_large_sec":$xL%.3f,"radix_scaled_large_sec":$xSc%.3f,"dedup_small_sec":$dS%.3f,"dedup_large_sec":$dL%.3f,"ann_small_sec":$aS%.3f,"ann_large_sec":$aL%.3f,"tri_small_sec":$tS%.3f,"tri_large_sec":$tL%.3f,"tfidf_small_sec":$tfS%.3f,"tfidf_large_sec":$tfL%.3f,"tfidf_prune_small":${tfSp.max}%.4f,"tfidf_prune_large":${tfLp.max}%.4f,"pmi_small_sec":$pS%.3f,"pmi_large_sec":$pL%.3f,"pmi_prune_small":$pmiPruneS%.4f,"pmi_prune_large":$pmiPruneL%.4f,$galenJson,"keyed_growth":$kG%.2f,"naive_growth":${nL / nS}%.2f,"upsert_growth":$uG%.2f,"rolling_growth":$rG%.2f,"radix_growth":${xL / xS}%.2f,"radix_scaled_growth":$xG%.2f,"dedup_growth":$dG%.2f,"ann_growth":$aG%.2f,"tri_growth":$tG%.2f,"tfidf_growth":${tfL / tfS}%.2f,"pmi_growth":$pG%.2f,"gate_runs":$gateRunsJson,"track_cost":$trackCostJson}"""
+      if (full) "per_step_floor_one_seed_3x_steps_upsert_tri_5x_pmi_cossim_1x_outlier_median_of_3"
+      else "per_step_floor_one_seed_trimmed_2x_steps_pmi_cossim_1x_outlier_median_of_3"
+    f"""{"stat":"$statLabel","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"keyed_small_sec":$kS%.3f,"keyed_large_sec":$kL%.3f,"naive_steps_small":$nStepsS,"naive_steps_large":$nStepsL,"naive_small_sec":$nS%.3f,"naive_large_sec":$nL%.3f,"upsert_small_sec":$uS%.3f,"upsert_large_sec":$uL%.3f,"rolling_small_sec":$rS%.3f,"rolling_large_sec":$rL%.3f,"radix_small_sec":$xS%.3f,"radix_large_sec":$xL%.3f,"radix_scaled_large_sec":$xSc%.3f,"dedup_small_sec":$dS%.3f,"dedup_large_sec":$dL%.3f,"ann_small_sec":$aS%.3f,"ann_large_sec":$aL%.3f,"tri_small_sec":$tS%.3f,"tri_large_sec":$tL%.3f,"tfidf_small_sec":$tfS%.3f,"tfidf_large_sec":$tfL%.3f,"tfidf_prune_small":${tfSp.max}%.4f,"tfidf_prune_large":${tfLp.max}%.4f,"pmi_small_sec":$pS%.3f,"pmi_large_sec":$pL%.3f,"pmi_prune_small":$pmiPruneS%.4f,"pmi_prune_large":$pmiPruneL%.4f,"cossim_small_sec":$cS%.3f,"cossim_large_sec":$cL%.3f,"cossim_prune_small":$cosPruneS%.4f,"cossim_prune_large":$cosPruneL%.4f,"cossim_span_max_small":$cosSpanS,"cossim_span_max_large":$cosSpanL,$galenJson,"keyed_growth":$kG%.2f,"naive_growth":${nL / nS}%.2f,"upsert_growth":$uG%.2f,"rolling_growth":$rG%.2f,"radix_growth":${xL / xS}%.2f,"radix_scaled_growth":$xG%.2f,"dedup_growth":$dG%.2f,"ann_growth":$aG%.2f,"tri_growth":$tG%.2f,"tfidf_growth":${tfL / tfS}%.2f,"pmi_growth":$pG%.2f,"cossim_growth":$cG%.2f,"gate_runs":$gateRunsJson,"track_cost":$trackCostJson}"""
   }
 
   /** The XL tier (VERDICT r10 #1): the same flat-growth claims one decade
@@ -1040,13 +1069,17 @@ object StepBench {
       // quiet-floor shape (driver-decided crossings, zero cluster screen
       // on quiet steps) with TF-IDF's affected fan-out on crossing steps.
       Seq((base, 64), (base * 10, 640)).foreach { case (n, nb) =>
-        val (ts, pr) = runCosSim(spark, n, steps, nb)
+        val (ts, pr, sp) = runCosSim(spark, n, steps, nb)
         val (quiet, burst) = ts.splitAt(ts.size - 2)
         System.err.println(
           f"[stepbench cossim n=$n nb=$nb] quiet_floor=${floorOf(quiet)}%.3f " +
             f"burst=${burst.map(t => f"$t%.2f").mkString(",")} | " +
             ts.map(t => f"$t%.2f").mkString(" ") +
-            " | prune " + pr.map(p => f"$p%.4f").mkString(" "))
+            " | prune " + pr.map(p => f"$p%.4f").mkString(" ") +
+            // screen-span series (VERDICT r16 #6): buckets scanned per
+            // step — 0 on quiet steps, sub-nb on crossing steps (the
+            // term-routed span prunes the screen)
+            s" | span ${sp.mkString(" ")} / $nb")
         graft.incremental.Pinned.sweepSession(spark.sparkContext)
       }
     } else if (args.length > 2 && args(2) == "tri") {

@@ -156,7 +156,22 @@ final class CosineState(emptyTf: ZSetFrame,
     * always correct (the semi-join against the broadcast crossed list
     * filters the extra buckets' rows), and monotone growth keeps the
     * invariant trivial — every doc holding term t shipped a (doc, t) delta
-    * row when it arrived, so its bucket is in span(t). */
+    * row when it arrived, so its bucket is in span(t).
+    *
+    * PRUNING ENVELOPE (measured, r17 — be honest about where this pays):
+    * the span prunes when a crossed term's holder set is SMALLER than the
+    * bucket count — new/topical terms, skew-localized corpora, early
+    * corpus life. In the steady mid-band regime it is exact but saturated:
+    * the idf ratio cap freezes any term with df ≤ N/idfCap, so a CROSSABLE
+    * term has ≥ N/idfCap holders, and with buckets ∝ data (bucket size ≫
+    * idfCap) a uniform hash spreads those over every bucket — the StepBench
+    * cossim diagnostic shows exactly that (span = nB on banded-fixture
+    * bursts, 0 on quiet steps; the law test certifies the localized case
+    * prunes). The screen then legitimately degrades to the r16 full
+    * U-restricted scan — no-shuffle, skipped on quiet steps, sublinear
+    * measured burst growth; a term-keyed SECOND posting trace (TfIdfState's
+    * layout) is the shard-or-widen escape if a deployment's crossing steps
+    * ever dominate. */
   private val termSpan = scala.collection.mutable.Map[String, Set[Int]]()
 
   /** Diagnostic: bucket ids the last step's screen actually scanned

@@ -38,10 +38,15 @@ private[incremental] final class DurableMirror(
     DurableKeyedState.atomicWrite(dur.path, intentFile, s"gen=$gen\n")
 
   /** The step's trace write — see [[DurableKeyedState.merge]]'s
-    * touched-bucket superset contract. */
+    * touched-bucket superset contract. merge pins the old touched-bucket
+    * view (it must be materialized before its files are overwritten) for
+    * aggStep-style consumers; a MIRROR never reads it, so release it here
+    * — dropping the tuple leaked one pinned frame per durable step (r17
+    * review; the r16 Bm25 mirror had the same leak, swept only by the
+    * bench's between-query sweepSession). */
   def merge(delta: ZSetFrame, knownTouched: Option[Seq[Int]] = None): Unit = {
-    dur.merge(delta, knownTouched)
-    ()
+    val (oldTouched, _) = dur.merge(delta, knownTouched)
+    Pinned.unpersistTree(oldTouched.df.rdd)
   }
 
   /** Step epilogue — the COMMIT point: gen must equal the intent's. The

@@ -46,6 +46,9 @@ class BenchArtifactSpec extends AnyFunSuite {
       "tri_growth", "tfidf_growth", "galen_growth",
       // the PMI quiet floor, gated since r16 (VERDICT r15 #3)
       "pmi_growth",
+      // the cosine-assignment quiet floor, gated since r17 (VERDICT r16
+      // #3; its max screen-span fraction rides as cossim_span_max_*)
+      "cossim_growth",
       // the XL decade (5M→50M; VERDICT r10 #1)
       "keyed_xl_growth", "upsert_xl_growth", "rolling_xl_growth",
       "radix_scaled_xl_growth", "naive_xl_growth")
