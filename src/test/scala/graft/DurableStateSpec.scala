@@ -255,40 +255,6 @@ class DurableStateSpec extends SparkSpec {
     assert(et.getMessage.contains("TORN"))
   }
 
-  test("durable mirror steps do not leak pinned frames (r17 review)") {
-    // DurableKeyedState.merge pins the old touched-bucket view for
-    // aggStep-style consumers; the mirror path never reads it, and
-    // dropping the returned tuple leaked exactly one pinned frame per
-    // durable step (swept only by the bench's between-query sweep).
-    // DurableMirror.merge now releases it — certified by comparing the
-    // persistent-RDD growth of identical step sequences with and without
-    // the mirror.
-    import graft.incremental.TfIdfState
-    def emptyP(s: SparkSession) = {
-      import s.implicits._
-      ZSetFrame.fromTable(Seq.empty[(Long, String, Long)]
-        .toDF("doc_id", "term", "tf"))
-    }
-    def growth(durablePath: Option[String]): Int = {
-      val st = new TfIdfState(emptyP(spark), nBuckets = 4, C = 40L,
-        durablePath = durablePath)
-      val outs = scala.collection.mutable.Buffer[ZSetFrame]()
-      outs += st.step(tfDelta(spark, 0 until 6, 1L))
-      val start = spark.sparkContext.getPersistentRDDs.size
-      (1 to 6).foreach { i => outs += st.step(tfDelta(spark, Seq(5 + i), 1L)) }
-      val end = spark.sparkContext.getPersistentRDDs.size
-      outs.foreach(o => graft.incremental.Pinned.release(o.df))
-      st.close()
-      end - start
-    }
-    val mem = growth(None)
-    val dur = growth(Some(
-      java.nio.file.Files.createTempDirectory("graft_durleak").toString))
-    assert(dur - mem <= 2,
-      s"durable mirror adds pinned frames per step: growth $dur vs " +
-        s"in-memory $mem over 6 steps")
-  }
-
   test("crash debris: a partition dir outside the committed live set is ignored") {
     // ADVICE r15: the emptied-dir delete runs AFTER the meta's live-bucket
     // commit — a crash between them leaves the stale dir on disk. Readers
