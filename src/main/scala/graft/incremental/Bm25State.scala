@@ -183,6 +183,12 @@ final class MultiBm25State(emptyPosting: ZSetFrame,
   def step(delta: ZSetFrame): ZSetFrame = {
     prevStepPins.foreach(Pinned.release)
     prevStepPins = Nil
+    // 0. LAZY-pin the delta (r17 — measured: the raw plan re-ran the
+    //    caller's tokenize+explode chain in every consumer job of a
+    //    streaming step; the lazy checkpoint materializes inside the stat
+    //    action below and every later job reads pinned blocks — zero extra
+    //    barriers, one delta evaluation)
+    val d = delta.df.localCheckpoint(false)
     // 1. O(Δ) scalar maintenance — ONE bounded action over the delta
     //    (VERDICT r13 #2: this was two driver-synchronous jobs, a first()
     //    for ΔN/ΔT plus a collect() for Δdf — each a ~0.15 s local-mode
@@ -198,14 +204,14 @@ final class MultiBm25State(emptyPosting: ZSetFrame,
     //    the delta, a second shuffle the scalar path deliberately avoids;
     //    callers own it, as the reference's upsert sources own key
     //    uniqueness.)
-    val docAgg = delta.df.select(col("doc_id"), col("dl"), col(W))
+    val docAgg = d.select(col("doc_id"), col("dl"), col(W))
       .distinct()
       .agg(coalesce(sum(col(W)), lit(0L)).as("a"),
         coalesce(sum(col("dl") * col(W)), lit(0L)).as("b"),
         (count(lit(1)) - count_distinct(col("doc_id"), col(W))).as("viol"))
       .select(lit(null).cast("string").as("term"), col("a"), col("b"),
         col("viol"))
-    val ddfAgg = delta.df.where(col("term").isin(ulits: _*))
+    val ddfAgg = d.where(col("term").isin(ulits: _*))
       .groupBy("term").agg(sum(col(W)).as("a"))
       .where(col("a") =!= 0L)
       .select(col("term"), col("a"), lit(0L).as("b"), lit(0L).as("viol"))
@@ -245,34 +251,27 @@ final class MultiBm25State(emptyPosting: ZSetFrame,
     // 4. affected = crossed docs ∪ the delta's matching docs; the bucket
     //    span rides the checkpoint via an Observation (Screened — the d31
     //    discipline shared with TfIdfState)
+    val dU = ZSetFrame.fromDelta(d.where(col("term").isin(ulits: _*)))
     val (affected, affB) = Screened.affectedKeys(screened,
-      delta.df.where(col("term").isin(ulits: _*)).select("doc_id"),
-      "doc_id", nBuckets)
+      dU.df.select("doc_id"), "doc_id", nBuckets)
     lastAffected = affected
-    // 5. index maintenance: O(Δ∩U) spine-append — the delta's matching
-    //    docs are in `affected`, so affB covers the merge's touched buckets
-    qIdx.merge(ZSetFrame.fromDelta(delta.df.where(col("term").isin(ulits: _*))),
-      checkpointDelta = false, knownTouched = Some(affB), append = true)
-    // 5b. durable mirror: INTENT marker first (the DurableMirror commit
-    //     protocol), then the same U-restricted delta lands in the
-    //     disk-backed trace (touched-partition rewrite; affB is a
-    //     superset of the delta's span, so crossing steps rewrite a few
-    //     extra buckets unchanged — correct by merge's superset contract)
-    durIdx.foreach { m =>
-      m.intend(stepGen + 1)
-      m.merge(
-        ZSetFrame.fromDelta(delta.df.where(col("term").isin(ulits: _*))),
-        knownTouched = Some(affB))
-    }
-    // 6. rescore the affected docs against the post-merge index under the
-    //    NEW constants, fanned out to their matching queries by the
-    //    broadcast (query_id, term) dimension; a fully retracted doc (or a
-    //    (query, doc) pair whose last matching posting left) yields no
-    //    row, so its old score is retracted by the replacement delta.
-    //    Unaffected-query rows of an affected doc produce new == old and
-    //    cancel in the Z-set minus — no spurious output.
+    // 5. rescore the affected docs under the NEW constants BEFORE any trace
+    //    merge, over (pre-merge view ⊕ pinned delta) — identical rows to
+    //    the post-merge view (an append merge adds exactly the delta; the
+    //    consolidate absorbs weight splits); fanned out to matching queries
+    //    by the broadcast (query_id, term) dimension. A fully retracted doc
+    //    (or a (query, doc) pair whose last matching posting left) yields
+    //    no row, so its old score is retracted by the replacement delta;
+    //    unaffected-query rows of an affected doc cancel in the Z-set
+    //    minus. The whole two-level top-k cascade below is ONE output
+    //    action (the emission checkpoint): the intermediate replacement
+    //    deltas (scDelta, btDelta) are LAZILY checkpointed, so the action
+    //    pins them as it runs and the trace merges in step 6 read pinned
+    //    blocks instead of recomputing the cascade (r17 — the step drops
+    //    from 7 driver barriers to 4; VERDICT r13 #2 lineage).
     val dfNewTab = dfTab.select(col("term"), col("df_new").as("df"))
-    val rows = qIdx.view(affB).consolidate.df.join(affected, Seq("doc_id"))
+    val rows = (qIdx.view(affB) + dU).consolidate.df
+      .join(affected, Seq("doc_id"))
     val newScores = rows.join(broadcast(dfNewTab), Seq("term"))
       .join(broadcast(qtTab), Seq("term"))
       .select(col("query_id"), col("doc_id"),
@@ -283,12 +282,11 @@ final class MultiBm25State(emptyPosting: ZSetFrame,
       .join(affected, Seq("doc_id"))
       .select("query_id", "doc_id", "score_q")
     val scDelta = (ZSetFrame.fromTable(newScores)
-      - ZSetFrame.fromTable(oldScores)).consolidate
-    scoreIdx.merge(scDelta, checkpointDelta = false, knownTouched = Some(affB))
-    // 7. two-level top-k, level 1: per-(query, bucket) winners replaced
-    //    for exactly the touched buckets — O(touched bucket rows)
+      - ZSetFrame.fromTable(oldScores)).consolidate.localCheckpoint()
+    // two-level top-k, level 1: per-(query, bucket) winners for exactly
+    // the touched buckets — O(touched bucket rows)
     val bEx = pmod(hash(col("doc_id")), lit(nBuckets))
-    val newBT = scoreIdx.view(affB).consolidate.df
+    val newBT = (scoreIdx.view(affB) + scDelta).consolidate.df
       .select("query_id", "doc_id", "score_q")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("query_id"), bEx)
@@ -297,13 +295,11 @@ final class MultiBm25State(emptyPosting: ZSetFrame,
     val oldBT = bucketTop.view(affB).consolidate.df
       .select("query_id", "doc_id", "score_q")
     val btDelta = (ZSetFrame.fromTable(newBT)
-      - ZSetFrame.fromTable(oldBT)).consolidate
-    bucketTop.merge(btDelta, checkpointDelta = false,
-      knownTouched = Some(affB))
-    // 8. level 2: per-query global top-k over the ≤ |Q|·nBuckets·k
-    //    per-bucket winners — a dimension-sized trace, scan-in-place (the
-    //    per-query window sorts winner rows, never data)
-    val cand = bucketTop.view(0 until nBuckets).consolidate.df
+      - ZSetFrame.fromTable(oldBT)).consolidate.localCheckpoint()
+    // level 2: per-query global top-k over the ≤ |Q|·nBuckets·k per-bucket
+    // winners — a dimension-sized trace (the per-query window sorts winner
+    // rows, never data)
+    val cand = (bucketTop.view(0 until nBuckets) + btDelta).consolidate.df
       .select("query_id", "doc_id", "score_q")
     val newTop = cand.withColumn("rnk", row_number().over(
         Window.partitionBy(col("query_id"))
@@ -314,14 +310,38 @@ final class MultiBm25State(emptyPosting: ZSetFrame,
     // topIdx's touched span cannot ride affB: a displaced former winner can
     // live in an untouched bucket — it must come from the (tiny) replacement
     // delta itself, which Screened.replacementDelta hands over for free on
-    // the delta's own eager checkpoint, instead of the dedicated
-    // touchedBuckets discovery job merge() would launch (VERDICT r13 #2 —
-    // one fewer per-step barrier).
+    // the delta's own eager checkpoint (VERDICT r13 #2).
     val (out, outB) = Screened.replacementDelta(newTop, oldTop,
       "doc_id", nBuckets)
-    topIdx.merge(out, checkpointDelta = false, knownTouched = Some(outB))
-    prevStepPins = Seq(affected)
-    // 9. durable COMMIT point: the constants sidecar (atomic rename) lands
+    // 6. trace maintenance, ALL CONCURRENT (Screened.inParallel — the
+    //    generalized aggStep fusion): every merge input is pinned (dU by
+    //    the stat action, scDelta/btDelta by the emission action, out by
+    //    its own checkpoint), every state is independent, so the step pays
+    //    max(merges) instead of four sequential barriers. All four merge in
+    //    APPEND mode — readers consolidate their views, so the spine's
+    //    weight-split rows are invisible and periodic compaction collapses
+    //    them; each merge is one O(Δ) routing job. The durable mirror
+    //    (when present) rides the same block: INTENT lands first
+    //    (driver-side marker), the trace merge runs with its peers, and
+    //    the commit sidecar stays strictly after every merge (affB is a
+    //    superset of the delta's span — correct by merge's contract).
+    durIdx.foreach(_.intend(stepGen + 1))
+    Screened.inParallel(
+      (Seq[(String, () => Unit)](
+        ("q-merge", () => { qIdx.merge(dU, checkpointDelta = false,
+          knownTouched = Some(affB), append = true); () }),
+        ("score-merge", () => { scoreIdx.merge(scDelta,
+          checkpointDelta = false, knownTouched = Some(affB),
+          append = true); () }),
+        ("bucket-merge", () => { bucketTop.merge(btDelta,
+          checkpointDelta = false, knownTouched = Some(affB),
+          append = true); () }),
+        ("top-merge", () => { topIdx.merge(out, checkpointDelta = false,
+          knownTouched = Some(outB), append = true); () })) ++
+        durIdx.map(m => ("durable-merge",
+          () => { m.merge(dU, knownTouched = Some(affB)); () }))): _*)
+    prevStepPins = Seq(d, affected, scDelta.df, btDelta.df)
+    // 7. durable COMMIT point: the constants sidecar (atomic rename) lands
     //    LAST, with gen == the intent's — see the DurableMirror protocol
     stepGen += 1
     durIdx.foreach(_.commit(stepGen,

@@ -208,8 +208,11 @@ final class CosineState(emptyTf: ZSetFrame,
     prevStepPins.foreach(Pinned.release)
     prevStepPins = Nil
     // 0. pin the delta once — the stat action, the index append and the
-    //    affected set all read this one materialization
-    val d = delta.df.localCheckpoint(true)
+    //    affected set all read this one materialization. LAZY since r17:
+    //    the stat action below is the step's first job and materializes it
+    //    as a side effect (one fewer driver barrier per step — the `moved`
+    //    discipline from TfIdfState applied to the delta itself)
+    val d = delta.df.localCheckpoint(false)
     val ut = d.where(col("term").isin(ulits: _*))
     // 1. ONE bounded action: ΔN (distinct doc rows — carrying the
     //    unit-weight contract check) + Δdf per U term (postings are unique
@@ -273,21 +276,21 @@ final class CosineState(emptyTf: ZSetFrame,
     val (affected, affB) = Screened.affectedKeys(screened,
       ut.select("doc_id"), "doc_id", nBuckets)
     lastAffected = affected
-    // 4. index maintenance: O(Δ∩U) spine-append (delta∩U docs ⊆ affected,
-    //    so affB covers the merge's touched buckets)
-    postIdx.merge(ZSetFrame.fromDelta(ut), checkpointDelta = false,
-      knownTouched = Some(affB), append = true)
-    // 5. rescore the affected docs against the post-merge index under the
-    //    NEW constants: the ≤|U|-row iq table is driver-computed and
-    //    broadcast with the centroid dimension — integer sums per
-    //    (doc, cid), then the one shared IEEE sequence per scored pair.
-    //    A fully retracted doc yields no row, so its old assignment is
-    //    retracted by the replacement delta.
+    // 4. rescore the affected docs under the NEW constants BEFORE the trace
+    //    merge, over (pre-merge view ⊕ pinned delta) — identical rows to
+    //    the post-merge view (an append merge adds exactly the delta; the
+    //    consolidate absorbs weight splits), freeing both merges to run
+    //    concurrently after the one emission action (r17): the ≤|U|-row iq
+    //    table is driver-computed and broadcast with the centroid
+    //    dimension — integer sums per (doc, cid), then the one shared IEEE
+    //    sequence per scored pair. A fully retracted doc yields no row, so
+    //    its old assignment is retracted by the replacement delta.
     val iqTab = uterms.flatMap { t =>
       val v = iqOf(nDocs, dfU.getOrElse(t, 0L))
       if (v == Long.MinValue) None else Some((t, v))
     }.toDF("term", "iq")
-    val rows = postIdx.view(affB).consolidate.df.join(affected, Seq("doc_id"))
+    val rows = (postIdx.view(affB) + ZSetFrame.fromDelta(ut)).consolidate.df
+      .join(affected, Seq("doc_id"))
       .join(broadcast(iqTab), Seq("term"))
       .select(col("doc_id"), col("term"), (col("tf") * col("iq")).as("dvq"))
     val nd = rows.groupBy("doc_id")
@@ -308,12 +311,23 @@ final class CosineState(emptyTf: ZSetFrame,
     val oldTop = simIdx.view(affB).consolidate.df
       .join(affected, Seq("doc_id"))
       .select("doc_id", "cid", "cos_q")
-    // 6. the emitted replacement delta IS the assignment index's
+    // 5. the emitted replacement delta IS the assignment index's
     //    maintenance; its span rides the emission checkpoint (per-doc
     //    rows: a replaced row lives in its doc's bucket, so outB ⊆ affB)
     val (out, outB) = Screened.replacementDelta(newTop, oldTop,
       "doc_id", nBuckets)
-    simIdx.merge(out, checkpointDelta = false, knownTouched = Some(outB))
+    // 6. trace maintenance, CONCURRENT (Screened.inParallel): the posting
+    //    append and the assignment merge read only pinned inputs and hit
+    //    independent states — the step pays max(merges), and with the lazy
+    //    delta pin the quiet-step shape is stat → affected → emission →
+    //    merges: 4 barriers (was 6). simIdx appends too — its readers
+    //    consolidate, periodic compaction collapses the spine.
+    Screened.inParallel(
+      ("post-merge", () => { postIdx.merge(ZSetFrame.fromDelta(ut),
+        checkpointDelta = false, knownTouched = Some(affB),
+        append = true); () }),
+      ("sim-merge", () => { simIdx.merge(out, checkpointDelta = false,
+        knownTouched = Some(outB), append = true); () }))
     prevStepPins = Seq(d, affected)
     out
   }

@@ -166,7 +166,10 @@ final class PmiState(emptyTerms: ZSetFrame, val terms: Seq[String],
       .where(col("term") < col("tb2"))
       .select(col("doc_id"), col("term").as("ta"), col("tb2").as("tb"),
         col(W))
-      .localCheckpoint(true)
+      // LAZY since r17: the stat action below reads pairDelta (cabAgg) and
+      // materializes the pin as a side effect — one fewer driver barrier
+      // per step, same single-evaluation guarantee
+      .localCheckpoint(false)
     // 2. ONE bounded action: ΔN + the unit-weight contract check (distinct
     //    doc rows), Δc_a (target term groups), Δc_ab (pair groups over the
     //    pinned pairDelta) — ≤ 1+|U|+C(|U|,2) rows. The rider: weights
@@ -225,11 +228,11 @@ final class PmiState(emptyTerms: ZSetFrame, val terms: Seq[String],
     val (affected, affB) = Screened.affectedKeys(screened,
       pairDelta.select("doc_id"), "doc_id", nBuckets)
     lastAffected = affected
-    // 5. index maintenance: O(Δ) spine-append (delta docs ⊆ affected, so
-    //    affB covers the merge's touched buckets)
-    pairIdx.merge(ZSetFrame.fromDelta(pairDelta), checkpointDelta = false,
-      knownTouched = Some(affB), append = true)
-    // 6. rescore the affected docs: the per-pair pmi_q values under the
+    // 5. rescore the affected docs BEFORE the trace merge, over (pre-merge
+    //    view ⊕ pinned pairDelta) — identical rows to the post-merge view
+    //    (an append merge adds exactly the delta; the consolidate absorbs
+    //    weight splits), freeing both merges to run concurrently after the
+    //    one emission action (r17): the per-pair pmi_q values under the
     //    NEW constants are computed driver-side (≤C(|U|,2) of them) and
     //    broadcast — the rescore is a partition-pruned scan + broadcast
     //    join + per-doc sum; a fully retracted doc yields no row, so its
@@ -237,7 +240,8 @@ final class PmiState(emptyTerms: ZSetFrame, val terms: Seq[String],
     val pcTab = cab.toSeq.collect { case ((a, b), c) if c > 0L =>
       (a, b, pq(nDocs, c, ca.getOrElse(a, 0L), ca.getOrElse(b, 0L)))
     }.toDF("ta", "tb", "pq")
-    val rows = pairIdx.view(affB).consolidate.df.join(affected, Seq("doc_id"))
+    val rows = (pairIdx.view(affB) + ZSetFrame.fromDelta(pairDelta))
+      .consolidate.df.join(affected, Seq("doc_id"))
     val newScores = rows.join(broadcast(pcTab), Seq("ta", "tb"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_pairs"), sum(col("pq")).as("score_q"))
@@ -245,12 +249,23 @@ final class PmiState(emptyTerms: ZSetFrame, val terms: Seq[String],
     val oldScores = scoreIdx.view(affB).consolidate.df
       .join(affected, Seq("doc_id"))
       .select("doc_id", "n_pairs", "score_q")
-    // 7. the emitted replacement delta IS the score index's maintenance;
+    // 6. the emitted replacement delta IS the score index's maintenance;
     //    its span rides the emission checkpoint (per-doc scores: a
     //    replaced row lives in its doc's bucket, so outB ⊆ affB)
     val (out, outB) = Screened.replacementDelta(newScores, oldScores,
       "doc_id", nBuckets)
-    scoreIdx.merge(out, checkpointDelta = false, knownTouched = Some(outB))
+    // 7. trace maintenance, CONCURRENT (Screened.inParallel): both merges
+    //    read only pinned inputs and hit independent states — the step pays
+    //    max(merges); with the lazy pairDelta pin the quiet-step shape is
+    //    stat → affected → emission → merges: 4 barriers (was 6). scoreIdx
+    //    appends — its readers consolidate, periodic compaction collapses
+    //    the spine.
+    Screened.inParallel(
+      ("pair-merge", () => { pairIdx.merge(ZSetFrame.fromDelta(pairDelta),
+        checkpointDelta = false, knownTouched = Some(affB),
+        append = true); () }),
+      ("score-merge", () => { scoreIdx.merge(out, checkpointDelta = false,
+        knownTouched = Some(outB), append = true); () }))
     prevStepPins = Seq(pairDelta, affected)
     out
   }

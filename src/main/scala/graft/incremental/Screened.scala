@@ -34,6 +34,38 @@ private[incremental] object Screened {
     (affected, obs.get("bks").asInstanceOf[Seq[Int]].sorted)
   }
 
+  /** Run independent per-step maintenance tasks CONCURRENTLY (r17 — the
+    * aggStep/TfIdf-fwd-merge job-fusion discipline generalized): each task
+    * is one driver-synchronous Spark action over already-pinned inputs, so
+    * the step pays max(tasks) instead of Σ(tasks) of the per-action barrier
+    * floor. Threads are fresh per call (Spark's job-local properties are
+    * inherited at thread creation; a shared pool thread would not see
+    * them). On failure every task is still barriered before propagating —
+    * a caller's finally-close() must never race a daemon merge (the
+    * TfIdfState r14 lesson), and all failures surface (first thrown,
+    * rest suppressed). */
+  def inParallel(tasks: (String, () => Unit)*): Unit = {
+    val futs = tasks.map { case (n, f) =>
+      val t = new java.util.concurrent.FutureTask[Unit](() => f())
+      val th = new Thread(t, s"graft-par-$n")
+      th.setDaemon(true)
+      th.start()
+      t
+    }
+    var err: Throwable = null
+    futs.foreach { t =>
+      try t.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          val c = if (e.getCause != null) e.getCause else e
+          if (err == null) err = c else err.addSuppressed(c)
+        case e: Throwable =>
+          if (err == null) err = e else err.addSuppressed(e)
+      }
+    }
+    if (err != null) throw err
+  }
+
   /** Replacement-delta emission: out = (new − old) consolidated, eagerly
     * checkpointed (the emitted delta outlives the step's view-validity
     * window), with ITS touched span riding the checkpoint — the span a

@@ -148,9 +148,15 @@ final class TfIdfState(emptyTf: ZSetFrame, val nBuckets: Int,
     // 0. retire the PREVIOUS step's eager checkpoints (see prevStepPins)
     prevStepPins.foreach(Pinned.release)
     prevStepPins = Nil
+    // 0b. LAZY-pin the delta (r17 — measured: with the raw plan, every
+    //     consumer job of a streaming step re-ran the caller's
+    //     tokenize+explode chain; the lazy checkpoint materializes inside
+    //     the step's FIRST action and every later job reads pinned blocks —
+    //     zero extra barriers, one delta evaluation)
+    val d = ZSetFrame.fromDelta(delta.df.localCheckpoint(false))
     // 1. df movement per term this step (postings are unique per (doc,term),
     //    so presence weight == row weight)
-    val ddf = delta.df.groupBy("term").agg(sum(col(W)).as("ddf"))
+    val ddf = d.df.groupBy("term").agg(sum(col(W)).as("ddf"))
       .where(col("ddf") =!= 0L)
     // 2. old df of exactly the moved terms — partition-pruned probe of the
     //    df index (moved ⊆ delta terms, so the delta's term span covers it)
@@ -187,55 +193,27 @@ final class TfIdfState(emptyTf: ZSetFrame, val nBuckets: Int,
     // materialization action and hands the span to the driver for free
     // (Screened — the acquisition shared with MultiBm25State)
     val (affected, affBuckets) = Screened.affectedKeys(screened,
-      delta.df.select(col("doc_id")), "doc_id", nBuckets)
+      d.df.select(col("doc_id")), "doc_id", nBuckets)
     lastAffected = affected
-    // 4. index maintenance — O(Δ) spine-appends; compaction amortizes on
-    //    KeyedState's own cadence. The two appends hit INDEPENDENT states
-    //    (different key layouts) and neither is read again before step 6,
-    //    so their segment jobs run CONCURRENTLY (fresh thread, the aggStep
-    //    discipline — job-local properties are inherited at thread
-    //    creation): the step pays max(tf, fwd) instead of tf + fwd
-    //    (VERDICT r13 #2, the barrier-floor cut).
-    val fwdTask = new java.util.concurrent.FutureTask(() =>
-      fwdIdx.merge(delta, checkpointDelta = false, knownTouched = docBuckets,
-        append = true))
-    val fwdThread = new Thread(fwdTask, "graft-fwd-merge")
-    fwdThread.setDaemon(true)
-    fwdThread.start()
-    try tfIdx.merge(delta, checkpointDelta = false, knownTouched = termBuckets,
-      append = true)
-    catch { case e: Throwable =>
-      // BARRIER before propagating (code-review r14): a caller's
-      // finally-close() must never race the daemon merge — an install
-      // landing after close() would mutate bucketSegs cross-thread and
-      // leak its pinned segment for the session
-      try fwdTask.get() catch { case se: Throwable => e.addSuppressed(se) }
-      throw e
-    }
-    fwdTask.get()
-    // 4b. durable mirror (the DurableMirror intent/commit protocol):
-    //     INTENT marker, then the FULL delta lands in the doc-keyed
-    //     disk-backed trace (touched-partition rewrite; docBuckets is the
-    //     caller-threaded superset of the delta's doc span when present)
-    durIdx.foreach { m =>
-      m.intend(stepGen + 1)
-      m.merge(delta, knownTouched = docBuckets)
-    }
-    // 5. df index: replace the moved terms' aggregated rows
+    // 4. df index delta: replace the moved terms' aggregated rows (reads
+    //    the `moved` blocks the affected action just pinned)
     val dfDelta = ZSetFrame.fromDelta(
       moved.where(col("df_new") =!= 0L)
         .select(col("term"), col("df_new").as("df"), lit(1L).as(W))
         .unionByName(moved.where(col("df_old") =!= 0L)
           .select(col("term"), col("df_old").as("df"), lit(-1L).as(W))))
-    dfIdx.merge(dfDelta, checkpointDelta = false, knownTouched = termBuckets)
-    // 6. recompute top-1 for the affected docs against the post-merge
-    //    indexes: forward rows partition-pruned by the affected span, df
-    //    joined from the vocabulary-sized df index (a dimension — its full
-    //    view is a scan-in-place, no driver job, and the join prunes)
-    val rows = fwdIdx.view(affBuckets).consolidate.df
+    // 5. recompute top-1 for the affected docs BEFORE any trace merge, over
+    //    (pre-merge view ⊕ pinned delta) — identical rows to the post-merge
+    //    view (an append merge adds exactly the delta; the consolidate
+    //    absorbs weight splits), but it frees every index merge to run
+    //    CONCURRENTLY after this one output action (r17 — the step's
+    //    barrier count is the local-mode floor, VERDICT r13 #2 lineage:
+    //    this cuts the batch step from 5 driver barriers to 3)
+    val rows = (fwdIdx.view(affBuckets) + d).consolidate.df
       .join(affected, Seq("doc_id"))
     val scored = rows
-      .join(dfIdx.view(0 until nBuckets).consolidate.df, Seq("term"))
+      .join((dfIdx.view(0 until nBuckets) + dfDelta).consolidate.df,
+        Seq("term"))
       .select(col("doc_id"), col("term"), col("tf"),
         scoreQ(col("tf"), col("df")).as("score_q"))
     val newTop = scored.withColumn("rn", row_number().over(
@@ -246,17 +224,40 @@ final class TfIdfState(emptyTf: ZSetFrame, val nBuckets: Int,
     val oldTop = top1.view(affBuckets).consolidate.df
       .join(affected, Seq("doc_id"))
       .select("doc_id", "term", "tf", "score_q")
-    // 7. the emitted replacement delta IS the top-1 index's maintenance —
+    // 6. the emitted replacement delta IS the top-1 index's maintenance —
     //    its own span (⊆ affBuckets for a per-doc top-1, where a replaced
     //    row lives in its doc's bucket) rides the emission checkpoint
     //    (Screened, shared with MultiBm25State)
     val (out, outB) = Screened.replacementDelta(newTop, oldTop,
       "doc_id", nBuckets)
-    top1.merge(out, checkpointDelta = false, knownTouched = Some(outB))
+    // 7. index maintenance — O(Δ) spine-appends into four INDEPENDENT
+    //    states (the emitted delta is already pinned, so top1's merge joins
+    //    them), ALL concurrent: the step pays max(...) instead of four
+    //    sequential barriers (Screened.inParallel — the generalized aggStep
+    //    fusion; failures barrier before propagating). dfIdx/top1 switch to
+    //    append mode: every reader consolidates its view, so the spine's
+    //    weight-split rows are invisible, and the periodic compaction
+    //    collapses them — same semantics, one O(Δ) routing job per merge.
+    //    The durable mirror (when present) rides the same block: INTENT
+    //    lands first (driver-side marker), the trace merge runs with its
+    //    peers, and the commit sidecar stays strictly after every merge.
+    durIdx.foreach(_.intend(stepGen + 1))
+    Screened.inParallel(
+      (Seq[(String, () => Unit)](
+        ("tf-merge", () => { tfIdx.merge(d, checkpointDelta = false,
+          knownTouched = termBuckets, append = true); () }),
+        ("fwd-merge", () => { fwdIdx.merge(d, checkpointDelta = false,
+          knownTouched = docBuckets, append = true); () }),
+        ("df-merge", () => { dfIdx.merge(dfDelta, checkpointDelta = false,
+          knownTouched = termBuckets, append = true); () }),
+        ("top1-merge", () => { top1.merge(out, checkpointDelta = false,
+          knownTouched = Some(outB), append = true); () })) ++
+        durIdx.map(m => ("durable-merge",
+          () => { m.merge(d, knownTouched = docBuckets); () }))): _*)
     // this step's checkpoints stay pinned until the next step (lastAffected
     // is a published diagnostic; moved feeds nothing after this point but
     // shares the retire cadence for uniformity)
-    prevStepPins = Seq(moved, affected)
+    prevStepPins = Seq(d.df, moved, affected)
     // 8. durable COMMIT point: the constants sidecar (atomic rename) lands
     //    LAST, with gen == the intent's — see the DurableMirror protocol
     stepGen += 1

@@ -27,6 +27,36 @@ object Recursive {
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
+  /** `materialize` with the row COUNT riding the checkpoint action as an
+    * Observation (r17 — the Screened/d31 discipline applied to the
+    * recursion loops): every fixpoint iteration needs the new delta AND
+    * whether it is empty, and `isEmpty` was a separate driver-synchronous
+    * job per iteration (two, with the loop-head recheck) on top of the
+    * materialize — on the per-action latency floor that job count IS the
+    * cost of a deep recursion. One action now returns both. */
+  private def materializeCounted(df: DataFrame): (DataFrame, Long) = {
+    val obs = new org.apache.spark.sql.Observation()
+    val ck = df.observe(obs, count(lit(1)).as("n")).localCheckpoint(true)
+    (ck.sparkSession.createDataFrame(ck.rdd, ck.schema),
+      obs.get("n").asInstanceOf[Long])
+  }
+
+  /** `materializeCounted` also carrying min(minCol) — the scc loops fuse
+    * their per-round (count, next-pivot) scalar into the round's own
+    * materialization action. NULL min (empty frame) maps to Long.MinValue,
+    * matching the former countMin. */
+  private def materializeCountMin(df: DataFrame, minCol: String)
+      : (DataFrame, Long, Long) = {
+    val obs = new org.apache.spark.sql.Observation()
+    val ck = df.observe(obs, count(lit(1)).as("n"), min(col(minCol)).as("m"))
+      .localCheckpoint(true)
+    val out = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    val row = obs.getAsJava
+    val m = row.get("m")
+    (out, obs.get("n").asInstanceOf[Long],
+      if (m == null) Long.MinValue else m.asInstanceOf[Long])
+  }
+
   /** Least fixpoint of `acc = base ∪ step(delta)` with set semantics.
     * `step` maps the newly-derived delta to candidate new facts; iteration
     * stops when no new facts appear. Only aggregate counts cross the driver
@@ -39,17 +69,20 @@ object Recursive {
     * amortized, instead of O(iters × facts)). */
   def fixpoint(base: DataFrame, maxIter: Int = 1000, compactEvery: Int = 8)
               (step: DataFrame => DataFrame): DataFrame = {
-    val first = materialize(base.distinct())
+    val (first, n0) = materializeCounted(base.distinct())
     var deltas = List(first)
     var acc = first
     var delta = first
+    var nDelta = n0
     var i = 0
-    while (i < maxIter && !delta.isEmpty) {
+    while (i < maxIter && nDelta > 0) {
       // semi-naive: derive only from the last delta, subtract known facts.
       // except() already has set semantics (EXCEPT DISTINCT) — no separate
-      // distinct() pass, one fewer shuffle stage per iteration
-      val derived = materialize(step(delta).except(acc))
-      if (!derived.isEmpty) {
+      // distinct() pass; the delta's emptiness rides the materialization
+      // (r17): ONE driver action per iteration, down from three
+      // (materialize + derived.isEmpty + the loop-head isEmpty recheck)
+      val (derived, m) = materializeCounted(step(delta).except(acc))
+      if (m > 0) {
         deltas ::= derived
         if (deltas.size >= compactEvery) {
           acc = materialize(deltas.reduce(_ union _))
@@ -57,6 +90,7 @@ object Recursive {
         } else acc = deltas.reduce(_ union _)
       }
       delta = derived
+      nDelta = m
       i += 1
     }
     acc
@@ -76,17 +110,22 @@ object Recursive {
   def mutual(bases: Seq[DataFrame], maxIter: Int = 1000, compactEvery: Int = 8)
             (step: (Seq[DataFrame], Seq[DataFrame]) => Seq[DataFrame]): Seq[DataFrame] = {
     val n = bases.size
-    val lists = Array.tabulate(n)(j => List(materialize(bases(j).distinct())))
+    val firsts = Array.tabulate(n)(j => materializeCounted(bases(j).distinct()))
+    val lists = Array.tabulate(n)(j => List(firsts(j)._1))
     val accs = Array.tabulate(n)(j => lists(j).head)
     var deltas: Seq[DataFrame] = accs.toSeq
-    var live = deltas.map(!_.isEmpty)
+    var live = firsts.toSeq.map(_._2 > 0L)
     var i = 0
     while (i < maxIter && live.contains(true)) {
       val derived = step(accs.toSeq, deltas)
       require(derived.size == n,
         s"mutual step returned ${derived.size} collections, expected $n")
-      val fresh = Array.tabulate(n)(j => materialize(derived(j).except(accs(j))))
-      live = fresh.toSeq.map(!_.isEmpty)
+      // emptiness rides each collection's materialization (r17 — see
+      // fixpoint): one action per collection per iteration, not two
+      val freshCounted = Array.tabulate(n)(j =>
+        materializeCounted(derived(j).except(accs(j))))
+      val fresh = freshCounted.map(_._1)
+      live = freshCounted.toSeq.map(_._2 > 0L)
       for (j <- 0 until n if live(j)) {
         lists(j) ::= fresh(j)
         if (lists(j).size >= compactEvery) {
@@ -134,24 +173,54 @@ object Recursive {
     * 1000-deep recursion at 100 TB, where the one-hop loop cannot.
     * (The reference's runtime pays ~µs per fixpoint round so it iterates
     * one-hop, recursive.rs:255 — same semantics, different cost model.) */
-  def closureDoubling(edges: DataFrame, maxIter: Int = 64): DataFrame = {
-    var tc = materialize(edges.distinct())
-    var n = tc.count()
+  def closureDoubling(edges: DataFrame, maxIter: Int = 64): DataFrame =
+    closureDoublingWithRounds(edges, maxIter)._1
+
+  /** SEMI-NAIVE path doubling (r17). The former loop squared the FULL
+    * closure each round (tc ∘ tc), re-deriving every already-known pair —
+    * on a depth-D chain the last squares enumerate ~n³/6 triples. A pair
+    * with shortest distance L ∈ (2^k, 2^{k+1}] splits at the node 2^k from
+    * its start: the prefix has shortest distance EXACTLY 2^k — first
+    * derived at round k, i.e. a row of delta_k — and the suffix has
+    * distance ≤ 2^k, i.e. a row of tc_k. So delta_k ∘ tc_k covers every
+    * new pair: the prefix side shrinks from |tc| to |delta| (~2× less join
+    * output on the chain worst case, more on graphs that close early), the
+    * union(tc).distinct() re-derivation disappears (except() subtracts
+    * known pairs), termination is "delta empty" instead of a count
+    * plateau, and the per-round count rides the materialization action
+    * (one driver job per round, down from two). The accumulated closure
+    * uses fixpoint's lazy-union + periodic-compaction discipline so the
+    * except's scan side stays one materialized frame (±8 arms).
+    * Returns (closure, rounds) — RecursiveSpec gates the ⌈log₂D⌉-rounds
+    * claim on the rounds figure, which box speed cannot move. */
+  private[graft] def closureDoublingWithRounds(edges: DataFrame,
+                                               maxIter: Int = 64)
+      : (DataFrame, Int) = {
+    val (first, n0) = materializeCounted(edges.distinct())
+    var deltas = List(first)
+    var acc = first
+    var delta = first
+    var nDelta = n0
     var i = 0
-    while (i < maxIter) {
-      val a = tc.select(col("src").as("a_src"), col("dst").as("mid"))
-      val b = tc.select(col("src").as("mid"), col("dst").as("b_dst"))
-      val doubled = a.join(b, "mid")
-        .select(col("a_src").as("src"), col("b_dst").as("dst"))
-        .union(tc).distinct()
-      val next = materialize(doubled)
-      val m = next.count()
-      tc = next
-      if (m == n) return tc
-      n = m
+    while (i < maxIter && nDelta > 0) {
+      val a = delta.select(col("src").as("d_src"), col("dst").as("mid"))
+      val b = acc.select(col("src").as("mid"), col("dst").as("t_dst"))
+      val (fresh, m) = materializeCounted(
+        a.join(b, "mid")
+          .select(col("d_src").as("src"), col("t_dst").as("dst"))
+          .except(acc))
+      if (m > 0) {
+        deltas ::= fresh
+        if (deltas.size >= 8) {
+          acc = materialize(deltas.reduce(_ union _))
+          deltas = List(acc)
+        } else acc = deltas.reduce(_ union _)
+      }
+      delta = fresh
+      nDelta = m
       i += 1
     }
-    tc
+    (if (deltas.size > 1) materialize(deltas.reduce(_ union _)) else acc, i)
   }
 
   /** Transitive closure maintained INCREMENTALLY under edge deltas including
@@ -291,15 +360,13 @@ object Recursive {
                                    allPairsMax: Long = 4096L): (DataFrame, Int) = {
     val e0 = materialize(edges.distinct())
     var e = e0
-    var nodes = materialize(e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct())
-    // fused count + min in ONE job: the min doubles as the next pivot, so
-    // no separate pivot-selection job per peel
-    def countMin(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)), min(col("node"))).head()
-      (r.getLong(0), if (r.isNullAt(1)) Long.MinValue else r.getLong(1))
-    }
-    var (nNodes, pivot) = countMin(nodes)
+    // fused count + min riding each node-set MATERIALIZATION (r17: the
+    // former countMin was its own job per round/layer on the just-pinned
+    // frame; the Observation hands both scalars over on the checkpoint
+    // action itself — min doubles as the next pivot)
+    var (nodes, nNodes, pivot) = materializeCountMin(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct(), "node")
     var out = List.empty[DataFrame]
     // the once-per-call all-pairs closure (small-core strategy); stays
     // valid across peels/trims per the scaladoc argument
@@ -338,10 +405,9 @@ object Recursive {
         val toCyc = r.join(cyc.select(col("node").as("dst")),
           Seq("dst"), "left_semi").select(col("src").as("node"))
         val prev = nodes
-        val keep = materialize(prev
+        val (keep, nKeep, mKeep) = materializeCountMin(prev
           .join(fromCyc.distinct(), Seq("node"), "left_semi")
-          .join(toCyc.distinct(), Seq("node"), "left_semi"))
-        val (nKeep, mKeep) = countMin(keep)
+          .join(toCyc.distinct(), Seq("node"), "left_semi"), "node")
         if (nKeep != nNodes) {
           out ::= prev.except(keep).select(col("node"), col("node").as("scc"))
           nodes = keep
@@ -359,10 +425,10 @@ object Recursive {
         while (trimming && nNodes > 0) {
           val prev = nodes
           val live = eLive
-          val both = materialize(prev
+          val (both, nBoth, mBoth) = materializeCountMin(prev
             .join(live.select(col("src").as("node")), Seq("node"), "left_semi")
-            .join(live.select(col("dst").as("node")), Seq("node"), "left_semi"))
-          val (nBoth, mBoth) = countMin(both)
+            .join(live.select(col("dst").as("node")), Seq("node"), "left_semi"),
+            "node")
           if (nBoth == nNodes) trimming = false
           else {
             out ::= prev.except(both).select(col("node"), col("node").as("scc"))
@@ -399,10 +465,10 @@ object Recursive {
             materialize(fw.intersect(bw))
           }
         out ::= comp.select(col("node"), lit(pivot).as("scc"))
-        nodes = materialize(nodes.except(comp))
-        val cm = countMin(nodes)
-        nNodes = cm._1
-        pivot = cm._2
+        val nm = materializeCountMin(nodes.except(comp), "node")
+        nodes = nm._1
+        nNodes = nm._2
+        pivot = nm._3
       }
       rounds += 1
     }
@@ -556,10 +622,9 @@ object Recursive {
     import org.apache.spark.sql.types.DecimalType
     val dec = (c: org.apache.spark.sql.Column) =>
       sum(c.cast(DecimalType(28, 14))).cast("double")
-    val nodes = materialize(
+    val (nodes, n) = materializeCounted(
       edges.select(col("src").as("node"))
         .union(edges.select(col("dst").as("node"))).distinct())
-    val n = nodes.count()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val e = materialize(edges.join(deg, "src")
       .select(col("src"), col("dst"), col("deg")))
@@ -591,23 +656,29 @@ object Recursive {
     * graph eccentricity and per-iteration work = frontier ⋈ edges. */
   def bfs(edges: DataFrame /* src, dst */, roots: DataFrame /* node */,
           maxIter: Int = 1000): DataFrame = {
-    var dist = materialize(roots.select(col("node"), lit(0L).as("dist")))
-    var frontier = dist
+    val (dist0, n0) = materializeCounted(
+      roots.select(col("node"), lit(0L).as("dist")))
+    var dist = dist0
+    var frontier = dist0
+    var nFrontier = n0
     var i = 0
-    while (i < maxIter && !frontier.isEmpty) {
+    while (i < maxIter && nFrontier > 0) {
       val cand = frontier.join(edges, frontier("node") === edges("src"))
         .select(edges("dst").as("node"), (frontier("dist") + 1L).as("dist"))
         .groupBy("node").agg(min("dist").as("dist"))
       val cur = dist.withColumnRenamed("dist", "old")
-      val improved = materialize(
+      // frontier emptiness rides the materialization (r17 — see fixpoint):
+      // two driver actions per level, down from four
+      val (improved, m) = materializeCounted(
         cand.join(cur, Seq("node"), "left")
           .where(col("old").isNull || col("dist") < col("old"))
           .select("node", "dist"))
-      if (!improved.isEmpty) {
+      if (m > 0) {
         dist = materialize(
           dist.join(improved, Seq("node"), "left_anti").union(improved))
       }
       frontier = improved
+      nFrontier = m
       i += 1
     }
     dist

@@ -30,7 +30,10 @@ object Dedup extends QueryModule {
     * (signatures, exact verification) derives from. Materialize it ONCE
     * when several stages reuse it (d14's step loop does). */
   private[graft] def shingleStore(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(col("text"))).as("g"))
+    // spread: single-file scans otherwise fuse the whole shingle explode
+    // into one task (see Postings.spread — the r17 scan-parallelism floor)
+    Postings.spread(docs)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("g"))
 
   /** Per-doc MinHash signature columns m0..m31 from the shingle store:
     * one shuffle on doc_id, 32 min-aggregates (partial agg map-side). */
@@ -298,8 +301,12 @@ object Dedup extends QueryModule {
     def advance(deltaRaw: DataFrame): Unit = {
       gens += 1
       val delta = deltaRaw.localCheckpoint(true)
-      val dq = delta.where(isQuery).localCheckpoint(true)
-      val hasNewQ = dq.take(1).nonEmpty
+      // the query-row count rides the dq checkpoint action (r17 — the
+      // Screened/d31 discipline): the former take(1) was its own job/step
+      val dqObs = new org.apache.spark.sql.Observation()
+      val dq = delta.where(isQuery)
+        .observe(dqObs, count(lit(1)).as("n")).localCheckpoint(true)
+      val hasNewQ = dqObs.get("n").asInstanceOf[Long] > 0L
       val all = if (trace == null) delta else trace.union(delta)
       // bilinear delta join: ΔQ ⋈ (N ∪ ΔN)  ∪  Q_prev ⋈ ΔN — the Δ side
       // is broadcast in BOTH directions (structural asymmetry: Δ is

@@ -16,6 +16,23 @@ import org.apache.spark.sql.functions._
   */
 object Postings {
 
+  /** SCAN-PARALLELISM floor for CPU-heavy narrow derivations (r17, measured:
+    * the driver testdata ships each table as ONE parquet file, so a scan is
+    * one task and everything fused into it — tokenize + explode + the
+    * groupBy's partial aggregation — ran on ONE core: 86 s of the 100 s
+    * t13 rep on the r17 box was a single-task job). When the upstream scan
+    * has fewer partitions than the session's configured parallelism,
+    * repartition the (skinny, pre-explode) doc rows first so the heavy
+    * map side runs wide; when the source is already wide — the real-corpus
+    * case, where shuffling raw text would be the mistake — this is the
+    * identity. Round-robin repartition keeps Z-set semantics untouched
+    * (row-preserving; Spark's sort-before-repartition makes the assignment
+    * deterministic under retry). */
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
+  }
+
   /** The standing query-term set shared by t11/t13/q89 and their oracles. */
   val QueryTerms: Seq[String] = Seq("spark", "query", "merge", "window")
 
@@ -60,7 +77,7 @@ object Postings {
   def distinctTerms(docs: DataFrame): DataFrame = {
     val hasW = docs.columns.contains("w")
     val dims = Seq(col("doc_id")) ++ (if (hasW) Seq(col("w")) else Nil)
-    docs.select(dims :+
+    spread(docs).select(dims :+
       explode(array_distinct(split(col("text"), " "))).as("term"): _*)
   }
 
@@ -177,7 +194,7 @@ object Postings {
     val dims = Seq(col("doc_id")) ++
       (if (withDl) Seq(size(t).as("dl")) else Nil) ++
       (if (hasW) Seq(col("w")) else Nil)
-    val exploded = docs.select(dims :+ explode(t).as("term"): _*)
+    val exploded = spread(docs).select(dims :+ explode(t).as("term"): _*)
     val filtered = termFilter.fold(exploded)(exploded.where)
     val gcols = Seq("doc_id") ++ (if (withDl) Seq("dl") else Nil) ++
       (if (hasW) Seq("w") else Nil) :+ "term"
@@ -188,7 +205,7 @@ object Postings {
     * tokens — over the (possibly restricted) documents frame; broadcast by
     * callers. Matches the `consts` CTE of `bm25Top10OracleSql`. */
   def corpusConsts(docs: DataFrame): DataFrame =
-    docs.agg(count(lit(1)).as("n_docs"),
+    spread(docs).agg(count(lit(1)).as("n_docs"),
       sum(size(split(col("text"), " "))).as("t_toks"))
 
   /** SQL mirror (DuckDB) of `build(withDl = false)`: the `tok`/`tf` CTE
