@@ -539,7 +539,10 @@ object Recursive {
       val eNew = materialize(
         (ZSetFrame.fromTable(edges) + ZSetFrame.fromDelta(dAll))
           .distinctZ.toDF.select("src", "dst"))
-      val inserted = materialize(dAll.where(col(ZSetFrame.W) > 0))
+      // insert-presence rides the materialization (r17 — see fixpoint):
+      // the retraction-only-epoch fast path costs no extra isEmpty job
+      val (inserted, nIns) = materializeCounted(
+        dAll.where(col(ZSetFrame.W) > 0))
       val touched = materialize(
         dAll.select(col("src").as("node"))
           .union(dAll.select(col("dst").as("node"))).distinct())
@@ -560,7 +563,7 @@ object Recursive {
       // never the graph's downstream fan-out — at 100 TB the insert's
       // cycle is small even when its transitive fan-out is everything.
       val cycleSpan =
-        if (inserted.isEmpty) null
+        if (nIns == 0L) null
         else {
           val e2New = doubledEdges(eNew)
           val bwIn = reachOver(materialize(
@@ -579,12 +582,12 @@ object Recursive {
          else cycleSpan.unionByName(touchedComps))
           .unionByName(touched).distinct())
       // induced subgraph on the affected set; nested scc() relabels it
-      val sub = materialize(eNew
+      val (sub, nSub) = materializeCounted(eNew
         .join(affected.select(col("node").as("src")), Seq("src"), "left_semi")
         .join(affected.select(col("node").as("dst")), Seq("dst"), "left_semi")
         .select("src", "dst"))
       val relabeled =
-        if (sub.isEmpty) sub.sparkSession.emptyDataFrame
+        if (nSub == 0L) sub.sparkSession.emptyDataFrame
           .select(lit(0L).as("node"), lit(0L).as("scc")).where(lit(false))
         else scc(sub)
       // affected nodes outside the subgraph are singletons IF they still
