@@ -26,8 +26,8 @@ object Profile {
     spark.sparkContext.setLogLevel("ERROR")
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Seq[Int])]()
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, String, Seq[Int])]()
-    // per-stage: (nTasks, task-time-sum-ms, run-time-ms)
-    val stages = new java.util.concurrent.ConcurrentHashMap[Int, (Int, Long, Long)]()
+    // per-stage: (nTasks, task-time-sum-ms, run-time-ms, callsite name)
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, (Int, Long, Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
         jobs.put(js.jobId, (js.time,
@@ -43,7 +43,8 @@ object Profile {
         val si = sc.stageInfo
         stages.put(si.stageId, (si.numTasks,
           si.taskMetrics.executorRunTime,
-          si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)))
+          si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L),
+          si.name))
       }
     })
     args.foreach { name =>
@@ -74,7 +75,9 @@ object Profile {
         val nt = st.map(_._1).sum
         val taskMs = st.map(_._2).sum
         val stageMs = st.map(_._3).sum
-        println(f"job $id%5d  +${(t0 - base) / 1e3}%8.2fs  ${(t1 - t0) / 1e3}%7.3fs  stages=${st.size}%2d tasks=$nt%3d taskSum=${taskMs / 1e3}%6.2fs stageWall=${stageMs / 1e3}%6.2fs  $desc")
+        val where = if (desc.nonEmpty) desc
+          else st.map(_._4).filter(_.nonEmpty).distinct.mkString(" | ").take(90)
+        println(f"job $id%5d  +${(t0 - base) / 1e3}%8.2fs  ${(t1 - t0) / 1e3}%7.3fs  stages=${st.size}%2d tasks=$nt%3d taskSum=${taskMs / 1e3}%6.2fs stageWall=${stageMs / 1e3}%6.2fs  $where")
       }
       println(f"[profile] $name n_jobs=${rows.size} job_wall=${rows.map(r => r._3 - r._2).sum / 1e3}%.2fs query_wall=$wall%.2fs")
       graft.incremental.Pinned.sweepSession(spark.sparkContext)
