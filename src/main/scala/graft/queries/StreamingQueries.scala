@@ -192,18 +192,60 @@ object StreamingQueries extends QueryModule {
         s"${staged.getFileName}_build_${java.util.UUID.randomUUID().toString.take(8)}")
       Files.createDirectories(build)
       val docs = xform(s.read.parquet(s"$dir/$table.parquet"))
-      for (i <- 0 until k) {
-        val tmp = build.resolve(s"tmp$i")
-        docs.where(sliceOf(docs) === i)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val listing = Files.list(tmp)
-        val part = try listing.filter(_.toString.endsWith(".parquet"))
-          .findFirst().get()
-        finally listing.close()
-        Files.move(part, build.resolve(s"b$i.parquet"),
-          StandardCopyOption.REPLACE_EXISTING)
-        deleteTree(tmp)
+      // ONE partitioned write for all K slices (r18, guide §6.2 / VERDICT
+      // r17 #1a — the former loop ran K sequential filter+coalesce(1) jobs,
+      // each rescanning the source): repartition(k, __slice) lands every
+      // slice's rows in exactly one task, so each `__slice=i` dir gets
+      // exactly ONE part file — the same one-file-per-slice layout, built
+      // by a single job. Rows per slice are identical (the write's
+      // partition split IS sliceOf(docs)===i; a null slice value lands in
+      // the HIVE default dir, which is dropped below exactly as
+      // `null === i` dropped it before).
+      val tmp = build.resolve("tmpslices")
+      docs.withColumn("__slice", sliceOf(docs).cast("int"))
+        .repartition(k, col("__slice"))
+        .write.partitionBy("__slice").mode("overwrite").parquet(tmp.toString)
+      // An all-empty slice produces NO dir under partitionBy (the old loop
+      // wrote a 0-row file); restore the contract with one lazily-built
+      // empty template so batch COUNT and the b${k-1} marker never depend
+      // on slice occupancy.
+      var emptyTemplate: Option[Path] = None
+      def emptyPart(): Path = emptyTemplate.getOrElse {
+        val te = build.resolve("tmpempty")
+        docs.where(lit(false)).coalesce(1).write.mode("overwrite")
+          .parquet(te.toString)
+        val l = Files.list(te)
+        val p = try l.filter(_.toString.endsWith(".parquet")).findFirst().get()
+        finally l.close()
+        emptyTemplate = Some(p); p
       }
+      // Rename each slice's part file to b$i.parquet with EXPLICIT strictly
+      // ascending mtimes in slice order: the file source orders batches by
+      // mtime, and the old code's ordering rode the sequential writes'
+      // natural clock — one write stamps everything within the same tick,
+      // so the order must be set, not inherited.
+      val t0 = System.currentTimeMillis()
+      for (i <- 0 until k) {
+        val pdir = tmp.resolve(s"__slice=$i")
+        val target = build.resolve(s"b$i.parquet")
+        val part: Option[Path] = if (Files.isDirectory(pdir)) {
+          val l = Files.list(pdir)
+          try {
+            val f = l.filter(_.toString.endsWith(".parquet")).findFirst()
+            if (f.isPresent) Some(f.get()) else None
+          } finally l.close()
+        } else None
+        part match {
+          case Some(p) => Files.move(p, target,
+            StandardCopyOption.REPLACE_EXISTING)
+          case None => Files.copy(emptyPart(), target,
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+        Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(t0 + i * 1000L))
+      }
+      deleteTree(tmp)
+      emptyTemplate.foreach(_ => deleteTree(build.resolve("tmpempty")))
       deleteTree(staged)
       try Files.move(build, staged, StandardCopyOption.ATOMIC_MOVE)
       catch {
