@@ -61,16 +61,20 @@ import graft.core.ZSetFrame
   *   - Crossings decided ON THE DRIVER over the |U| term dimension (the
   *     PMI discipline); quiet steps schedule ZERO cluster-side screening.
   *   - Screen (crossing steps only): one no-shuffle semi-join of the
-  *     U-restricted posting trace vs the broadcast crossed-term list.
+  *     TERM-keyed posting trace vs the broadcast crossed-term list,
+  *     bucket-pruned to the crossed terms' own hash buckets (r18) —
+  *     O(crossed-term postings) reads in every regime.
   *   - O(affected) rescore: the ≤|U|-row iq table and the centroid
   *     dimension are broadcast; the rescore is a partition-pruned trace
   *     read + two broadcast joins + per-(doc, cid) integer sums — the only
   *     float ops are one division, two sqrt and one multiply per scored
   *     pair, the exact IEEE sequence the DuckDB oracle mirrors.
   *
-  * State, each a bucket-partitioned [[KeyedState]] trace keyed by doc_id:
-  *   - postIdx: U-restricted postings (doc_id, term, tf); O(Δ∩U)
-  *              spine-append per step
+  * State, each a bucket-partitioned [[KeyedState]] trace:
+  *   - postIdx: U-restricted postings (doc_id, term, tf) keyed by doc;
+  *              O(Δ∩U) spine-append per step
+  *   - termIdx: the same postings keyed by TERM (r18 — the screen's
+  *              bucket-pruned probe side; TfIdfState's dual-key layout)
   *   - simIdx:  doc_id → (cid, cos_q), the per-doc best centroid — its
   *              −old/+new replacement delta IS the emitted output
   *
@@ -144,39 +148,27 @@ final class CosineState(emptyTf: ZSetFrame,
   private var nDocs = 0L
   private val dfU = scala.collection.mutable.Map[String, Long]()
 
-  /** Term-routed screen span (VERDICT r16 #6): per U term, the CUMULATIVE
-    * union of doc-bucket ids its postings ever landed in — maintained on
-    * the driver from the same ≤|U|+1-row stat action (the bucket sets ride
-    * the per-term aggregation rows; terms are a dimension, so the map is
-    * ≤|U| entries × ≤nBuckets ints). A crossing step then screens only
-    * `view(span(crossed))` instead of all nBuckets — the doc-keyed trace
-    * cannot bucket-prune by term the way TfIdfState's term-keyed index
-    * can, but the span map routes crossed terms to the buckets that can
-    * hold their docs. Deletions never shrink the span: a SUPERSET span is
-    * always correct (the semi-join against the broadcast crossed list
-    * filters the extra buckets' rows), and monotone growth keeps the
-    * invariant trivial — every doc holding term t shipped a (doc, t) delta
-    * row when it arrived, so its bucket is in span(t).
-    *
-    * PRUNING ENVELOPE (measured, r17 — be honest about where this pays):
-    * the span prunes when a crossed term's holder set is SMALLER than the
-    * bucket count — new/topical terms, skew-localized corpora, early
-    * corpus life. In the steady mid-band regime it is exact but saturated:
-    * the idf ratio cap freezes any term with df ≤ N/idfCap, so a CROSSABLE
-    * term has ≥ N/idfCap holders, and with buckets ∝ data (bucket size ≫
-    * idfCap) a uniform hash spreads those over every bucket — the StepBench
-    * cossim diagnostic shows exactly that (span = nB on banded-fixture
-    * bursts, 0 on quiet steps; the law test certifies the localized case
-    * prunes). The screen then legitimately degrades to the r16 full
-    * U-restricted scan — no-shuffle, skipped on quiet steps, sublinear
-    * measured burst growth; a term-keyed SECOND posting trace (TfIdfState's
-    * layout) is the shard-or-widen escape if a deployment's crossing steps
-    * ever dominate. */
-  private val termSpan = scala.collection.mutable.Map[String, Set[Int]]()
+  /** TERM-KEYED secondary posting trace (r18, VERDICT r17 #4 — the
+    * shard-or-widen escape the r17 span map documented, now built): the
+    * same U-restricted postings postIdx holds, keyed by TERM instead of
+    * doc (TfIdfState's dual tfIdx/fwdIdx layout applied here). A crossing
+    * step screens `termIdx.view(buckets(crossed))` — the crossed terms'
+    * OWN hash buckets, computed driver-side with zero discovery jobs
+    * ([[KeyedState.bucketOfString]]) — so the screen reads O(crossed-term
+    * postings + same-bucket collisions) in EVERY regime, including the
+    * steady mid-band where the r17 doc-bucket span map legitimately
+    * saturated to all nBuckets (a crossable term has ≥ N/idfCap holders
+    * spread over every doc bucket; its TERM bucket is still exactly one).
+    * Maintained by the same O(Δ∩U) spine-append every step, concurrent
+    * with its peers — no extra barrier; storage doubles the U-restricted
+    * posting bytes, the price TfIdfState already pays for two-way keying. */
+  private val termIdx = new KeyedState(Seq("term"), nBuckets, emptyTf)
 
-  /** Diagnostic: bucket ids the last step's screen actually scanned
-    * (empty on quiet steps — zero cluster work; the StepBench cossim
-    * diagnostic and the law test's pruning gate read it). */
+  /** Diagnostic: bucket ids the last step's screen actually scanned —
+    * since r18 these are TERM-keyed bucket ids of the crossed terms
+    * (≤ |crossed|, never saturating with corpus size). Empty on quiet
+    * steps — zero cluster work; the StepBench cossim diagnostic and the
+    * law test's pruning gate read it. */
   private[graft] var lastScreenBuckets: Seq[Int] = Nil
 
   /** The quantized idf — the ONE integer sequence shared by the driver-side
@@ -217,22 +209,20 @@ final class CosineState(emptyTf: ZSetFrame,
     // 1. ONE bounded action: ΔN (distinct doc rows — carrying the
     //    unit-weight contract check) + Δdf per U term (postings are unique
     //    per (doc, term, polarity), so presence weight == row weight) —
-    //    ≤ |U|+1 rows. Each term row ALSO carries its delta's doc-bucket
-    //    set (the term-routed span's increment — same action, no extra
-    //    job), so term rows are kept even when their df movement cancels
-    //    (a CDC move between docs leaves df unchanged but the new doc's
-    //    bucket must still enter the span).
+    //    ≤ |U|+1 rows. Term groups are kept even when their df movement
+    //    cancels (a CDC move between docs leaves df unchanged): the term
+    //    rows double as the delta's U-term list, which routes the termIdx
+    //    merge below without a bucket-discovery job.
     val docAgg = d.select(col("doc_id"), col(W)).distinct()
       .agg(coalesce(sum(col(W)), lit(0L)).as("a"),
         coalesce(max(abs(col(W))), lit(1L)).as("viol"))
-      .select(lit(null).cast("string").as("term"), col("a"), col("viol"),
-        array().cast("array<int>").as("bks"))
-    val dfAgg = ut.groupBy("term").agg(sum(col(W)).as("a"),
-        collect_set(pmod(hash(col("doc_id")), lit(nBuckets))).as("bks"))
-      .select(col("term"), col("a"), lit(0L).as("viol"), col("bks"))
+      .select(lit(null).cast("string").as("term"), col("a"), col("viol"))
+    val dfAgg = ut.groupBy("term").agg(sum(col(W)).as("a"))
+      .select(col("term"), col("a"), lit(0L).as("viol"))
     val statRows = docAgg.unionByName(dfAgg).collect()
     val nOld = nDocs
     val dfOld = dfU.toMap
+    val deltaTerms = scala.collection.mutable.Buffer[String]()
     statRows.foreach { r =>
       if (r.isNullAt(0)) {
         // ≤ 1, not == 1 (ADVICE r16): a delta consisting solely of
@@ -246,8 +236,7 @@ final class CosineState(emptyTf: ZSetFrame,
       } else {
         val t = r.getString(0)
         if (r.getLong(1) != 0L) dfU(t) = dfU.getOrElse(t, 0L) + r.getLong(1)
-        termSpan(t) = termSpan.getOrElse(t, Set.empty) ++
-          r.getSeq[Int](3)
+        deltaTerms += t
       }
     }
     // 2. floor crossings of the quantized idf — decided ON THE DRIVER over
@@ -256,21 +245,20 @@ final class CosineState(emptyTf: ZSetFrame,
       iqOf(nOld, dfOld.getOrElse(t, 0L)) != iqOf(nDocs, dfU.getOrElse(t, 0L))
     }
     // 3. screen: docs holding a crossed term — one no-shuffle semi-join of
-    //    the posting trace vs the broadcast crossed list; SKIPPED when
-    //    nothing crossed (zero cluster work on quiet steps), and BUCKET-
-    //    PRUNED by the term-routed span on crossing steps (VERDICT r16 #6:
-    //    the former `view(0 until nBuckets)` scanned the full trace — a
-    //    crossing step now reads only the buckets that can hold a crossed
-    //    term's docs, O(crossed-term postings) instead of O(corpus ∩ U))
+    //    the TERM-KEYED trace vs the broadcast crossed list; SKIPPED when
+    //    nothing crossed (zero cluster work on quiet steps). The view span
+    //    is the crossed terms' OWN buckets (driver arithmetic, r18 —
+    //    formerly the cumulative doc-bucket span map, which saturated to
+    //    all nBuckets in the mid-band regime): the screen reads
+    //    O(crossed-term postings + bucket collisions) in every regime.
     import spark.implicits._
     val screenSpan =
       if (crossed.isEmpty) Nil
-      else crossed.flatMap(t => termSpan.getOrElse(t, Set.empty))
-        .distinct.sorted
+      else KeyedState.bucketsOfStringKeys(crossed, nBuckets)
     lastScreenBuckets = screenSpan
     val screened =
       if (screenSpan.isEmpty) ut.select("doc_id").where(lit(false))
-      else postIdx.view(screenSpan).consolidate.df
+      else termIdx.view(screenSpan).consolidate.df
         .join(broadcast(crossed.toDF("term")), Seq("term"))
         .select("doc_id")
     val (affected, affB) = Screened.affectedKeys(screened,
@@ -316,15 +304,21 @@ final class CosineState(emptyTf: ZSetFrame,
     //    rows: a replaced row lives in its doc's bucket, so outB ⊆ affB)
     val (out, outB) = Screened.replacementDelta(newTop, oldTop,
       "doc_id", nBuckets)
-    // 6. trace maintenance, CONCURRENT (Screened.inParallel): the posting
-    //    append and the assignment merge read only pinned inputs and hit
-    //    independent states — the step pays max(merges), and with the lazy
-    //    delta pin the quiet-step shape is stat → affected → emission →
-    //    merges: 4 barriers (was 6). simIdx appends too — its readers
-    //    consolidate, periodic compaction collapses the spine.
+    // 6. trace maintenance, CONCURRENT (Screened.inParallel): the two
+    //    posting appends (doc- and term-keyed) and the assignment merge
+    //    read only pinned inputs and hit independent states — the step
+    //    pays max(merges), and with the lazy delta pin the quiet-step
+    //    shape is stat → affected → emission → merges: 4 barriers. The
+    //    termIdx merge routes by the delta's own U-term list (stat rows →
+    //    driver-hashed buckets — no discovery job). simIdx appends too —
+    //    its readers consolidate, periodic compaction collapses the spine.
+    val deltaTermB = KeyedState.bucketsOfStringKeys(deltaTerms, nBuckets)
     Screened.inParallel(
       ("post-merge", () => { postIdx.merge(ZSetFrame.fromDelta(ut),
         checkpointDelta = false, knownTouched = Some(affB),
+        append = true); () }),
+      ("term-merge", () => { termIdx.merge(ZSetFrame.fromDelta(ut),
+        checkpointDelta = false, knownTouched = Some(deltaTermB),
         append = true); () }),
       ("sim-merge", () => { simIdx.merge(out, checkpointDelta = false,
         knownTouched = Some(outB), append = true); () }))
@@ -335,6 +329,6 @@ final class CosineState(emptyTf: ZSetFrame,
   def close(): Unit = {
     prevStepPins.foreach(Pinned.release)
     prevStepPins = Nil
-    postIdx.close(); simIdx.close()
+    postIdx.close(); termIdx.close(); simIdx.close()
   }
 }

@@ -610,4 +610,24 @@ object KeyedState {
     * bucket ids, ready to pass as `knownTouched`. */
   def bucketsOfLongKeys(keys: Iterable[Long], nBuckets: Int): Seq[Int] =
     keys.map(k => bucketOfLongs(Seq(k), nBuckets)).toSeq.distinct.sorted
+
+  /** DRIVER-SIDE bucket id for a single STRING key — what
+    * `repartition(n, col)` computes for a StringType column: murmur3 over
+    * the UTF-8 bytes from seed 42 (Spark's Murmur3Hash on UTF8String),
+    * positive mod. Lets a state whose dimension keys are term strings
+    * route them to buckets without a discovery job (r18 — CosineState's
+    * term-keyed screen trace). KeyedStateSpec pins this against the SQL
+    * `hash()` builtin. */
+  def bucketOfString(key: String, nBuckets: Int): Int = {
+    val b = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+      b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42)
+    val m = h % nBuckets
+    if (m < 0) m + nBuckets else m
+  }
+
+  /** `bucketOfString` over a set of string keys → sorted distinct bucket
+    * ids, ready to pass as `knownTouched` / a term-keyed view span. */
+  def bucketsOfStringKeys(keys: Iterable[String], nBuckets: Int): Seq[Int] =
+    keys.map(bucketOfString(_, nBuckets)).toSeq.distinct.sorted
 }

@@ -962,14 +962,15 @@ class IncrementalSpec extends SparkSpec {
       st.step(ZSetFrame.fromDelta(Seq(
           (1L, "a", 1L, 1L), (2L, "a", 2L, 1L), (3L, "x", 1L, 1L))
         .toDF("doc_id", "term", "tf", ZSetFrame.W)))
-      // the crossing step's screen must scan exactly the buckets that can
-      // hold term-a docs (the term-routed span), not all nB buckets
-      val expected = Seq(1L, 2L).toDF("doc_id")
-        .select(pmod(hash(col("doc_id")), lit(nB)).as("b"))
+      // the crossing step's screen must scan exactly the crossed term's
+      // OWN bucket in the term-keyed trace (r18 — formerly the cumulative
+      // doc-bucket span), not all nB buckets
+      val expected = Seq("a").toDF("term")
+        .select(pmod(hash(col("term")), lit(nB)).as("b"))
         .collect().map(_.getInt(0)).toSet
       assert(st.lastScreenBuckets.nonEmpty &&
         st.lastScreenBuckets.toSet == expected,
-        s"screen span ${st.lastScreenBuckets} != term-a doc buckets $expected")
+        s"screen span ${st.lastScreenBuckets} != term-a bucket $expected")
       assert(st.lastScreenBuckets.size < nB,
         "span pruning is vacuous - the fixture's span covers every bucket")
       // N-only drift under the saturated cap: iq unchanged → a QUIET step,

@@ -48,6 +48,21 @@ class KeyedStateSpec extends SparkSpec {
     }
   }
 
+  test("bucketOfString == SQL hash() bucket (r18 — the term-keyed screen route)") {
+    val n = 16
+    val vals = Seq("", "a", "spark", "merge", "window", "query",
+      "ünïcødé-ターム", "f123", "a longer term with spaces", "\u0000nul")
+    val want = vals.toDF("t")
+      .select(col("t"), pmod(hash(col("t")), lit(n)).as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    vals.foreach { v =>
+      assert(KeyedState.bucketOfString(v, n) == want(v),
+        s"string bucket mismatch for '$v'")
+    }
+    assert(KeyedState.bucketsOfStringKeys(vals, n) ==
+      vals.map(want).distinct.sorted)
+  }
+
   test("KeyedState snapshot ≡ naive State acc over random delta sequences") {
     for (seed <- 1 to 3) {
       val rnd = new scala.util.Random(seed + 500)
