@@ -32,10 +32,13 @@ import graft.functions.Bm25
   *
   * Per-step shape (the 100 TB story):
   *   - O(Δ) scalar maintenance: N, T, and the |U| df values (U = union of
-  *     all query terms) advance by ONE small ≤ |U|+1-row aggregation action
-  *     over the delta (driver-held scalars — the operator's broadcast
-  *     constants, the reference keeps the same integrals as circuit
-  *     scalars).
+  *     all query terms) advance per step (driver-held scalars — the
+  *     operator's broadcast constants, the reference keeps the same
+  *     integrals as circuit scalars). Since r18 the screen's and rescore's
+  *     old/new constant tables derive cluster-side and the driver's
+  *     collect runs concurrently with the emission, so the step has NO
+  *     stat barrier of its own (3 driver barriers: affected,
+  *     max(emission, stat), merges).
   *   - One NO-SHUFFLE screening scan of the U-RESTRICTED inverted index:
   *     storage is O(postings of U's terms) — the union match set, never the
   *     corpus — with the |U|-row old/new df table broadcast. Shared across
@@ -185,72 +188,66 @@ final class MultiBm25State(emptyPosting: ZSetFrame,
     prevStepPins = Nil
     // 0. LAZY-pin the delta (r17 — measured: the raw plan re-ran the
     //    caller's tokenize+explode chain in every consumer job of a
-    //    streaming step; the lazy checkpoint materializes inside the stat
-    //    action below and every later job reads pinned blocks — zero extra
-    //    barriers, one delta evaluation)
+    //    streaming step; the lazy checkpoint materializes inside the
+    //    affected action below and every later job reads pinned blocks —
+    //    zero extra barriers, one delta evaluation)
     val d = delta.df.localCheckpoint(false)
-    // 1. O(Δ) scalar maintenance — ONE bounded action over the delta
-    //    (VERDICT r13 #2: this was two driver-synchronous jobs, a first()
-    //    for ΔN/ΔT plus a collect() for Δdf — each a ~0.15 s local-mode
-    //    barrier on every step): per-doc distinct rows give ΔN = Σ_docs w
-    //    and ΔT = Σ_docs dl·w; the U-restricted term groups give Δdf per
-    //    union term. The two aggregates union into one ≤ |U|+1-row
-    //    collect. The doc row also carries the step-contract check
-    //    (ADVICE r13): dl must be constant per (doc_id, w) within a delta —
-    //    a violation would silently corrupt the N/T induction, so it fails
-    //    loudly here, riding the same action. (The OTHER contract — a doc's
-    //    posting set shipped at most once per polarity — stays UNCHECKED:
-    //    detecting a duplicate shipment needs a per-(doc,term) groupBy over
-    //    the delta, a second shuffle the scalar path deliberately avoids;
-    //    callers own it, as the reference's upsert sources own key
-    //    uniqueness.)
-    val docAgg = d.select(col("doc_id"), col("dl"), col(W))
-      .distinct()
-      .agg(coalesce(sum(col(W)), lit(0L)).as("a"),
-        coalesce(sum(col("dl") * col(W)), lit(0L)).as("b"),
-        (count(lit(1)) - count_distinct(col("doc_id"), col(W))).as("viol"))
-      .select(lit(null).cast("string").as("term"), col("a"), col("b"),
-        col("viol"))
-    val ddfAgg = d.where(col("term").isin(ulits: _*))
-      .groupBy("term").agg(sum(col(W)).as("a"))
-      .where(col("a") =!= 0L)
-      .select(col("term"), col("a"), lit(0L).as("b"), lit(0L).as("viol"))
-    val statRows = docAgg.unionByName(ddfAgg).collect()
     val nOld = nDocs; val tOld = tToks
     val dfOld = dfU.toMap
-    statRows.foreach { r =>
-      if (r.isNullAt(0)) {
-        require(r.getLong(3) == 0L,
-          "graft: Bm25 step contract violated — a (doc_id, w) pair in " +
-            "the delta carries more than one distinct dl; N/T maintenance " +
-            "would be silently corrupted")
-        nDocs += r.getLong(1); tToks += r.getLong(2)
-      } else
-        dfU(r.getString(0)) = dfU.getOrElse(r.getString(0), 0L) + r.getLong(1)
-    }
-    // 2. the old/new constant table for the screen — |U| rows, broadcast
     import spark.implicits._
-    val dfTab = uterms.map(t =>
-        (t, dfOld.getOrElse(t, 0L), dfU.getOrElse(t, 0L)))
-      .toDF("term", "df_old", "df_new")
-    // 3. screen: ONE no-shuffle scan of the U-restricted index — every
-    //    stored posting's floor under (N,T,df)_old vs (N,T,df)_new. A
-    //    posting with df_new == 0 has all its docs in this step's delta
-    //    (its term vanished from the corpus); MinValue marks it moved
-    //    defensively. Query-independent: one scan serves every standing
-    //    query set.
-    def sqAt(df: Column, n: Long, t: Long): Column =
-      if (n <= 0L || t <= 0L) lit(Long.MinValue)
-      else when(df <= 0L, lit(Long.MinValue))
-        .otherwise(Bm25.sq(col("tf"), col("dl"), df, lit(n), lit(t), grid))
+    // 1. The step's old/new constants derive CLUSTER-SIDE (r18, VERDICT
+    //    r17 #3 — the former ≤|U|+1-row stat collect was a driver barrier
+    //    that had to complete before the screen could even be planned):
+    //    driver-literal OLD values ⊕ the delta's own aggregates, broadcast
+    //    into the screen and the rescore. The driver's own copies (next
+    //    step's literals, the contract check, the durable sidecar) are
+    //    collected CONCURRENTLY with the emission action in step 5b — the
+    //    step is 3 barriers (affected, max(emission, stat), merges), down
+    //    from 4. (An Observation-riding variant was tried first and
+    //    reverted: CollectMetrics inside a broadcast-build subtree
+    //    reports in plain executions — ObservationSpec pins that — but a
+    //    q90 streaming micro-batch execution dropped the metrics and
+    //    Observation.get blocked forever; the concurrent collect has no
+    //    such mode.)
+    //      - ntNew: ONE row (n_new, t_new) = (N,T)_old + (ΔN, ΔT) over the
+    //        per-(doc, w) groups; ndl = the group's distinct dl count, so
+    //        the dl-contract violation is a plain sum for the stat pass
+    //      - dfTab: |U| rows (term, df_old literal, df_new = df_old + Δdf)
+    val docRows = d.groupBy(col("doc_id"), col(W))
+      .agg(count_distinct(col("dl")).as("ndl"), max(col("dl")).as("dl"))
+    val ntNew = docRows
+      .agg(coalesce(sum(col(W)), lit(0L)).as("dn"),
+        coalesce(sum(col("dl") * col(W)), lit(0L)).as("dt"))
+      .select((lit(nOld) + col("dn")).as("n_new"),
+        (lit(tOld) + col("dt")).as("t_new"))
+    val dfTab = uterms.map(t => (t, dfOld.getOrElse(t, 0L)))
+      .toDF("term", "df_old")
+      .join(d.where(col("term").isin(ulits: _*))
+        .groupBy("term").agg(sum(col(W)).as("ddf")), Seq("term"), "left")
+      .select(col("term"), col("df_old"),
+        (col("df_old") + coalesce(col("ddf"), lit(0L))).as("df_new"))
+    // 2. screen: ONE no-shuffle scan of the U-restricted index — every
+    //    stored posting's floor under (N,T,df)_old vs (N,T,df)_new (both
+    //    sides column expressions now; the new constants come from the two
+    //    broadcast tables above). A posting with df_new == 0 has all its
+    //    docs in this step's delta (its term vanished from the corpus);
+    //    MinValue marks it moved defensively. Query-independent: one scan
+    //    serves every standing query set.
+    def sqAt(df: Column, n: Column, t: Column): Column =
+      when(n <= lit(0L) || t <= lit(0L) || df <= lit(0L),
+        lit(Long.MinValue))
+        .otherwise(Bm25.sq(col("tf"), col("dl"), df, n, t, grid))
     val postings = qIdx.view(0 until nBuckets).consolidate.df
     val screened = postings.join(broadcast(dfTab), Seq("term"))
-      .where(sqAt(col("df_old"), nOld, tOld)
-        =!= sqAt(col("df_new"), nDocs, tToks))
+      .crossJoin(broadcast(ntNew))
+      .where(sqAt(col("df_old"), lit(nOld), lit(tOld))
+        =!= sqAt(col("df_new"), col("n_new"), col("t_new")))
       .select(col("doc_id"))
-    // 4. affected = crossed docs ∪ the delta's matching docs; the bucket
-    //    span rides the checkpoint via an Observation (Screened — the d31
-    //    discipline shared with TfIdfState)
+    // 3. affected = crossed docs ∪ the delta's matching docs (unchanged
+    //    from r17); the bucket span rides the checkpoint via an
+    //    Observation (Screened — the d31 discipline shared with
+    //    TfIdfState). This ONE action also materializes the delta pin and
+    //    the two broadcast constant tables.
     val dU = ZSetFrame.fromDelta(d.where(col("term").isin(ulits: _*)))
     val (affected, affB) = Screened.affectedKeys(screened,
       dU.df.select("doc_id"), "doc_id", nBuckets)
@@ -267,16 +264,22 @@ final class MultiBm25State(emptyPosting: ZSetFrame,
     //    action (the emission checkpoint): the intermediate replacement
     //    deltas (scDelta, btDelta) are LAZILY checkpointed, so the action
     //    pins them as it runs and the trace merges in step 6 read pinned
-    //    blocks instead of recomputing the cascade (r17 — the step drops
-    //    from 7 driver barriers to 4; VERDICT r13 #2 lineage).
+    //    blocks instead of recomputing the cascade (r17 — the step dropped
+    //    from 7 driver barriers to 4; r18's concurrent stat makes it 3;
+    //    VERDICT r13 #2 lineage). The rescore's constants are the SAME
+    //    cluster-side tables the screen used — identical values and the
+    //    identical IEEE sequence, the leaves are column refs instead of
+    //    literals — which is what frees the emission from waiting on the
+    //    stat collect.
     val dfNewTab = dfTab.select(col("term"), col("df_new").as("df"))
     val rows = (qIdx.view(affB) + dU).consolidate.df
       .join(affected, Seq("doc_id"))
     val newScores = rows.join(broadcast(dfNewTab), Seq("term"))
       .join(broadcast(qtTab), Seq("term"))
+      .crossJoin(broadcast(ntNew))
       .select(col("query_id"), col("doc_id"),
         Bm25.sq(col("tf"), col("dl"), col("df"),
-          lit(nDocs), lit(tToks), grid).as("sq"))
+          col("n_new"), col("t_new"), grid).as("sq"))
       .groupBy("query_id", "doc_id").agg(sum(col("sq")).as("score_q"))
     val oldScores = scoreIdx.view(affB).consolidate.df
       .join(affected, Seq("doc_id"))
@@ -311,11 +314,50 @@ final class MultiBm25State(emptyPosting: ZSetFrame,
     // live in an untouched bucket — it must come from the (tiny) replacement
     // delta itself, which Screened.replacementDelta hands over for free on
     // the delta's own eager checkpoint (VERDICT r13 #2).
-    val (out, outB) = Screened.replacementDelta(newTop, oldTop,
-      "doc_id", nBuckets)
+    // 5b. emission ∥ stat (r18): the emission no longer reads any driver
+    //     constant (its tables are the cluster-side ones from step 1), so
+    //     the ≤|U|+1-row stat collect — ΔN/ΔT/Δdf for the next step's
+    //     literals, the dl-contract check (ADVICE r13), and the durable
+    //     sidecar — runs CONCURRENTLY with it over the pinned delta
+    //     (Screened.inParallel): the step pays max(emission, stat), not
+    //     their sum. The contract check still lands BEFORE any trace
+    //     merge, so a violating delta leaves every trace untouched,
+    //     exactly as before. (The OTHER contract — a doc's posting set
+    //     shipped at most once per polarity — stays UNCHECKED: detecting
+    //     a duplicate shipment needs a per-(doc,term) groupBy over the
+    //     delta, a second shuffle this path deliberately avoids; callers
+    //     own it, as the reference's upsert sources own key uniqueness.)
+    var emitted: (ZSetFrame, Seq[Int]) = null
+    var statRows: Array[org.apache.spark.sql.Row] = null
+    Screened.inParallel(
+      ("emission", () => { emitted = Screened.replacementDelta(
+        newTop, oldTop, "doc_id", nBuckets); () }),
+      ("stat", () => {
+        val docAgg = docRows
+          .agg(coalesce(sum(col(W)), lit(0L)).as("a"),
+            coalesce(sum(col("dl") * col(W)), lit(0L)).as("b"),
+            coalesce(sum(col("ndl") - lit(1L)), lit(0L)).as("viol"))
+          .select(lit(null).cast("string").as("term"), col("a"), col("b"),
+            col("viol"))
+        val ddfAgg = d.where(col("term").isin(ulits: _*))
+          .groupBy("term").agg(sum(col(W)).as("a"))
+          .where(col("a") =!= 0L)
+          .select(col("term"), col("a"), lit(0L).as("b"), lit(0L).as("viol"))
+        statRows = docAgg.unionByName(ddfAgg).collect(); () }))
+    val (out, outB) = emitted
+    statRows.foreach { r =>
+      if (r.isNullAt(0)) {
+        require(r.getLong(3) == 0L,
+          "graft: Bm25 step contract violated — a (doc_id, w) pair in " +
+            "the delta carries more than one distinct dl; N/T maintenance " +
+            "would be silently corrupted")
+        nDocs += r.getLong(1); tToks += r.getLong(2)
+      } else
+        dfU(r.getString(0)) = dfU.getOrElse(r.getString(0), 0L) + r.getLong(1)
+    }
     // 6. trace maintenance, ALL CONCURRENT (Screened.inParallel — the
     //    generalized aggStep fusion): every merge input is pinned (dU by
-    //    the stat action, scDelta/btDelta by the emission action, out by
+    //    the affected action, scDelta/btDelta by the emission action, out by
     //    its own checkpoint), every state is independent, so the step pays
     //    max(merges) instead of four sequential barriers. All four merge in
     //    APPEND mode — readers consolidate their views, so the spine's
