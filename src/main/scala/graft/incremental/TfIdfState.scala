@@ -115,7 +115,21 @@ final class TfIdfState(emptyTf: ZSetFrame, val nBuckets: Int,
   // (term, doc_id, tf) postings keyed two ways, plus the two aggregates
   private val tfIdx = new KeyedState(Seq("term"), nBuckets, emptyTf)
   private val fwdIdx = new KeyedState(Seq("doc_id"), nBuckets, emptyTf)
-  private val dfIdx = new KeyedState(Seq("term"), nBuckets,
+  /** The df index is a DIMENSION (vocabulary-sized), so its bucket count is
+    * CAPPED rather than corpus-proportional (r18): the rescore joins the
+    * FULL df table every step (an affected doc's unaffected postings need
+    * their df values, which the driver cannot bound), and that was the
+    * state's only per-step full-width read — at deployment-sized nBuckets
+    * it alone contributed O(nBuckets) scheduled tasks per step for a table
+    * whose rows grow with the vocabulary, not the corpus (the StepBench
+    * tfidf large config measured exactly this term at 640 buckets on a
+    * 32-core box). Corpus-keyed traces (postings, top-1) keep buckets ∝
+    * data. At nBuckets ≤ DimBuckets the layout — and every code path — is
+    * unchanged (all declared queries run there); above it, callers' nB-keyed
+    * term spans no longer apply to this trace and the df reads fall back to
+    * the full ≤ DimBuckets-wide dimension view. */
+  private val nbDim = math.min(nBuckets, TfIdfState.DimBuckets)
+  private val dfIdx = new KeyedState(Seq("term"), nbDim,
     ZSetFrame.fromDelta(emptyTf.df.select(col("term"), lit(0L).as("df"),
       col(W))))
   private val top1 = new KeyedState(Seq("doc_id"), nBuckets,
@@ -162,7 +176,10 @@ final class TfIdfState(emptyTf: ZSetFrame, val nBuckets: Int,
     //    df index (moved ⊆ delta terms, so the delta's term span covers it)
     val ddfZ = ZSetFrame.fromDelta(ddf.select(col("term"), lit(1L).as(W)))
     val dfOld = (termBuckets match {
-      case Some(tb) => dfIdx.view(tb)
+      // caller spans are nBuckets-keyed — valid for this trace only while
+      // the dimension cap is not in effect (every declared query's regime)
+      case Some(tb) if nbDim == nBuckets => dfIdx.view(tb)
+      case Some(_) => dfIdx.view(0 until nbDim)
       case None => dfIdx.probe(ddfZ)
     }).consolidate.df.select(col("term"), col("df").as("df_old"))
     // LAZY checkpoint (VERDICT r13 #2 — eager-vs-lazy audit): `moved` is
@@ -212,7 +229,7 @@ final class TfIdfState(emptyTf: ZSetFrame, val nBuckets: Int,
     val rows = (fwdIdx.view(affBuckets) + d).consolidate.df
       .join(affected, Seq("doc_id"))
     val scored = rows
-      .join((dfIdx.view(0 until nBuckets) + dfDelta).consolidate.df,
+      .join((dfIdx.view(0 until nbDim) + dfDelta).consolidate.df,
         Seq("term"))
       .select(col("doc_id"), col("term"), col("tf"),
         scoreQ(col("tf"), col("df")).as("score_q"))
@@ -249,7 +266,8 @@ final class TfIdfState(emptyTf: ZSetFrame, val nBuckets: Int,
         ("fwd-merge", () => { fwdIdx.merge(d, checkpointDelta = false,
           knownTouched = docBuckets, append = true); () }),
         ("df-merge", () => { dfIdx.merge(dfDelta, checkpointDelta = false,
-          knownTouched = termBuckets, append = true); () }),
+          knownTouched = if (nbDim == nBuckets) termBuckets else None,
+          append = true); () }),
         ("top1-merge", () => { top1.merge(out, checkpointDelta = false,
           knownTouched = Some(outB), append = true); () })) ++
         durIdx.map(m => ("durable-merge",
@@ -286,9 +304,9 @@ final class TfIdfState(emptyTf: ZSetFrame, val nBuckets: Int,
     val dfRows = postings.groupBy("term").agg(count(lit(1)).as("df"))
     dfIdx.merge(ZSetFrame.fromDelta(
       dfRows.select(col("term"), col("df"), lit(1L).as(W))),
-      knownTouched = all)
+      knownTouched = Some(0 until nbDim))
     val scored = postings
-      .join(dfIdx.view(0 until nBuckets).consolidate.df, Seq("term"))
+      .join(dfIdx.view(0 until nbDim).consolidate.df, Seq("term"))
       .select(col("doc_id"), col("term"), col("tf"),
         scoreQ(col("tf"), col("df")).as("score_q"))
     val newTop = scored.withColumn("rn", row_number().over(
@@ -303,6 +321,12 @@ final class TfIdfState(emptyTf: ZSetFrame, val nBuckets: Int,
 object TfIdfState {
   private[incremental] val ConstsFile = "_graft_tfidf_consts.txt"
   private[incremental] val IntentFile = "_graft_tfidf_intent.txt"
+
+  /** Bucket-count cap for the DIMENSION trace (the df index) — see `nbDim`.
+    * 64 keeps every declared query (nBuckets ≤ 32) byte-identical while
+    * bounding the per-step full-width df read at deployment bucket
+    * counts. */
+  private[graft] val DimBuckets = 64
 
   /** Re-attach to a durable tf-idf state written by a `durablePath`-enabled
     * instance — the recovery path (a fresh driver resumes the CDC replay
