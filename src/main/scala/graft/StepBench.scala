@@ -358,7 +358,13 @@ object StepBench {
     * stay one-seed, so a clean session costs nothing extra. */
   private def gatedPair(spark: SparkSession,
       gateRuns: scala.collection.mutable.LinkedHashMap[String, List[(Double, Double)]],
-      name: String, lo: Double, hi: Double)
+      name: String, lo: Double, hi: Double,
+      /** Called with the 1-based index of the SELECTED run (the median
+        * pair) so a track carrying per-run side payloads (prune/span
+        * series) can ship the payload of the SAME run its floors came
+        * from — ADVICE r17: the committed artifact paired floors from run
+        * #1 with prune columns from run #3. */
+      onSelect: Int => Unit = _ => ())
       (small: () => Seq[Double])(large: () => Seq[Double])
       : (Double, Double, Double) = {
     def one(i: Int): (Double, Double) =
@@ -369,10 +375,22 @@ object StepBench {
     if (ratioOf(runs.head) < lo || ratioOf(runs.head) > hi)
       runs = runs :+ one(2) :+ one(3)
     gateRuns(name) = runs
+    gateBands(name) = (lo, hi)
     val byRatio = runs.sortBy(ratioOf)
     val med = byRatio((byRatio.size - 1) / 2)
+    onSelect(runs.indexOf(med) + 1)
     (med._1, med._2, ratioOf(med))
   }
+
+  /** Per-track gate band, recorded at each gatedPair call and emitted in
+    * the tier JSON (ADVICE r17: a consumer reading a growth figure against
+    * the default band could not see that a track gates at a wider one). */
+  private val gateBands =
+    scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+
+  private def gateBandsJson: String =
+    gateBands.map { case (n, (lo, hi)) => f""""$n":[$lo%.1f,$hi%.1f]""" }
+      .mkString("{", ",", "}")
 
   /** The gate-runs sidecar serialization shared by both tiers' JSON. */
   private def gateRunsJsonStr(
@@ -679,6 +697,7 @@ object StepBench {
   def json(spark: SparkSession, base: Long, steps: Int,
            full: Boolean = true): String = {
     trackCost.clear()
+    gateBands.clear()
     val nKeys = base / 50
     def floor(label: String)(run: () => Seq[Double]): Double =
       floorRun(spark, label)(run)
@@ -778,13 +797,20 @@ object StepBench {
     // (affected fraction ~0.000x at both sizes) and the XL decade's
     // keyed/rolling flatness. STEPBENCH.md r17 tfidf addendum has the
     // full three-context measurement record.
-    var tfSp: Seq[Double] = Seq(0.0)
-    var tfLp: Seq[Double] = Seq(0.0)
-    val (tfS, tfL, _) = gatedPair(spark, gateRuns, "tfidf", 0.5, 2.0)(
+    val tfSpRuns = scala.collection.mutable.Buffer[Seq[Double]]()
+    val tfLpRuns = scala.collection.mutable.Buffer[Seq[Double]]()
+    var tfSel = 0
+    val (tfS, tfL, _) = gatedPair(spark, gateRuns, "tfidf", 0.5, 2.0,
+        i => tfSel = i - 1)(
       () => { val (ts, pr) = runTfIdf(spark, base, s3, 64)
-        tfSp = if (pr.nonEmpty) pr else Seq(0.0); ts })(
+        tfSpRuns += (if (pr.nonEmpty) pr else Seq(0.0)); ts })(
       () => { val (ts, pr) = runTfIdf(spark, base * 10, s3, 640)
-        tfLp = if (pr.nonEmpty) pr else Seq(0.0); ts })
+        tfLpRuns += (if (pr.nonEmpty) pr else Seq(0.0)); ts })
+    // prune columns ship from the SAME run as the selected floors
+    // (ADVICE r17 — the r17 artifact paired run-#1 floors with run-#3
+    // prune series)
+    val tfSp = tfSpRuns(tfSel)
+    val tfLp = tfLpRuns(tfSel)
     System.err.println(f"[stepbench cfg] tfidf floors $tfS%.3f -> $tfL%.3f; " +
       f"prune small=${tfSp.max}%.4f large=${tfLp.max}%.4f (max affected fraction)")
     // pmi (VERDICT r15 #3): the QUIET floor promoted to a gated pair —
@@ -796,13 +822,17 @@ object StepBench {
     // (the diagnostics' own sample count, reproduced twice), with the
     // outlier policy as the safety net. Bursts are load-dependent BY
     // DESIGN (the 1/N crossing-rate law) and stay diagnostic-only.
-    var pmiPruneS = 0.0
-    var pmiPruneL = 0.0
-    val (pS, pL, pG) = gated("pmi")(
+    val pmiPrS = scala.collection.mutable.Buffer[Double]()
+    val pmiPrL = scala.collection.mutable.Buffer[Double]()
+    var pmiSel = 0
+    val (pS, pL, pG) = gatedPair(spark, gateRuns, "pmi", 0.5, 1.5,
+        i => pmiSel = i - 1)(
       () => { val (ts, pr) = runPmi(spark, base, steps, 64, bursts = 0)
-        pmiPruneS = if (pr.nonEmpty) pr.max else 0.0; ts })(
+        pmiPrS += (if (pr.nonEmpty) pr.max else 0.0); ts })(
       () => { val (ts, pr) = runPmi(spark, base * 10, steps, 640, bursts = 0)
-        pmiPruneL = if (pr.nonEmpty) pr.max else 0.0; ts })
+        pmiPrL += (if (pr.nonEmpty) pr.max else 0.0); ts })
+    val pmiPruneS = pmiPrS(pmiSel)
+    val pmiPruneL = pmiPrL(pmiSel)
     // cossim (VERDICT r16 #3): the QUIET floor promoted to a gated pair
     // per the one-round seasoning rule — STEPBENCH.md r16 carries the two
     // clean reproductions (quiet floors 2.43→2.24 / 1.49→1.24 s, prune
@@ -816,17 +846,19 @@ object StepBench {
     // crossing, nB when a capped mid-band crossing legitimately saturated
     // it (see CosineState.termSpan's pruning envelope) — the committed
     // artifact shows which regime the run hit.
-    var cosPruneS = 0.0
-    var cosPruneL = 0.0
-    var cosSpanS = 0
-    var cosSpanL = 0
-    val (cS, cL, cG) = gated("cossim")(
+    val cosPrS = scala.collection.mutable.Buffer[(Double, Int)]()
+    val cosPrL = scala.collection.mutable.Buffer[(Double, Int)]()
+    var cosSel = 0
+    val (cS, cL, cG) = gatedPair(spark, gateRuns, "cossim", 0.5, 1.5,
+        i => cosSel = i - 1)(
       () => { val (ts, pr, sp) = runCosSim(spark, base, steps, 64, bursts = 0)
-        cosPruneS = if (pr.nonEmpty) pr.max else 0.0
-        cosSpanS = if (sp.nonEmpty) sp.max else 0; ts })(
+        cosPrS += ((if (pr.nonEmpty) pr.max else 0.0,
+          if (sp.nonEmpty) sp.max else 0)); ts })(
       () => { val (ts, pr, sp) = runCosSim(spark, base * 10, steps, 640, bursts = 0)
-        cosPruneL = if (pr.nonEmpty) pr.max else 0.0
-        cosSpanL = if (sp.nonEmpty) sp.max else 0; ts })
+        cosPrL += ((if (pr.nonEmpty) pr.max else 0.0,
+          if (sp.nonEmpty) sp.max else 0)); ts })
+    val (cosPruneS, cosSpanS) = cosPrS(cosSel)
+    val (cosPruneL, cosSpanL) = cosPrL(cosSel)
     // galen: the 6-rule mutual recursion (GalenBench) at 1× and 10× the
     // parent-forest size. Unlike the other tracks, a galen iteration's
     // delta GROWS with n (the closure is n·log₂ n facts split over ~6
@@ -865,14 +897,15 @@ object StepBench {
     // config, 3×steps post-warmup samples — 5× for upsert/tri), not medians
     // — the growth gate compares best-case step costs; gated flat tracks
     // carry the outlier policy (median of 3 ratios when the first pair
-    // lands outside [0.5, 1.5]; all pairs in gate_runs)
+    // lands outside the track's band; per-track bands are in gate_bands —
+    // most gate at [0.5, 1.5] — and all measured pairs land in gate_runs)
     val gateRunsJson = gateRunsJsonStr(gateRuns)
     lastCompact =
       f"""{"keyed":$kG%.2f,"upsert":$uG%.2f,"rolling":$rG%.2f,"radix_scaled":$xG%.2f,"dedup":$dG%.2f,"ann":$aG%.2f,"tri":$tG%.2f,"tfidf":${tfL / tfS}%.2f,"pmi":$pG%.2f,"cossim":$cG%.2f,"naive":${nL / nS}%.2f,$costTotalsJson}"""
     val statLabel =
       if (full) "per_step_floor_one_seed_3x_steps_upsert_tri_5x_pmi_cossim_1x_outlier_median_of_3"
       else "per_step_floor_one_seed_trimmed_2x_steps_pmi_cossim_1x_outlier_median_of_3"
-    f"""{"stat":"$statLabel","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"keyed_small_sec":$kS%.3f,"keyed_large_sec":$kL%.3f,"naive_steps_small":$nStepsS,"naive_steps_large":$nStepsL,"naive_small_sec":$nS%.3f,"naive_large_sec":$nL%.3f,"upsert_small_sec":$uS%.3f,"upsert_large_sec":$uL%.3f,"rolling_small_sec":$rS%.3f,"rolling_large_sec":$rL%.3f,"radix_small_sec":$xS%.3f,"radix_large_sec":$xL%.3f,"radix_scaled_large_sec":$xSc%.3f,"dedup_small_sec":$dS%.3f,"dedup_large_sec":$dL%.3f,"ann_small_sec":$aS%.3f,"ann_large_sec":$aL%.3f,"tri_small_sec":$tS%.3f,"tri_large_sec":$tL%.3f,"tfidf_small_sec":$tfS%.3f,"tfidf_large_sec":$tfL%.3f,"tfidf_prune_small":${tfSp.max}%.4f,"tfidf_prune_large":${tfLp.max}%.4f,"pmi_small_sec":$pS%.3f,"pmi_large_sec":$pL%.3f,"pmi_prune_small":$pmiPruneS%.4f,"pmi_prune_large":$pmiPruneL%.4f,"cossim_small_sec":$cS%.3f,"cossim_large_sec":$cL%.3f,"cossim_prune_small":$cosPruneS%.4f,"cossim_prune_large":$cosPruneL%.4f,"cossim_span_max_small":$cosSpanS,"cossim_span_max_large":$cosSpanL,$galenJson,"keyed_growth":$kG%.2f,"naive_growth":${nL / nS}%.2f,"upsert_growth":$uG%.2f,"rolling_growth":$rG%.2f,"radix_growth":${xL / xS}%.2f,"radix_scaled_growth":$xG%.2f,"dedup_growth":$dG%.2f,"ann_growth":$aG%.2f,"tri_growth":$tG%.2f,"tfidf_growth":${tfL / tfS}%.2f,"pmi_growth":$pG%.2f,"cossim_growth":$cG%.2f,"gate_runs":$gateRunsJson,"track_cost":$trackCostJson}"""
+    f"""{"stat":"$statLabel","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"keyed_small_sec":$kS%.3f,"keyed_large_sec":$kL%.3f,"naive_steps_small":$nStepsS,"naive_steps_large":$nStepsL,"naive_small_sec":$nS%.3f,"naive_large_sec":$nL%.3f,"upsert_small_sec":$uS%.3f,"upsert_large_sec":$uL%.3f,"rolling_small_sec":$rS%.3f,"rolling_large_sec":$rL%.3f,"radix_small_sec":$xS%.3f,"radix_large_sec":$xL%.3f,"radix_scaled_large_sec":$xSc%.3f,"dedup_small_sec":$dS%.3f,"dedup_large_sec":$dL%.3f,"ann_small_sec":$aS%.3f,"ann_large_sec":$aL%.3f,"tri_small_sec":$tS%.3f,"tri_large_sec":$tL%.3f,"tfidf_small_sec":$tfS%.3f,"tfidf_large_sec":$tfL%.3f,"tfidf_prune_small":${tfSp.max}%.4f,"tfidf_prune_large":${tfLp.max}%.4f,"pmi_small_sec":$pS%.3f,"pmi_large_sec":$pL%.3f,"pmi_prune_small":$pmiPruneS%.4f,"pmi_prune_large":$pmiPruneL%.4f,"cossim_small_sec":$cS%.3f,"cossim_large_sec":$cL%.3f,"cossim_prune_small":$cosPruneS%.4f,"cossim_prune_large":$cosPruneL%.4f,"cossim_span_max_small":$cosSpanS,"cossim_span_max_large":$cosSpanL,$galenJson,"keyed_growth":$kG%.2f,"naive_growth":${nL / nS}%.2f,"upsert_growth":$uG%.2f,"rolling_growth":$rG%.2f,"radix_growth":${xL / xS}%.2f,"radix_scaled_growth":$xG%.2f,"dedup_growth":$dG%.2f,"ann_growth":$aG%.2f,"tri_growth":$tG%.2f,"tfidf_growth":${tfL / tfS}%.2f,"pmi_growth":$pG%.2f,"cossim_growth":$cG%.2f,"gate_runs":$gateRunsJson,"gate_bands":$gateBandsJson,"track_cost":$trackCostJson}"""
   }
 
   /** The XL tier (VERDICT r10 #1): the same flat-growth claims one decade
@@ -899,6 +932,7 @@ object StepBench {
     * tracks exist to avoid). */
   def jsonXl(spark: SparkSession, base: Long, steps: Int): String = {
     trackCost.clear()
+    gateBands.clear()
     val nKeys = base / 50
     def floor(label: String)(run: () => Seq[Double]): Double =
       floorRun(spark, label)(run)
@@ -957,7 +991,7 @@ object StepBench {
     val gateRunsJson = gateRunsJsonStr(gateRuns)
     lastCompact =
       f"""{"keyed_xl":$kG%.2f,"upsert_xl":$uG%.2f,"rolling_xl":$rG%.2f,"samecfg":$xG%.2f,"fixed_ctl":${kLfix / kS}%.2f,"naive_ctl":${nL / nS}%.2f,$costTotalsJson}"""
-    f"""{"stat":"xl_per_step_floor_one_seed_2x_steps_controls_fewer_outlier_median_of_3","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"bucket_bytes":"constant (10x buckets at 10x state; keyed_xl_fixed is the unscaled control)","keyed_xl_small_sec":$kS%.3f,"keyed_xl_large_sec":$kL%.3f,"keyed_xl_fixed_large_sec":$kLfix%.3f,"upsert_xl_small_sec":$uS%.3f,"upsert_xl_large_sec":$uL%.3f,"rolling_xl_small_sec":$rS%.3f,"rolling_xl_large_sec":$rL%.3f,"radix_scaled_xl_small_sec":$xS%.3f,"radix_scaled_xl_mid_sec":$xMid%.3f,"radix_scaled_xl_large_sec":$xL%.3f,"naive_xl_small_sec":$nS%.3f,"naive_xl_large_sec":$nL%.3f,"keyed_xl_growth":$kG%.2f,"keyed_xl_fixed_growth":${kLfix / kS}%.2f,"upsert_xl_growth":$uG%.2f,"rolling_xl_growth":$rG%.2f,"radix_scaled_xl_growth":${xL / xS}%.2f,"radix_xl_samecfg_growth":$xG%.2f,"radix_xl_bucketcount_ratio":${xMid / xS}%.2f,"naive_xl_growth":${nL / nS}%.2f,"xl_gate_runs":$gateRunsJson,"track_cost":$trackCostJson}"""
+    f"""{"stat":"xl_per_step_floor_one_seed_2x_steps_controls_fewer_outlier_median_of_3","state_rows_small":$base,"state_rows_large":${base * 10},"steps":$steps,"bucket_bytes":"constant (10x buckets at 10x state; keyed_xl_fixed is the unscaled control)","keyed_xl_small_sec":$kS%.3f,"keyed_xl_large_sec":$kL%.3f,"keyed_xl_fixed_large_sec":$kLfix%.3f,"upsert_xl_small_sec":$uS%.3f,"upsert_xl_large_sec":$uL%.3f,"rolling_xl_small_sec":$rS%.3f,"rolling_xl_large_sec":$rL%.3f,"radix_scaled_xl_small_sec":$xS%.3f,"radix_scaled_xl_mid_sec":$xMid%.3f,"radix_scaled_xl_large_sec":$xL%.3f,"naive_xl_small_sec":$nS%.3f,"naive_xl_large_sec":$nL%.3f,"keyed_xl_growth":$kG%.2f,"keyed_xl_fixed_growth":${kLfix / kS}%.2f,"upsert_xl_growth":$uG%.2f,"rolling_xl_growth":$rG%.2f,"radix_scaled_xl_growth":${xL / xS}%.2f,"radix_xl_samecfg_growth":$xG%.2f,"radix_xl_bucketcount_ratio":${xMid / xS}%.2f,"naive_xl_growth":${nL / nS}%.2f,"xl_gate_runs":$gateRunsJson,"xl_gate_bands":$gateBandsJson,"track_cost":$trackCostJson}"""
   }
 
   def main(args: Array[String]): Unit = {
