@@ -550,23 +550,29 @@ object StreamingQueries extends QueryModule {
       // because append-mode closes strictly later windows, within a batch
       // by the range keying — with NO bound on files per batch.
       val t0Interchange = System.currentTimeMillis()
+      // ONE cumulative seen-set across the drive (r18, VERDICT r17 #1b —
+      // the per-batch before/after pair of Files.list passes halves to one
+      // list per batch): the interchange dir is fresh per invocation and
+      // only this drive writes it, so "files seen at the end of batch k"
+      // IS "files before batch k+1". The stamping itself stays per-batch —
+      // stage 2's watermark needs mtimes monotone in (batch, part index),
+      // and only the writing batch knows its own files' range order.
+      val seen = scala.collection.mutable.Set[String]()
+      def freshParquet(): Seq[java.nio.file.Path] = {
+        val l = Files.list(Paths.get(stage1Out))
+        val fresh = try l.iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+            !seen.contains(p.getFileName.toString)).toSeq
+        finally l.close()
+        seen ++= fresh.map(_.getFileName.toString)
+        fresh
+      }
       val q1 = hourly.writeStream
         .foreachBatch { (batch: DataFrame, bid: Long) =>
-          val dir = Paths.get(stage1Out)
-          val before: Set[String] =
-            if (!Files.exists(dir)) Set.empty
-            else { val l = Files.list(dir)
-              try l.iterator().asScala.map(_.getFileName.toString).toSet
-              finally l.close() }
           batch.repartitionByRange(2, col("wstart"))
             .write.mode("append").parquet(stage1Out)
-          val l2 = Files.list(dir)
-          val fresh = try l2.iterator().asScala
-            .filter(p => p.getFileName.toString.endsWith(".parquet") &&
-              !before.contains(p.getFileName.toString)).toSeq
-          finally l2.close()
           // part-NNNNN names sort in partition order = wstart-range order
-          fresh.sortBy(_.getFileName.toString).zipWithIndex.foreach {
+          freshParquet().sortBy(_.getFileName.toString).zipWithIndex.foreach {
             case (p, i) =>
               Files.setLastModifiedTime(p,
                 java.nio.file.attribute.FileTime.fromMillis(
@@ -581,20 +587,12 @@ object StreamingQueries extends QueryModule {
       // files' mtimes are forced past every batch file's forced stamp (the
       // natural clock could lag the bid-derived stamps above).
       locally {
-        val dir = Paths.get(stage1Out)
-        val before: Set[String] = { val l = Files.list(dir)
-          try l.iterator().asScala.map(_.getFileName.toString).toSet
-          finally l.close() }
         s.range(1).select((lit(FlushNanos / 1000000L)).as("wstart"),
             lit("flush").as("event_type"), lit(0L).as("n"))
           .coalesce(1).write.mode("append").parquet(stage1Out)
-        val l2 = Files.list(dir)
-        try l2.iterator().asScala
-          .filter(p => !before.contains(p.getFileName.toString))
-          .foreach(p => Files.setLastModifiedTime(p,
-            java.nio.file.attribute.FileTime.fromMillis(
-              t0Interchange + 1000000000L)))
-        finally l2.close()
+        freshParquet().foreach(p => Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(
+            t0Interchange + 1000000000L)))
       }
       val schema2 = s.read.parquet(stage1Out).schema
       val rewin = s.readStream.schema(schema2)
