@@ -284,10 +284,14 @@ object Recursive {
       val eNew = materialize(
         (ZSetFrame.fromTable(edges) + ZSetFrame.fromDelta(dEdges)).distinctZ.toDF)
       // affected sources: u of every touched edge (u,v), plus every x with
-      // (x,u) already in the closure
+      // (x,u) already in the closure. touchedSrc is O(Δ) by the CDC
+      // contract, so it broadcasts (r18, guide §3.1) — the CLOSURE side
+      // (the big one) is probed in place instead of being shuffled for a
+      // sort-merge join the stats-free RDD plan would otherwise pick.
       val touchedSrc = dEdges.select(col("src").as("u")).distinct()
       val aff = materialize(
-        tc.join(touchedSrc, tc("dst") === col("u"), "left_semi").select("src")
+        tc.join(broadcast(touchedSrc), tc("dst") === col("u"), "left_semi")
+          .select("src")
           .union(touchedSrc.select(col("u").as("src"))).distinct())
       // re-derive reachability for affected sources only
       val seed = eNew.join(broadcast(aff), Seq("src"), "left_semi")
@@ -546,10 +550,18 @@ object Recursive {
       val touched = materialize(
         dAll.select(col("src").as("node"))
           .union(dAll.select(col("dst").as("node"))).distinct())
-      // old components of every touched node (covers splits)
+      // old components of every touched node (covers splits). Both probe
+      // sides here are O(Δ)-bounded by the CDC contract (touched = the
+      // delta's endpoints; tscc = their component ids), so they broadcast
+      // (r18, guide §3.1): without the hint the RDD-backed frames carry no
+      // stats, the planner picks a shuffle join, and AQE only converts it
+      // AFTER materializing both shuffle stages — two scheduling-floor
+      // stage jobs per epoch for a join whose build side is delta-sized.
+      // The LABELS side (corpus-sized) is never shuffled now.
       val touchedComps = labels
-        .join(labels.join(touched, Seq("node"), "left_semi")
-          .select(col("scc").as("tscc")).distinct(),
+        .join(broadcast(labels.join(broadcast(touched), Seq("node"),
+            "left_semi")
+          .select(col("scc").as("tscc")).distinct()),
           col("scc") === col("tscc"), "left_semi")
         .select("node")
       // cycles through inserted edges (covers merges): fw(heads) ∩ bw(tails).
