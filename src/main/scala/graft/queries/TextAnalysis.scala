@@ -50,6 +50,46 @@ object TextAnalysis extends QueryModule {
     * queries' state dirs) — best-effort, and the Files.walk stream is
     * CLOSED (ADVICE r16: the old iterator-to-Seq form never closed the
     * stream — one leaked directory handle per bench invocation). */
+  /** ONE-job epoch pre-split of a pinned posting/term table (r18, VERDICT
+    * r17 #6): the t12–t16/q92/q94 CDC replays derive every epoch's delta
+    * as a `where` filter of the pinned parent, so each step's first action
+    * re-scanned ALL parent partitions to materialize its lazily-pinned
+    * slice (measured r17: the re-filter rode the delta-pin job — ~34
+    * tasks, 8–10 s taskSum, 0.3–0.5 s wall per step at sf0.1). The rows
+    * are instead routed ONCE into a slice-keyed KeyedState — slice id =
+    * (doc_id mod `mod`) ⊕ the retraction-residue bit — and each epoch
+    * reads a PARTITION-PRUNED view of its own slices; the driver computes
+    * the bucket ids arithmetically (the CDC "a source knows its delta's
+    * keys" discipline), so there is no per-step discovery job and no
+    * full-parent scan. The slice predicates stay on the pruned read, so
+    * hash-collision contamination (another slice sharing a bucket)
+    * filters out exactly — the epoch frames are row-identical to the
+    * former `where` filters. Close after the replay's last step. */
+  private final class EpochSlices(src: DataFrame, mod: Int, retRes: Int) {
+    import graft.core.ZSetFrame
+    private val nB = 16
+    private val srcCols = src.columns.toSeq
+    private val slCol = (pmod(col("doc_id"), lit(mod.toLong)) * lit(2L) +
+      when(pmod(col("doc_id"), lit(10L)) === lit(retRes.toLong), lit(1L))
+        .otherwise(lit(0L))).cast("long").as("__sl")
+    private val slicer = new graft.incremental.KeyedState(Seq("__sl"), nB,
+      ZSetFrame.fromTable(src.where(lit(false)).select(col("*"), slCol)))
+    slicer.merge(ZSetFrame.fromTable(src.select(col("*"), slCol)),
+      checkpointDelta = false)
+    private def read(slices: Seq[Long], pred: Column): DataFrame =
+      slicer.view(graft.incremental.KeyedState.bucketsOfLongKeys(slices, nB))
+        .df.where(pred).select(srcCols.map(col): _*)
+    /** rows with doc_id % mod == res — an insert epoch's delta */
+    def insert(res: Int): DataFrame =
+      read(Seq(res * 2L, res * 2L + 1L),
+        pmod(col("doc_id"), lit(mod.toLong)) === lit(res.toLong))
+    /** rows with doc_id % 10 == retRes — the retraction epoch's delta */
+    def retract: DataFrame =
+      read((0 until mod).map(v => v * 2L + 1L),
+        pmod(col("doc_id"), lit(10L)) === lit(retRes.toLong))
+    def close(): Unit = slicer.close()
+  }
+
   private def deleteScratchTree(path: String): Unit =
     try {
       import java.nio.file.{Files, Path, Paths}
@@ -177,19 +217,18 @@ object TextAnalysis extends QueryModule {
         spans.filter(f).map(_.getInt(2)).distinct.sorted.toSeq
       def db(f: org.apache.spark.sql.Row => Boolean): Seq[Int] =
         spans.filter(f).map(_.getInt(3)).distinct.sorted.toSeq
+      val es = new EpochSlices(tfAll, E, 3)
       val outs =
         (0 until E).map { i =>
-          st.step(ZSetFrame.fromTable(
-              tfAll.where(pmod(col("doc_id"), lit(E)) === i)),
+          st.step(ZSetFrame.fromTable(es.insert(i)),
             termBuckets = Some(tb(_.getInt(0) == i)),
             docBuckets = Some(db(_.getInt(0) == i)))
         } :+
         st.step(ZSetFrame.fromDelta(
-            tfAll.where(pmod(col("doc_id"), lit(10)) === 3)
-              .withColumn(ZSetFrame.W, lit(-1L))),
+            es.retract.withColumn(ZSetFrame.W, lit(-1L))),
           termBuckets = Some(tb(_.getBoolean(1))),
           docBuckets = Some(db(_.getBoolean(1))))
-      st.close()
+      st.close(); es.close()
       ZSetFrame.sumAll(outs).consolidate.toDF
         .select("doc_id", "term", "tf", "score_q")
     }),
@@ -218,15 +257,14 @@ object TextAnalysis extends QueryModule {
         .localCheckpoint(true)
       val st = new graft.incremental.Bm25State(
         ZSetFrame.fromTable(tfAll.where(lit(false))), qterms, nB)
+      val es = new EpochSlices(tfAll, E, 3)
       val outs =
         (0 until E).map { i =>
-          st.step(ZSetFrame.fromTable(
-            tfAll.where(pmod(col("doc_id"), lit(E)) === i)))
+          st.step(ZSetFrame.fromTable(es.insert(i)))
         } :+
         st.step(ZSetFrame.fromDelta(
-          tfAll.where(pmod(col("doc_id"), lit(10)) === 3)
-            .withColumn(ZSetFrame.W, lit(-1L))))
-      st.close()
+          es.retract.withColumn(ZSetFrame.W, lit(-1L))))
+      st.close(); es.close()
       ZSetFrame.sumAll(outs).consolidate.toDF
         .select("doc_id", "score_q", "rnk")
     }),
@@ -265,6 +303,7 @@ object TextAnalysis extends QueryModule {
       var st = new graft.incremental.Bm25State(
         ZSetFrame.fromTable(tfAll.where(lit(false))), qterms, nB,
         durablePath = Some(path))
+      val es = new EpochSlices(tfAll, 2 * E, 4)
       try {
         // epochs split on EVEN residues (doc_id % 4 = 0 / 2) and the
         // retraction on doc_id % 10 = 4 — the corpus is even-only, so
@@ -280,17 +319,16 @@ object TextAnalysis extends QueryModule {
               st = null
               st = graft.incremental.Bm25State.restore(s, path, qterms, nB)
             }
-            st.step(ZSetFrame.fromTable(
-              tfAll.where(pmod(col("doc_id"), lit(2 * E)) === 2 * i)))
+            st.step(ZSetFrame.fromTable(es.insert(2 * i)))
           } :+
           st.step(ZSetFrame.fromDelta(
-            tfAll.where(pmod(col("doc_id"), lit(10)) === 4)
-              .withColumn(ZSetFrame.W, lit(-1L))))
+            es.retract.withColumn(ZSetFrame.W, lit(-1L))))
         // step outputs are eagerly checkpointed by the state — the lazy
         // integration below stays valid after close() and the dir delete
         ZSetFrame.sumAll(outs).consolidate.toDF
           .select("doc_id", "score_q", "rnk")
       } finally {
+        es.close()
         if (st != null) st.close()
         deleteScratchTree(path)
       }
@@ -324,6 +362,7 @@ object TextAnalysis extends QueryModule {
       var st = new graft.incremental.TfIdfState(
         ZSetFrame.fromTable(tfAll.where(lit(false))), nB,
         durablePath = Some(path))
+      val es = new EpochSlices(tfAll, 2 * E, 4)
       try {
         val outs =
           (0 until E).map { i =>
@@ -332,15 +371,14 @@ object TextAnalysis extends QueryModule {
               st = null // see q92: a throwing restore must not double-close
               st = graft.incremental.TfIdfState.restore(s, path, nB)
             }
-            st.step(ZSetFrame.fromTable(
-              tfAll.where(pmod(col("doc_id"), lit(2 * E)) === 2 * i)))
+            st.step(ZSetFrame.fromTable(es.insert(2 * i)))
           } :+
           st.step(ZSetFrame.fromDelta(
-            tfAll.where(pmod(col("doc_id"), lit(10)) === 4)
-              .withColumn(ZSetFrame.W, lit(-1L))))
+            es.retract.withColumn(ZSetFrame.W, lit(-1L))))
         ZSetFrame.sumAll(outs).consolidate.toDF
           .select("doc_id", "term", "tf", "score_q")
       } finally {
+        es.close()
         if (st != null) st.close()
         deleteScratchTree(path)
       }
@@ -368,15 +406,14 @@ object TextAnalysis extends QueryModule {
       val st = new graft.incremental.MultiBm25State(
         ZSetFrame.fromTable(tfAll.where(lit(false))),
         Postings.MultiQuerySets, nB)
+      val es = new EpochSlices(tfAll, E, 3)
       val outs =
         (0 until E).map { i =>
-          st.step(ZSetFrame.fromTable(
-            tfAll.where(pmod(col("doc_id"), lit(E)) === i)))
+          st.step(ZSetFrame.fromTable(es.insert(i)))
         } :+
         st.step(ZSetFrame.fromDelta(
-          tfAll.where(pmod(col("doc_id"), lit(10)) === 3)
-            .withColumn(ZSetFrame.W, lit(-1L))))
-      st.close()
+          es.retract.withColumn(ZSetFrame.W, lit(-1L))))
+      st.close(); es.close()
       ZSetFrame.sumAll(outs).consolidate.toDF
         .select("query_id", "doc_id", "score_q", "rnk")
     }),
@@ -400,15 +437,14 @@ object TextAnalysis extends QueryModule {
         .localCheckpoint(true)
       val st = new graft.incremental.PmiState(
         ZSetFrame.fromTable(trAll.where(lit(false))), Postings.PmiTerms, 32)
+      val es = new EpochSlices(trAll, E, 3)
       val outs =
         (0 until E).map { i =>
-          st.step(ZSetFrame.fromTable(
-            trAll.where(pmod(col("doc_id"), lit(E)) === i)))
+          st.step(ZSetFrame.fromTable(es.insert(i)))
         } :+
         st.step(ZSetFrame.fromDelta(
-          trAll.where(pmod(col("doc_id"), lit(10)) === 3)
-            .withColumn(ZSetFrame.W, lit(-1L))))
-      st.close()
+          es.retract.withColumn(ZSetFrame.W, lit(-1L))))
+      st.close(); es.close()
       ZSetFrame.sumAll(outs).consolidate.toDF
         .select("doc_id", "n_pairs", "score_q")
     }),
@@ -435,15 +471,14 @@ object TextAnalysis extends QueryModule {
       val st = new graft.incremental.CosineState(
         ZSetFrame.fromTable(tfAll.where(lit(false))),
         Postings.CosineCentroids, 32)
+      val es = new EpochSlices(tfAll, E, 3)
       val outs =
         (0 until E).map { i =>
-          st.step(ZSetFrame.fromTable(
-            tfAll.where(pmod(col("doc_id"), lit(E)) === i)))
+          st.step(ZSetFrame.fromTable(es.insert(i)))
         } :+
         st.step(ZSetFrame.fromDelta(
-          tfAll.where(pmod(col("doc_id"), lit(10)) === 3)
-            .withColumn(ZSetFrame.W, lit(-1L))))
-      st.close()
+          es.retract.withColumn(ZSetFrame.W, lit(-1L))))
+      st.close(); es.close()
       ZSetFrame.sumAll(outs).consolidate.toDF
         .select("doc_id", "cid", "cos_q")
     }),
