@@ -783,24 +783,24 @@ object StepBench {
     // figures ran plain `steps`=10 samples while the artifact's stat label
     // claimed 3× — the same floor-sample scarcity the one-seed rationale
     // calls out; code-review r13)
-    // Under gatedPair since the r17 optimization round: the first r17
-    // committed pair shipped 1.56 with no re-run protection; the gated
-    // re-run produced three pairs (1.64/1.80/1.64) whose consistency
-    // showed the ratio is STRUCTURAL at the new floor, not noise — the
-    // r17 barrier cut (5→3 actions/step) dropped the small floor to
-    // ~0.84 s, below the large config's fixed task-scheduling term (640
-    // one-partition-per-bucket tasks per routing job on a fixed-core
-    // local box; a real deployment scales cores with buckets). The gate
-    // band is therefore the XL tier's [0.5, 2.0] — the band that tier
-    // uses for exactly this scaled-bucket-on-fixed-box term — while the
-    // DATA-flatness claim stays certified by the prune columns
-    // (affected fraction ~0.000x at both sizes) and the XL decade's
-    // keyed/rolling flatness. STEPBENCH.md r17 tfidf addendum has the
-    // full three-context measurement record.
+    // Under gatedPair since the r17 optimization round; BACK AT THE BASE
+    // BAND [0.5, 1.5] since r18. r17 widened to the XL band [0.5, 2.0]
+    // because the 3-action small floor sat below the large config's fixed
+    // 640-task df-read scheduling term on a fixed-core box (three gated
+    // pairs 1.64/1.80/1.64 — structural, not noise; STEPBENCH.md r17
+    // addendum). r18 removed that term at the source: the df index is a
+    // DIMENSION trace and its bucket count is capped
+    // (TfIdfState.DimBuckets), so the per-step full-width df read no
+    // longer scales with the corpus bucket count. Two fresh-JVM
+    // diagnostic pairs after the cap: 1.01→1.20 = 1.19 and 0.93→1.32 =
+    // 1.42 (STEPBENCH.md r18 note) — in the tight band, floors no worse
+    // than r17's committed 0.84→1.39. The DATA-flatness claim stays
+    // certified by the prune columns (affected fraction ~0.000x at both
+    // sizes).
     val tfSpRuns = scala.collection.mutable.Buffer[Seq[Double]]()
     val tfLpRuns = scala.collection.mutable.Buffer[Seq[Double]]()
     var tfSel = 0
-    val (tfS, tfL, _) = gatedPair(spark, gateRuns, "tfidf", 0.5, 2.0,
+    val (tfS, tfL, _) = gatedPair(spark, gateRuns, "tfidf", 0.5, 1.5,
         i => tfSel = i - 1)(
       () => { val (ts, pr) = runTfIdf(spark, base, s3, 64)
         tfSpRuns += (if (pr.nonEmpty) pr else Seq(0.0)); ts })(
