@@ -30,6 +30,11 @@ object Postings {
     * deterministic under retry). */
   private[graft] def spread(df: DataFrame): DataFrame = {
     val want = df.sparkSession.sessionState.conf.numShufflePartitions
+    // df.rdd forces a physical-plan conversion on the driver to read the
+    // partition count — fine at the current call sites (once per corpus
+    // BUILD, never per step); if this ever moves into a per-step path,
+    // thread the width from the source instead of probing the plan
+    // (VERDICT r17 minor #5).
     if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
   }
 
