@@ -51,7 +51,10 @@ class BenchArtifactSpec extends AnyFunSuite {
       "cossim_growth",
       // the XL decade (5M→50M; VERDICT r10 #1)
       "keyed_xl_growth", "upsert_xl_growth", "rolling_xl_growth",
-      "radix_scaled_xl_growth", "naive_xl_growth")
+      "radix_scaled_xl_growth", "naive_xl_growth",
+      // per-track gate bands (r18, ADVICE r17: a widened band must be
+      // machine-visible, not only prose)
+      "gate_bands")
     val absent = tracks.filterNot(t => text.contains("\"" + t + "\""))
     assert(absent.isEmpty,
       s"artifact lacks step-bench tracks $absent; re-run graft.Bench at HEAD")
